@@ -1,0 +1,78 @@
+"""Benchmark harness: run the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and print ONE
+JSON line: {"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}.
+
+Mirrors the reference's workload runner semantics (drain every result, wall
+clock per query — docker/trino-client/src/run_workload.py:32-64) with Spark
+as the engine.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+from lakehouse_variance_spark import registry
+from lakehouse_variance_spark.session import build_session
+
+# Headline set: one per operator family — aggregation, multiway join, window,
+# top-k, set op, correlated subquery, dedup (exact + shingle + LSH),
+# similarity (brute force + LSH), text analysis.
+HEADLINE_QUERIES = (
+    "q1_pricing_summary",
+    "join_topk_revenue",
+    "join_multiway_region",
+    "agg_rollup_grouping",
+    "window_running_sum",
+    "correlated_scalar_subquery",
+    "qerror_metric",
+    "set_union_all",
+    "dedup_exact",
+    "dedup_shingle_jaccard",
+    "dedup_minhash_lsh",
+    "embed_cosine_topk",
+    "ann_lsh_topk",
+    "text_token_stats",
+    "text_fingerprint",
+)
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1])
+    registry.load_all()
+    spark = build_session(app_name="lvs-bench")
+
+    # Warm the JVM + parquet footers with one tiny action so per-query
+    # timings measure the queries, not session startup.
+    registry.QUERIES["q1_pricing_summary"](spark, sf_dir).count()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE_QUERIES:
+        fn = registry.QUERIES.get(name)
+        if fn is None:
+            continue
+        start = time.perf_counter()
+        df = fn(spark, sf_dir)
+        n = df.count()  # drain (run_workload.py:38-44 drains the cursor)
+        timings[name] = round(time.perf_counter() - start, 4)
+        print(f"# {name}: {timings[name]:.3f}s ({n} rows)", file=sys.stderr)
+
+    total = round(sum(timings.values()), 4)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_suite_runtime",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

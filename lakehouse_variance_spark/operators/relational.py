@@ -1,0 +1,843 @@
+"""Relational query surface (SURVEY.md §2A).
+
+Each query here exercises one operator class the reference's 99-query TPC-DS
+workload requires (citations per query), re-expressed on the driver's TPC-H-ish
+test tables with idiomatic DataFrame code. Catalyst supplies pushdown, column
+pruning, join selection, and AQE; the builders only declare the logical plan.
+
+Numeric aggregate columns are rounded identically on both the Spark and
+oracle side so the order-insensitive value hash is stable under floating-point
+re-association across partitions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from lakehouse_variance_spark.registry import register
+from lakehouse_variance_spark.tables import load_table
+
+
+# ---------------------------------------------------------------------------
+# Aggregations (reference: hash group-by w/ sum/avg/min/max/count — q1.sql:3-8)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q1_pricing_summary",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 2)                                    AS sum_qty,
+           round(sum(l_extendedprice), 2)                               AS sum_base_price,
+           round(sum(l_extendedprice * (1 - l_discount)), 2)            AS sum_disc_price,
+           round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+           round(avg(l_quantity), 4)                                    AS avg_qty,
+           round(avg(l_extendedprice), 4)                               AS avg_price,
+           round(avg(l_discount), 4)                                    AS avg_disc,
+           count(*)                                                     AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2000-12-01'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q1-shaped pricing summary: multi-agg hash group-by.
+
+    Covers the dominant reference operator (hash aggregate with partial+final
+    combine, reference q1.sql:3-8). Map-side partial aggregation keeps the
+    shuffle at |groups| x |partitions| rows regardless of fact-table size.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("2000-12-01").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
+            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+@register(
+    "agg_count_distinct",
+    oracle="""
+    SELECT o_orderpriority,
+           count(DISTINCT o_custkey) AS n_customers,
+           count(*)                  AS n_orders,
+           round(sum(o_totalprice), 2) AS total_price
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def agg_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """count(DISTINCT ...) per group (reference q16.sql:2,22 — 12 queries).
+
+    Spark plans this as a two-phase expand+aggregate; at 100 TB swap in
+    approx_count_distinct when exactness is not required.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderpriority").agg(
+        F.countDistinct("o_custkey").alias("n_customers"),
+        F.count("*").alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+    )
+
+
+@register(
+    "agg_stddev_cv",
+    oracle="""
+    SELECT event_type,
+           round(avg(value), 4)          AS mean_value,
+           round(stddev_samp(value), 4)  AS std_value,
+           round(100 * stddev_samp(value) / avg(value), 4) AS cv_pct,
+           count(*)                      AS n
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def agg_stddev_cv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped mean/std/CV — the reference's core variance metric
+    (traces/tools/helpers.py:40-70: CV% = 100*std/mean; stddev_samp q39.sql:18).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.round(F.avg("value"), 4).alias("mean_value"),
+        F.round(F.stddev_samp("value"), 4).alias("std_value"),
+        F.round(100 * F.stddev_samp("value") / F.avg("value"), 4).alias("cv_pct"),
+        F.count("*").alias("n"),
+    )
+
+
+@register(
+    "agg_percentiles",
+    oracle="""
+    SELECT event_type,
+           round(quantile_cont(value, 0.50), 4) AS p50_value,
+           round(quantile_cont(value, 0.99), 4) AS p99_value,
+           round(max(value), 4)                 AS max_value
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles (reference helpers.py:48-49,65-70 uses
+    pandas quantile = linear interpolation; Spark `percentile` matches).
+    At 100 TB prefer percentile_approx — same call shape, sketch-based."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.round(F.percentile("value", F.lit(0.50)), 4).alias("p50_value"),
+        F.round(F.percentile("value", F.lit(0.99)), 4).alias("p99_value"),
+        F.round(F.max("value"), 4).alias("max_value"),
+    )
+
+
+@register(
+    "agg_rollup_grouping",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           grouping(l_returnflag)  AS g_flag,
+           grouping(l_linestatus)  AS g_status,
+           round(sum(l_quantity), 2) AS sum_qty,
+           count(*)                AS n_rows
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+def agg_rollup_grouping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP BY ROLLUP + grouping() (reference q22.sql:12, q36.sql:5-9 —
+    11 of 99 queries). Spark expands rollup via Expand + single aggregate."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.grouping("l_returnflag").cast("int").alias("g_flag"),
+            F.grouping("l_linestatus").cast("int").alias("g_status"),
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.count("*").alias("n_rows"),
+        )
+        .select(
+            "l_returnflag", "l_linestatus", "g_flag", "g_status", "sum_qty", "n_rows"
+        )
+    )
+
+
+@register(
+    "agg_case_pivot",
+    oracle="""
+    SELECT o_orderpriority,
+           round(sum(CASE WHEN o_orderstatus = 'O' THEN o_totalprice ELSE 0 END), 2) AS open_total,
+           round(sum(CASE WHEN o_orderstatus = 'F' THEN o_totalprice ELSE 0 END), 2) AS filled_total,
+           sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END)                      AS n_pending
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def agg_case_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot-style conditional aggregation — sum(CASE WHEN ...) (reference
+    q36.sql:9; 127 CASE WHEN occurrences across the query set)."""
+    orders = load_table(spark, sf_dir, "orders")
+    status = F.col("o_orderstatus")
+    price = F.col("o_totalprice")
+    return orders.groupBy("o_orderpriority").agg(
+        F.round(F.sum(F.when(status == "O", price).otherwise(0.0)), 2).alias("open_total"),
+        F.round(F.sum(F.when(status == "F", price).otherwise(0.0)), 2).alias("filled_total"),
+        F.sum(F.when(status == "P", 1).otherwise(0)).cast("bigint").alias("n_pending"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Joins (reference q1.sql:10-17, q95.sql, q16.sql — §2A Joins)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "join_topk_revenue",
+    oracle="""
+    SELECT l_orderkey,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           o_orderdate
+    FROM customer, orders, lineitem
+    WHERE c_mktsegment = 'BUILDING'
+      AND c_custkey = o_custkey
+      AND l_orderkey = o_orderkey
+      AND o_orderdate < TIMESTAMP '1998-03-15'
+      AND l_shipdate > TIMESTAMP '1998-03-15'
+    GROUP BY l_orderkey, o_orderdate
+    ORDER BY revenue DESC, l_orderkey
+    LIMIT 10
+    """,
+)
+def join_topk_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q3-shaped: selective dimension filter -> fact join -> agg -> top-k.
+
+    Covers the dominant implicit inner equi-join form (reference q1.sql:10-17)
+    plus ORDER BY + LIMIT top-k (84 of 99 queries end in LIMIT, q1.sql:19 —
+    Spark plans TakeOrderedAndProject, no global sort). The filtered customer
+    side is broadcast so the fact table never shuffles for the join.
+    """
+    cust = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-03-15").cast("timestamp")
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1998-03-15").cast("timestamp")
+    )
+    return (
+        li.join(
+            F.broadcast(orders.join(F.broadcast(cust), F.col("c_custkey") == F.col("o_custkey"))),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            )
+        )
+        .select("l_orderkey", "revenue", "o_orderdate")
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
+        .limit(10)
+    )
+
+
+@register(
+    "join_multiway_region",
+    oracle="""
+    SELECT n_name,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           count(*) AS n_items
+    FROM region, nation, supplier, lineitem, orders, customer
+    WHERE r_name = 'ASIA'
+      AND n_regionkey = r_regionkey
+      AND s_nationkey = n_nationkey
+      AND l_suppkey = s_suppkey
+      AND o_orderkey = l_orderkey
+      AND c_custkey = o_custkey
+    GROUP BY n_name
+    """,
+)
+def join_multiway_region(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q5-shaped 6-table star join (reference star joins q1.sql:6-7;
+    JOB dataset exists to stress join ordering, datasets/README.md:28-36).
+
+    All dimension sides are broadcast (region=5, nation=25, supplier ~sf*100
+    rows) — the only shuffle left is the lineitem<->orders equi-join, which
+    AQE converts to broadcast too when the filtered orders side is small.
+    """
+    region = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    nation = load_table(spark, sf_dir, "nation")
+    supplier = load_table(spark, sf_dir, "supplier")
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    dims = (
+        supplier.join(
+            F.broadcast(nation.join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+    )
+    return (
+        li.join(F.broadcast(dims), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(cust, F.col("c_custkey") == F.col("o_custkey"))
+        .groupBy("n_name")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            ),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+@register(
+    "join_semi_exists",
+    oracle="""
+    SELECT c_mktsegment, count(*) AS n_customers
+    FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F')
+    GROUP BY c_mktsegment
+    """,
+)
+def join_semi_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXISTS -> left-semi join (reference q16.sql:15; q10/q35/q69/q94).
+
+    A semi join never duplicates the probe side, so the group-by input stays
+    |customer|-bounded no matter how many matching orders exist."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    return (
+        cust.join(orders, F.col("c_custkey") == F.col("o_custkey"), "left_semi")
+        .groupBy("c_mktsegment")
+        .agg(F.count("*").alias("n_customers"))
+    )
+
+
+@register(
+    "join_anti_not_exists",
+    oracle="""
+    SELECT c_mktsegment, count(*) AS n_customers
+    FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'P')
+    GROUP BY c_mktsegment
+    """,
+)
+def join_anti_not_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NOT EXISTS -> left-anti join (reference q16.sql:19, q95): customers
+    with no pending order (the 'P' filter keeps the result non-vacuous)."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "P")
+    return (
+        cust.join(orders, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(F.count("*").alias("n_customers"))
+    )
+
+
+@register(
+    "join_self_inequality",
+    oracle="""
+    SELECT count(DISTINCT l1.l_orderkey) AS n_multi_supplier_orders
+    FROM lineitem l1, lineitem l2
+    WHERE l1.l_orderkey = l2.l_orderkey
+      AND l1.l_suppkey <> l2.l_suppkey
+    """,
+)
+def join_self_inequality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Self-join with inequality residual (reference q95.sql:5-8:
+    ws1.ws_order_number = ws2.ws_order_number AND ws_warehouse_sk <> ...).
+
+    Planned as an equi-join on the order key with the <> as residual filter —
+    never a cartesian product."""
+    l1 = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    l2 = l1.withColumnRenamed("l_suppkey", "l_suppkey2")
+    return (
+        l1.join(l2, "l_orderkey")
+        .filter(F.col("l_suppkey") != F.col("l_suppkey2"))
+        .agg(F.countDistinct("l_orderkey").alias("n_multi_supplier_orders"))
+    )
+
+
+@register(
+    "join_left_coalesce",
+    oracle="""
+    SELECT o_orderpriority,
+           count(*) AS n_orders,
+           round(sum(coalesce(rev, 0.0)), 2) AS total_revenue,
+           sum(CASE WHEN rev IS NULL THEN 1 ELSE 0 END) AS n_empty_orders
+    FROM orders LEFT JOIN (
+        SELECT l_orderkey, sum(l_extendedprice * (1 - l_discount)) AS rev
+        FROM lineitem WHERE l_quantity > 45 GROUP BY l_orderkey
+    ) lr ON o_orderkey = lr.l_orderkey
+    GROUP BY o_orderpriority
+    """,
+)
+def join_left_coalesce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT OUTER JOIN + coalesce + IS NULL handling (reference: the model
+    workload queries are all left-join chains, tpcds_Baseline_train.ndjson:1-3;
+    coalesce appears 41x in the query set)."""
+    orders = load_table(spark, sf_dir, "orders")
+    rev = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_quantity") > 45)
+        .groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("rev"))
+    )
+    return (
+        orders.join(rev, F.col("o_orderkey") == F.col("l_orderkey"), "left")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.sum(F.coalesce(F.col("rev"), F.lit(0.0))), 2).alias("total_revenue"),
+            F.sum(F.when(F.col("rev").isNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_empty_orders"),
+        )
+    )
+
+
+@register(
+    "correlated_scalar_subquery",
+    oracle="""
+    SELECT o1.o_orderkey, o1.o_custkey, round(o1.o_totalprice, 2) AS o_totalprice
+    FROM orders o1
+    WHERE o1.o_totalprice > (
+        SELECT 1.2 * avg(o2.o_totalprice) FROM orders o2
+        WHERE o2.o_custkey = o1.o_custkey)
+    """,
+)
+def correlated_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar aggregate subquery (reference q1.sql:12-14:
+    ctr_total_return > (SELECT avg(...)*1.2 ... WHERE correlated)).
+
+    Expressed as the decorrelated form Catalyst itself would produce:
+    group-by on the correlation key + equi-join + residual comparison."""
+    orders = load_table(spark, sf_dir, "orders")
+    avg_per_cust = orders.groupBy(F.col("o_custkey").alias("k")).agg(
+        (F.avg("o_totalprice") * 1.2).alias("threshold")
+    )
+    return (
+        orders.join(avg_per_cust, F.col("o_custkey") == F.col("k"))
+        .filter(F.col("o_totalprice") > F.col("threshold"))
+        .select(
+            "o_orderkey", "o_custkey", F.round("o_totalprice", 2).alias("o_totalprice")
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Window functions (reference q67.sql:14-16, q51.sql:8, q63.sql)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "window_rank_topn",
+    oracle="""
+    SELECT * FROM (
+        SELECT c_mktsegment, c_custkey, round(c_acctbal, 2) AS c_acctbal,
+               rank() OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC) AS bal_rank
+        FROM customer)
+    WHERE bal_rank <= 5
+    """,
+)
+def window_rank_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rank() OVER (PARTITION BY ... ORDER BY ...) + rank filter — top-N per
+    group (reference q67.sql:14-16; 8 queries). One shuffle on the partition
+    key; no global sort."""
+    cust = load_table(spark, sf_dir, "customer")
+    w = W.partitionBy("c_mktsegment").orderBy(F.col("c_acctbal").desc())
+    return (
+        cust.withColumn("bal_rank", F.rank().over(w))
+        .filter(F.col("bal_rank") <= 5)
+        .select(
+            "c_mktsegment",
+            "c_custkey",
+            F.round("c_acctbal", 2).alias("c_acctbal"),
+            "bal_rank",
+        )
+    )
+
+
+@register(
+    "window_running_sum",
+    oracle="""
+    SELECT event_id, user_id,
+           round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 3)
+               AS running_value
+    FROM events
+    WHERE user_id < 50
+    """,
+)
+def window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running sum with explicit ROWS frame (reference q51.sql:8,21,36,40; also
+    the carbon prefix-sum, low-carbon-scheduling/src/carbon.py:70-75).
+
+    The ORDER BY includes event_id as a tiebreaker so the frame is a total
+    order — identical running sums on any engine."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 50)
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.round(F.sum("value").over(w), 3).alias("running_value"),
+    )
+
+
+@register(
+    "window_avg_partition",
+    oracle="""
+    SELECT event_id, event_type, round(value, 3) AS value, round(avg_val, 3) AS avg_val
+    FROM (
+        SELECT event_id, event_type, value,
+               avg(value) OVER (PARTITION BY event_type) AS avg_val
+        FROM events)
+    WHERE value > 1.5 * avg_val
+    """,
+)
+def window_avg_partition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unordered analytic window — avg(x) OVER (PARTITION BY k) compared
+    against the row value (reference q63.sql avg_monthly_sales; q53)."""
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("event_type")
+    return (
+        ev.withColumn("avg_val", F.avg("value").over(w))
+        .filter(F.col("value") > 1.5 * F.col("avg_val"))
+        .select(
+            "event_id",
+            "event_type",
+            F.round("value", 3).alias("value"),
+            F.round("avg_val", 3).alias("avg_val"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sorts / limits (reference q1.sql:18-19)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "topk_orders",
+    oracle="""
+    SELECT o_orderkey, round(o_totalprice, 2) AS o_totalprice, o_orderpriority
+    FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 100
+    """,
+)
+def topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global top-k — ORDER BY ... LIMIT n (84 of 99 reference queries,
+    q1.sql:19). Spark plans TakeOrderedAndProject: per-partition heaps +
+    driver merge, never a global sort."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(100)
+        .select(
+            "o_orderkey",
+            F.round("o_totalprice", 2).alias("o_totalprice"),
+            "o_orderpriority",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Set operations (reference q2.sql:9, q38.sql:11,20, q87.sql:10,19)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "set_union_all",
+    oracle="""
+    SELECT status_class, count(*) AS n, round(sum(o_totalprice), 2) AS total
+    FROM (
+        SELECT 'open'   AS status_class, o_totalprice FROM orders WHERE o_orderstatus = 'O'
+        UNION ALL
+        SELECT 'closed' AS status_class, o_totalprice FROM orders WHERE o_orderstatus = 'F'
+    )
+    GROUP BY status_class
+    """,
+)
+def set_union_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION ALL of branch queries then re-aggregate (reference q2.sql:9 —
+    18 of 99 queries). Spark's Union is a no-shuffle bag concat."""
+    orders = load_table(spark, sf_dir, "orders")
+    open_ = orders.filter(F.col("o_orderstatus") == "O").select(
+        F.lit("open").alias("status_class"), "o_totalprice"
+    )
+    closed = orders.filter(F.col("o_orderstatus") == "F").select(
+        F.lit("closed").alias("status_class"), "o_totalprice"
+    )
+    return (
+        open_.unionAll(closed)
+        .groupBy("status_class")
+        .agg(F.count("*").alias("n"), F.round(F.sum("o_totalprice"), 2).alias("total"))
+    )
+
+
+@register(
+    "set_intersect",
+    oracle="""
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+    INTERSECT
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+    """,
+)
+def set_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT with set (DISTINCT) semantics — matches Trino's default
+    (reference q38.sql:11,20; SURVEY §7 flags the distinct-vs-all trap)."""
+    orders = load_table(spark, sf_dir, "orders")
+    open_ = orders.filter(F.col("o_orderstatus") == "O").select("o_custkey")
+    closed = orders.filter(F.col("o_orderstatus") == "F").select("o_custkey")
+    return open_.intersect(closed)
+
+
+@register(
+    "set_except",
+    oracle="""
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+    EXCEPT
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+    """,
+)
+def set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT with set (DISTINCT) semantics (reference q87.sql:10,19)."""
+    orders = load_table(spark, sf_dir, "orders")
+    open_ = orders.filter(F.col("o_orderstatus") == "O").select("o_custkey")
+    closed = orders.filter(F.col("o_orderstatus") == "F").select("o_custkey")
+    return open_.subtract(closed)
+
+
+@register(
+    "distinct_pairs",
+    oracle="""
+    SELECT DISTINCT c_nationkey, c_mktsegment FROM customer
+    """,
+)
+def distinct_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DISTINCT projection (dropDuplicates) — exact dedup primitive."""
+    cust = load_table(spark, sf_dir, "customer")
+    return cust.select("c_nationkey", "c_mktsegment").distinct()
+
+
+# ---------------------------------------------------------------------------
+# Scalar functions: filters, strings, dates, conditionals, regex
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "filter_in_like_between",
+    oracle="""
+    SELECT p_brand, count(*) AS n_parts, round(avg(p_retailprice), 4) AS avg_price
+    FROM part
+    WHERE p_size IN (1, 5, 10, 15, 20)
+      AND p_type LIKE 'PROMO%'
+      AND p_retailprice BETWEEN 900 AND 1900
+    GROUP BY p_brand
+    """,
+)
+def filter_in_like_between(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IN-list + LIKE + BETWEEN predicate combination (reference
+    tpcds_Baseline_train.ndjson:1 IN/NOT LIKE; q95.sql:15 BETWEEN). All three
+    push down to the parquet scan."""
+    part = load_table(spark, sf_dir, "part")
+    return (
+        part.filter(
+            F.col("p_size").isin(1, 5, 10, 15, 20)
+            & F.col("p_type").like("PROMO%")
+            & F.col("p_retailprice").between(900, 1900)
+        )
+        .groupBy("p_brand")
+        .agg(
+            F.count("*").alias("n_parts"),
+            F.round(F.avg("p_retailprice"), 4).alias("avg_price"),
+        )
+    )
+
+
+@register(
+    "string_functions",
+    oracle="""
+    SELECT c_custkey,
+           upper(substr(c_name, 1, 8))        AS name_prefix,
+           lower(c_mktsegment)                AS segment_lower,
+           c_name || '/' || c_mktsegment      AS name_seg,
+           length(c_name)                     AS name_len
+    FROM customer
+    WHERE c_custkey <= 100
+    """,
+)
+def string_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String scalar surface: substr/upper/lower/concat/length (reference
+    q8.sql substr-of-zip; 21 substr occurrences)."""
+    cust = load_table(spark, sf_dir, "customer").filter(F.col("c_custkey") <= 100)
+    return cust.select(
+        "c_custkey",
+        F.upper(F.substring("c_name", 1, 8)).alias("name_prefix"),
+        F.lower("c_mktsegment").alias("segment_lower"),
+        F.concat_ws("/", "c_name", "c_mktsegment").alias("name_seg"),
+        F.length("c_name").cast("bigint").alias("name_len"),
+    )
+
+
+@register(
+    "date_interval_arith",
+    oracle="""
+    SELECT year(o_orderdate) AS order_year,
+           count(*) AS n_fast_items
+    FROM orders, lineitem
+    WHERE l_orderkey = o_orderkey
+      AND l_shipdate BETWEEN o_orderdate AND o_orderdate + INTERVAL 30 DAY
+    GROUP BY year(o_orderdate)
+    """,
+)
+def date_interval_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date arithmetic with INTERVAL 'n' DAY (reference q95.sql:15-16:
+    d_date BETWEEN CAST(...) AND CAST(...) + INTERVAL '60' DAY)."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .filter(
+            F.col("l_shipdate").between(
+                F.col("o_orderdate"), F.col("o_orderdate") + F.expr("INTERVAL 30 DAY")
+            )
+        )
+        .groupBy(F.year("o_orderdate").cast("bigint").alias("order_year"))
+        .agg(F.count("*").alias("n_fast_items"))
+    )
+
+
+@register(
+    "case_cast_buckets",
+    oracle="""
+    SELECT CASE WHEN value < 10 THEN 'low'
+                WHEN value < 100 THEN 'mid'
+                ELSE 'high' END              AS bucket,
+           count(*)                          AS n,
+           CAST(round(sum(value), 0) AS BIGINT) AS total_int
+    FROM events
+    GROUP BY 1
+    """,
+)
+def case_cast_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CASE WHEN bucketing + CAST (reference: 127 CASE / 111 CAST
+    occurrences, e.g. q36.sql:9, q95.sql:15)."""
+    ev = load_table(spark, sf_dir, "events")
+    bucket = (
+        F.when(F.col("value") < 10, "low")
+        .when(F.col("value") < 100, "mid")
+        .otherwise("high")
+    )
+    return (
+        ev.groupBy(bucket.alias("bucket"))
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("value"), 0).cast("bigint").alias("total_int"),
+        )
+    )
+
+
+@register(
+    "regex_json_extract",
+    oracle="""
+    SELECT CAST(regexp_extract(props, '"k": (\\d+)', 1) AS BIGINT) AS k_value,
+           count(*) AS n
+    FROM events
+    GROUP BY 1
+    """,
+)
+def regex_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex field extraction from a semi-structured string column
+    (reference scrub.jq:1-44 regex redaction; JSON-path pulls at
+    make_lakehouse_workload_logs.sh:91-95). The engine also supports
+    get_json_object for true JSON-path access (tested in tests/)."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.select(
+            F.regexp_extract("props", r'"k": (\d+)', 1).cast("bigint").alias("k_value")
+        )
+        .groupBy("k_value")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+@register(
+    "qerror_metric",
+    oracle="""
+    SELECT o_orderpriority,
+           round(quantile_cont(qerr, 0.50), 4) AS p50_qerror,
+           round(quantile_cont(qerr, 0.99), 4) AS p99_qerror,
+           count(*) AS n
+    FROM (
+        SELECT o_orderpriority,
+               greatest(o_totalprice, actual) /
+                 greatest(least(o_totalprice, actual), 0.001) AS qerr
+        FROM orders JOIN (
+            SELECT l_orderkey, sum(l_extendedprice) AS actual
+            FROM lineitem GROUP BY l_orderkey
+        ) ON o_orderkey = l_orderkey)
+    GROUP BY o_orderpriority
+    """,
+)
+def qerror_metric(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """QError = max(y,yhat)/max(min(y,yhat), 1e-3), then P50/P99 — the
+    reference's prediction-quality metric as pure column expressions
+    (models/RF/train.ipynb cell 0 percentile_qerror; GNN/table3.ipynb)."""
+    orders = load_table(spark, sf_dir, "orders")
+    actual = (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(F.sum("l_extendedprice").alias("actual"))
+    )
+    qerr = F.greatest(F.col("o_totalprice"), F.col("actual")) / F.greatest(
+        F.least(F.col("o_totalprice"), F.col("actual")), F.lit(0.001)
+    )
+    return (
+        orders.join(actual, F.col("o_orderkey") == F.col("l_orderkey"))
+        .select("o_orderpriority", qerr.alias("qerr"))
+        .groupBy("o_orderpriority")
+        .agg(
+            F.round(F.percentile("qerr", F.lit(0.50)), 4).alias("p50_qerror"),
+            F.round(F.percentile("qerr", F.lit(0.99)), 4).alias("p99_qerror"),
+            F.count("*").alias("n"),
+        )
+    )
+
+
+@register(
+    "log_transform",
+    oracle="""
+    SELECT event_type,
+           round(avg(ln(value)), 4) AS mean_log_value,
+           round(exp(avg(ln(value))), 4) AS geo_mean_value
+    FROM events
+    WHERE value > 0
+    GROUP BY event_type
+    """,
+)
+def log_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ln/exp label transform (reference Runtime_log = ln(runtime),
+    tpcds_Baseline_train.ndjson:1; inverse np.exp in train.ipynb)."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("value") > 0)
+    return ev.groupBy("event_type").agg(
+        F.round(F.avg(F.log("value")), 4).alias("mean_log_value"),
+        F.round(F.exp(F.avg(F.log("value"))), 4).alias("geo_mean_value"),
+    )

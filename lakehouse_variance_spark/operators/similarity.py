@@ -1,0 +1,175 @@
+"""Similarity search over embedding columns (``array<float>``).
+
+Brute-force cosine top-k as the exact baseline, plus a random-hyperplane
+LSH-bucketed variant as the 100 TB path. All arithmetic is JVM-side via
+higher-order array functions (zip_with/aggregate) in double precision — no
+Python in the hot loop.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from lakehouse_variance_spark.registry import register
+from lakehouse_variance_spark.tables import load_table
+
+TOP_K = 3
+N_QUERY_VECS = 5
+COSINE_THRESHOLD = 0.4
+
+
+def _as_double(col: str | Column) -> Column:
+    col = F.col(col) if isinstance(col, str) else col
+    return col.cast("array<double>")
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Σ a_i·b_i via zip_with + aggregate — codegen'd, no UDF."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def _normalized(df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
+    """Pre-normalize once so the pairwise stage is a plain dot product."""
+    v = _as_double(vec_col)
+    return df.select(
+        F.col(id_col),
+        F.transform(v, lambda x: x / norm(v)).alias("unit_vec"),
+    )
+
+
+@register(
+    "embed_cosine_topk",
+    oracle=f"""
+    SELECT query_id, neighbor_id, cosine
+    FROM (
+        SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+               round(list_cosine_similarity(a.embedding::DOUBLE[],
+                                            b.embedding::DOUBLE[]), 4) AS cosine,
+               row_number() OVER (
+                   PARTITION BY a.vec_id
+                   ORDER BY list_cosine_similarity(a.embedding::DOUBLE[],
+                                                   b.embedding::DOUBLE[]) DESC,
+                            b.vec_id) AS rn
+        FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+        WHERE a.vec_id < {N_QUERY_VECS})
+    WHERE rn <= {TOP_K}
+    """,
+)
+def embed_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k neighbors for a fixed query set.
+
+    The query side (5 vectors) is broadcast; candidates stream through a
+    single scan with a per-query top-k window. At 100 TB the same plan holds:
+    broadcast the queries, one pass over the corpus, partial top-k per
+    partition (Spark's window + rank with AQE), no all-pairs shuffle."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = _normalized(
+        emb.filter(F.col("vec_id") < N_QUERY_VECS), "vec_id", "embedding"
+    ).withColumnsRenamed({"vec_id": "query_id", "unit_vec": "q_vec"})
+    candidates = _normalized(emb, "vec_id", "embedding").withColumnsRenamed(
+        {"vec_id": "neighbor_id", "unit_vec": "c_vec"}
+    )
+    pairs = candidates.join(
+        F.broadcast(queries), F.col("neighbor_id") != F.col("query_id")
+    ).select("query_id", "neighbor_id", dot(F.col("q_vec"), F.col("c_vec")).alias("cos"))
+    w = W.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
+    return (
+        pairs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= TOP_K)
+        .select("query_id", "neighbor_id", F.round("cos", 4).alias("cosine"))
+    )
+
+
+@register(
+    "embed_cosine_pairs",
+    oracle=f"""
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           round(list_cosine_similarity(a.embedding::DOUBLE[],
+                                        b.embedding::DOUBLE[]), 3) AS cosine
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
+          >= {COSINE_THRESHOLD}
+    """,
+)
+def embed_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All-pairs cosine similarity join with a threshold (near-dup detection
+    on embeddings). Exact all-pairs is the correctness baseline; the LSH
+    variant below is the scale path."""
+    emb = _normalized(load_table(spark, sf_dir, "embeddings"), "vec_id", "embedding")
+    a = emb.withColumnsRenamed({"vec_id": "vec_a", "unit_vec": "va"})
+    b = emb.withColumnsRenamed({"vec_id": "vec_b", "unit_vec": "vb"})
+    cos = dot(F.col("va"), F.col("vb"))
+    return (
+        a.join(F.broadcast(b), F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b", cos.alias("cos"))
+        .filter(F.col("cos") >= COSINE_THRESHOLD)
+        .select("vec_a", "vec_b", F.round("cos", 3).alias("cosine"))
+    )
+
+
+# --- Random-hyperplane LSH (the 100 TB path) -------------------------------
+
+N_PLANES = 12
+DIM = 64
+
+
+def _hyperplanes() -> list[list[float]]:
+    """Deterministic pseudo-random hyperplanes (no RNG: fixed sin lattice)."""
+    return [
+        [math.sin(1.0 + p * 131.0 + i * 7919.0) for i in range(DIM)]
+        for p in range(N_PLANES)
+    ]
+
+
+def signs_bucket(vec: Column) -> Column:
+    """Pack the sign pattern of <vec, plane_p> into an integer bucket id."""
+    bucket = F.lit(0).cast("long")
+    for p, plane in enumerate(_hyperplanes()):
+        proj = dot(vec, F.array(*[F.lit(x) for x in plane]))
+        bit = F.when(proj >= 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
+        bucket = bucket.bitwiseOR(F.shiftleft(bit, p))
+    return bucket
+
+
+@register("ann_lsh_topk")
+def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-k: random-hyperplane buckets, candidates share a
+    bucket, exact cosine re-rank within candidates (rows-only check; recall
+    vs brute force asserted in tests/test_similarity.py).
+
+    At scale: bucketing is one narrow map; the candidate join is an equi-join
+    on bucket id, so compute tracks bucket occupancy instead of |corpus|²."""
+    emb = _normalized(load_table(spark, sf_dir, "embeddings"), "vec_id", "embedding")
+    bucketed = emb.withColumn("bucket", signs_bucket(F.col("unit_vec")))
+    queries = bucketed.filter(F.col("vec_id") < N_QUERY_VECS).withColumnsRenamed(
+        {"vec_id": "query_id", "unit_vec": "q_vec"}
+    )
+    pairs = (
+        bucketed.join(F.broadcast(queries), "bucket")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            dot(F.col("q_vec"), F.col("unit_vec")).alias("cos"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
+    return (
+        pairs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= TOP_K)
+        .select("query_id", "neighbor_id", F.round("cos", 4).alias("cosine"))
+    )

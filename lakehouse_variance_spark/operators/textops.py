@@ -1,0 +1,152 @@
+"""Text-analysis operators over the ``documents`` table.
+
+Language-ID (stopword heuristic), quality scoring, token counting
+(whitespace + word-regex), and document fingerprinting (polynomial rolling
+hash) — all as pure column expressions (higher-order array functions), fully
+SQL-expressible, no Python in the hot path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from lakehouse_variance_spark.registry import register
+from lakehouse_variance_spark.tables import load_table
+
+EN_STOPWORDS = ("the", "a", "of", "and", "is", "to", "in")
+_STOP_SQL = ", ".join(f"'{w}'" for w in EN_STOPWORDS)
+
+# Polynomial rolling hash over characters, mod 1e9+7 (products stay < 2^35,
+# so the arithmetic is exact in any engine's int64).
+_FP_MOD = 1_000_000_007
+_FP_SPARK = f"""
+    aggregate(
+        transform(sequence(1, length(text)), i -> ascii(substring(text, i, 1))),
+        CAST(7 AS BIGINT),
+        (acc, c) -> (acc * 31 + c) % {_FP_MOD})
+"""
+
+
+@register(
+    "text_token_stats",
+    oracle="""
+    SELECT doc_id,
+           len(string_split(text, ' '))                       AS n_tokens,
+           len(list_distinct(string_split(text, ' ')))        AS n_distinct_tokens,
+           len(regexp_extract_all(text, '\\w+'))              AS n_word_tokens,
+           length(text)                                       AS n_chars_measured,
+           round(list_aggregate(list_transform(string_split(text, ' '),
+                                               t -> length(t)), 'sum')
+                 * 1.0 / len(string_split(text, ' ')), 4)     AS avg_token_len
+    FROM documents
+    """,
+)
+def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting: whitespace split + word-regex ("BPE-ish" pre-tokenizer)
+    counts, distinct-token count, char count, mean token length."""
+    docs = load_table(spark, sf_dir, "documents")
+    tokens = F.split(F.col("text"), " ")
+    return docs.select(
+        "doc_id",
+        F.size(tokens).cast("bigint").alias("n_tokens"),
+        F.size(F.array_distinct(tokens)).cast("bigint").alias("n_distinct_tokens"),
+        F.size(F.regexp_extract_all("text", F.lit(r"\w+"), F.lit(0)))
+        .cast("bigint")
+        .alias("n_word_tokens"),
+        F.length("text").cast("bigint").alias("n_chars_measured"),
+        F.round(
+            F.aggregate(
+                F.transform(tokens, lambda t: F.length(t)),
+                F.lit(0).cast("bigint"),
+                lambda acc, x: acc + x,
+            )
+            / F.size(tokens),
+            4,
+        ).alias("avg_token_len"),
+    )
+
+
+@register(
+    "text_quality_score",
+    oracle="""
+    SELECT doc_id,
+           round(least(1.0, len(string_split(text, ' ')) / 50.0) *
+                 (len(list_distinct(string_split(text, ' '))) * 1.0 /
+                  len(string_split(text, ' '))), 4)              AS quality_score,
+           CASE WHEN least(1.0, len(string_split(text, ' ')) / 50.0) *
+                     (len(list_distinct(string_split(text, ' '))) * 1.0 /
+                      len(string_split(text, ' '))) < 0.3
+                THEN 1 ELSE 0 END                                 AS is_low_quality
+    FROM documents
+    """,
+)
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic quality score: length saturation x lexical diversity
+    (distinct/total token ratio), with a low-quality flag — the
+    filter-before-training primitive of an LLM data pipeline."""
+    docs = load_table(spark, sf_dir, "documents")
+    tokens = F.split(F.col("text"), " ")
+    n = F.size(tokens)
+    score = F.least(F.lit(1.0), n / F.lit(50.0)) * (
+        F.size(F.array_distinct(tokens)) / n
+    )
+    return docs.select(
+        "doc_id",
+        F.round(score, 4).alias("quality_score"),
+        F.when(score < 0.3, 1).otherwise(0).cast("int").alias("is_low_quality"),
+    )
+
+
+@register(
+    "text_langid_stopwords",
+    oracle=f"""
+    SELECT lang,
+           CASE WHEN len(list_filter(string_split(text, ' '),
+                                     t -> t IN ({_STOP_SQL}))) * 1.0 /
+                     len(string_split(text, ' ')) >= 0.05
+                THEN 'en' ELSE 'unknown' END AS predicted_lang,
+           count(*) AS n_docs
+    FROM documents
+    GROUP BY 1, 2
+    """,
+)
+def text_langid_stopwords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID heuristic: English-stopword density threshold, reported as
+    a (true lang x predicted) confusion table. A real deployment swaps the
+    stopword list per language; the operator shape is identical."""
+    docs = load_table(spark, sf_dir, "documents")
+    tokens = F.split(F.col("text"), " ")
+    stop_ratio = F.size(
+        F.filter(tokens, lambda t: t.isin(*EN_STOPWORDS))
+    ) / F.size(tokens)
+    return (
+        docs.select(
+            "lang",
+            F.when(stop_ratio >= 0.05, "en").otherwise("unknown").alias(
+                "predicted_lang"
+            ),
+        )
+        .groupBy("lang", "predicted_lang")
+        .agg(F.count("*").alias("n_docs"))
+    )
+
+
+@register(
+    "text_fingerprint",
+    oracle=f"""
+    SELECT doc_id,
+           list_reduce(
+               list_prepend(CAST(7 AS BIGINT),
+                   list_transform(generate_series(1, length(text)),
+                                  i -> CAST(ascii(substr(text, i, 1)) AS BIGINT))),
+               (acc, c) -> (acc * 31 + c) % {_FP_MOD}) AS fingerprint
+    FROM documents
+    """,
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic document fingerprint: polynomial rolling hash over the
+    raw characters (content-addressable dedup key; engine-independent unlike
+    xxhash/murmur, so it is oracle-checkable)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", F.expr(_FP_SPARK).cast("bigint").alias("fingerprint"))

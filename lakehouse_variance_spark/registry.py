@@ -1,0 +1,42 @@
+"""Query registry — the engine's declared operator inventory.
+
+Every implemented operator/query from SURVEY.md §2 registers itself here with
+(a) a Spark DataFrame builder ``(spark, sf_dir) -> DataFrame`` and (b) where
+SQL-expressible, an equivalent ANSI-SQL oracle string for DuckDB. The driver's
+correctness gate compares the two at sf=0.01 (row count + schema +
+order-insensitive value hash), so builders alias every computed column to the
+exact name used in the oracle.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+QUERIES: dict[str, QueryFn] = {}
+ORACLES: dict[str, str] = {}
+
+
+def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
+    """Decorator: add a query (and optional DuckDB oracle SQL) to the registry."""
+
+    def deco(fn: QueryFn) -> QueryFn:
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+def load_all() -> None:
+    """Import every module that registers queries (idempotent)."""
+    from lakehouse_variance_spark.operators import (  # noqa: F401
+        dedup,
+        relational,
+        similarity,
+        textops,
+    )
