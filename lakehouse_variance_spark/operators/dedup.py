@@ -26,21 +26,24 @@ from lakehouse_variance_spark.tables import load_table
 
 JACCARD_THRESHOLD = 0.5
 
-# 3-word shingles: split -> slide a width-3 window (element_at is 1-based).
+# 3-word shingles over a pre-split words array (element_at is 1-based). The
+# words column is materialized first so split() runs once per document, not
+# once per shingle element.
 _SHINGLES_EXPR = """
     transform(
-        sequence(1, greatest(size(split(text, ' ')) - 2, 0)),
+        sequence(1, greatest(size(words) - 2, 0)),
         i -> concat_ws(' ',
-                       element_at(split(text, ' '), i),
-                       element_at(split(text, ' '), i + 1),
-                       element_at(split(text, ' '), i + 2)))
+                       element_at(words, i),
+                       element_at(words, i + 1),
+                       element_at(words, i + 2)))
 """
 
 
 def shingled(docs: DataFrame) -> DataFrame:
-    """(doc_id, shingle) pairs, distinct per doc, plus per-doc shingle counts."""
+    """(doc_id, shingle) pairs, distinct per doc."""
     return (
-        docs.select(
+        docs.select("doc_id", F.split("text", " ").alias("words"))
+        .select(
             "doc_id",
             F.explode(F.array_distinct(F.expr(_SHINGLES_EXPR))).alias("shingle"),
         )
@@ -104,7 +107,7 @@ def dedup_shingle_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     ultra-frequent shingles (stop-shingles) before the join, the same
     prefix-filtering idea used by fuzzy-join systems."""
     docs = load_table(spark, sf_dir, "documents")
-    sh = shingled(docs).cache()
+    sh = shingled(docs)
     counts = _shingle_counts(sh)
     a = sh.withColumnRenamed("doc_id", "doc_a")
     b = sh.withColumnRenamed("doc_id", "doc_b")
@@ -131,16 +134,30 @@ N_HASHES = 32
 BAND_SIZE = 4  # 8 bands of 4 -> catches Jaccard>=0.5 pairs w.p. ~0.96
 
 
-def minhash_signatures(sh: DataFrame) -> DataFrame:
-    """Per-doc MinHash signature: min over shingles of xxhash64(seed_i, shingle).
+# Universal-hash family over the Mersenne prime 2^31-1: the shingle string is
+# hashed ONCE (xxhash64), then each permutation hash is a multiply-add on that
+# base value. Products stay < 2^62, so the arithmetic never overflows int64
+# (safe under Spark 4's default ANSI mode).
+_MERSENNE = (1 << 31) - 1
+_HASH_A = [(2 * i + 1) * 2654435761 % _MERSENNE for i in range(1, 65)]
+_HASH_B = [(i * 40503 + 12345) % _MERSENNE for i in range(1, 65)]
 
-    xxhash64 with a distinct literal first argument per permutation acts as the
-    family of hash functions; everything stays JVM-side columnar."""
+
+def minhash_signatures(sh: DataFrame) -> DataFrame:
+    """Per-doc MinHash signature: min over shingles of h_i(shingle), where
+    h_i(x) = (a_i * base(x) + b_i) mod 2^31-1 and base = xxhash64(x).
+
+    One string hash per shingle instead of one per (shingle, permutation) —
+    32x less hashing on the wide fact scan; everything JVM-side columnar."""
+    base = F.pmod(F.xxhash64("shingle"), F.lit(_MERSENNE))
+    hashed = sh.withColumn("h_base", base)
     mins = [
-        F.min(F.xxhash64(F.lit(i), F.col("shingle"))).alias(f"mh_{i}")
+        F.min(
+            F.pmod(F.col("h_base") * _HASH_A[i] + _HASH_B[i], F.lit(_MERSENNE))
+        ).alias(f"mh_{i}")
         for i in range(N_HASHES)
     ]
-    return sh.groupBy("doc_id").agg(*mins)
+    return hashed.groupBy("doc_id").agg(*mins)
 
 
 def lsh_candidates(signatures: DataFrame) -> DataFrame:
@@ -178,15 +195,23 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     output is ~linear in true near-dups, so the exact-Jaccard verification
     only runs on that small candidate set."""
     docs = load_table(spark, sf_dir, "documents")
-    sh = shingled(docs).cache()
+    # The shingle table feeds four plan branches (signatures, counts, both
+    # sides of the verification join). localCheckpoint materializes it once —
+    # unlike cache() it bypasses the CacheManager, whose per-entry plan
+    # canonicalization costs grow across a long session, and its blocks are
+    # GC-reclaimed with the DataFrame.
+    sh = shingled(docs).localCheckpoint()
     candidates = lsh_candidates(minhash_signatures(sh))
     counts = _shingle_counts(sh)
+    # Verify ONLY the candidate pairs: broadcast the (small) candidate set
+    # into the shingle table, then count shared shingles per pair — the big
+    # shingle self-join never materializes.
     a = sh.withColumnRenamed("doc_id", "doc_a")
-    b = sh.withColumnRenamed("doc_id", "doc_b")
+    b = sh.withColumnsRenamed({"doc_id": "doc_b"})
     common = (
-        a.join(b, "shingle")
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .join(candidates, ["doc_a", "doc_b"], "left_semi")
+        F.broadcast(candidates)
+        .join(a, "doc_a")
+        .join(b, ["doc_b", "shingle"])
         .groupBy("doc_a", "doc_b")
         .agg(F.count("*").alias("n_common"))
     )
@@ -236,7 +261,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     64-bit code shares at least one of 4 chunks exactly (pigeonhole), so the
     join is an equi-join on (chunk_id, chunk_value), never all-pairs."""
     docs = load_table(spark, sf_dir, "documents")
-    fp = simhash(shingled(docs)).cache()
+    fp = simhash(shingled(docs))
     chunks = fp.select(
         "doc_id",
         "simhash",

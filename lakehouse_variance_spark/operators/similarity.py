@@ -42,13 +42,16 @@ def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (norm(a) * norm(b))
 
 
-def _normalized(df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
-    """Pre-normalize once so the pairwise stage is a plain dot product."""
-    v = _as_double(vec_col)
+def _prepped(df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
+    """(id, vec as double, norm) — norms precomputed once per vector.
+
+    The norm stays a *plain column* rather than being divided into the vector
+    elements: Catalyst's CollapseProject would otherwise inline the norm
+    aggregate into a per-element lambda, re-evaluating it d times per row
+    (O(d²)). Cosine is then dot(a,b)/(norm_a*norm_b) at the pair stage."""
     return df.select(
-        F.col(id_col),
-        F.transform(v, lambda x: x / norm(v)).alias("unit_vec"),
-    )
+        F.col(id_col), _as_double(vec_col).alias("v")
+    ).withColumn("nrm", norm(F.col("v")))
 
 
 @register(
@@ -77,15 +80,16 @@ def embed_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast the queries, one pass over the corpus, partial top-k per
     partition (Spark's window + rank with AQE), no all-pairs shuffle."""
     emb = load_table(spark, sf_dir, "embeddings")
-    queries = _normalized(
+    queries = _prepped(
         emb.filter(F.col("vec_id") < N_QUERY_VECS), "vec_id", "embedding"
-    ).withColumnsRenamed({"vec_id": "query_id", "unit_vec": "q_vec"})
-    candidates = _normalized(emb, "vec_id", "embedding").withColumnsRenamed(
-        {"vec_id": "neighbor_id", "unit_vec": "c_vec"}
+    ).withColumnsRenamed({"vec_id": "query_id", "v": "qv", "nrm": "qn"})
+    candidates = _prepped(emb, "vec_id", "embedding").withColumnsRenamed(
+        {"vec_id": "neighbor_id", "v": "cv", "nrm": "cn"}
     )
+    cos = dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn"))
     pairs = candidates.join(
         F.broadcast(queries), F.col("neighbor_id") != F.col("query_id")
-    ).select("query_id", "neighbor_id", dot(F.col("q_vec"), F.col("c_vec")).alias("cos"))
+    ).select("query_id", "neighbor_id", cos.alias("cos"))
     w = W.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
     return (
         pairs.withColumn("rn", F.row_number().over(w))
@@ -109,10 +113,10 @@ def embed_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """All-pairs cosine similarity join with a threshold (near-dup detection
     on embeddings). Exact all-pairs is the correctness baseline; the LSH
     variant below is the scale path."""
-    emb = _normalized(load_table(spark, sf_dir, "embeddings"), "vec_id", "embedding")
-    a = emb.withColumnsRenamed({"vec_id": "vec_a", "unit_vec": "va"})
-    b = emb.withColumnsRenamed({"vec_id": "vec_b", "unit_vec": "vb"})
-    cos = dot(F.col("va"), F.col("vb"))
+    emb = _prepped(load_table(spark, sf_dir, "embeddings"), "vec_id", "embedding")
+    a = emb.withColumnsRenamed({"vec_id": "vec_a", "v": "va", "nrm": "na"})
+    b = emb.withColumnsRenamed({"vec_id": "vec_b", "v": "vb", "nrm": "nb"})
+    cos = dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
     return (
         a.join(F.broadcast(b), F.col("vec_a") < F.col("vec_b"))
         .select("vec_a", "vec_b", cos.alias("cos"))
@@ -153,19 +157,17 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     At scale: bucketing is one narrow map; the candidate join is an equi-join
     on bucket id, so compute tracks bucket occupancy instead of |corpus|²."""
-    emb = _normalized(load_table(spark, sf_dir, "embeddings"), "vec_id", "embedding")
-    bucketed = emb.withColumn("bucket", signs_bucket(F.col("unit_vec")))
+    emb = _prepped(load_table(spark, sf_dir, "embeddings"), "vec_id", "embedding")
+    # Sign patterns are scale-invariant, so bucketing runs on the raw vectors.
+    bucketed = emb.withColumn("bucket", signs_bucket(F.col("v")))
     queries = bucketed.filter(F.col("vec_id") < N_QUERY_VECS).withColumnsRenamed(
-        {"vec_id": "query_id", "unit_vec": "q_vec"}
+        {"vec_id": "query_id", "v": "qv", "nrm": "qn"}
     )
+    cos = dot(F.col("qv"), F.col("v")) / (F.col("qn") * F.col("nrm"))
     pairs = (
         bucketed.join(F.broadcast(queries), "bucket")
         .filter(F.col("vec_id") != F.col("query_id"))
-        .select(
-            "query_id",
-            F.col("vec_id").alias("neighbor_id"),
-            dot(F.col("q_vec"), F.col("unit_vec")).alias("cos"),
-        )
+        .select("query_id", F.col("vec_id").alias("neighbor_id"), cos.alias("cos"))
     )
     w = W.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
     return (
