@@ -1,0 +1,299 @@
+"""Workload-trace analytics: the reference's variance statistics as DataFrame ops.
+
+Re-implements the analytical core of the reference's ``traces/tools/helpers.py``
+Spark-first:
+
+* ``load_workload_logs``    — NDJSON run logs → one tidy DataFrame
+  (semantics of ``helpers.py:97-169`` ``load_trino_times``: tag each file with
+  its run number, normalize ``"q96"`` → 96, coerce negative metrics to NULL).
+* ``summarize_single_config`` — the paper's Table-1 row: per-run mean runtimes
+  (Avg/Std/P50/P99) and per-query repeatability (Std and CV%, each
+  Avg/P50/P99), with the reference's exact edge rule that a per-query std is
+  only defined when the query has exactly 5 runtime samples
+  (``helpers.py:40-70``, std lambda at ``:55``).
+* ``compare_config_deltas`` — percentage deltas of mean runtime and CV stats
+  between a baseline and a variant config (``helpers.py:198-228``).
+
+Everything is groupBy/agg/percentile — two rounds of hash aggregation and one
+single-row cross join; no driver-side loops, so the same code summarizes a
+5-run paper trace or a 100 TB fleet-wide query log. Percentiles use Spark's
+exact ``percentile`` (linear interpolation, the same estimator as
+``np.percentile`` used by the reference).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from lakehouse_variance_spark.registry import register
+from lakehouse_variance_spark.tables import load_table
+
+METRIC_COLUMNS = (
+    "runtime_s",
+    "elapsed_s",
+    "execution_s",
+    "planning_s",
+    "resource_waiting_s",
+)
+
+_RUN_FILE_RE = r"Workload_log_BASE_(\d+)\.ndjson"
+
+
+def load_workload_logs(spark: SparkSession, path: str) -> DataFrame:
+    """Read ``Workload_log_BASE_<run>.ndjson`` files under ``path``.
+
+    Distributed equivalent of reference ``helpers.py:97-169``: the run tag
+    comes from the file name (via ``input_file_name`` — no driver-side
+    listing, so a 1000-run log directory loads in parallel), query ids
+    normalize ``"q96"``/``96`` → 96, and negative metric values (the
+    reference's failure sentinel ``-1``, ``run_workload.py:62-64``) become
+    NULL before any statistics.
+    """
+    df = spark.read.json(f"{path}/Workload_log_BASE_*.ndjson")
+    if "Runtime (s)" in df.columns:
+        df = df.withColumnRenamed("Runtime (s)", "runtime_s")
+    df = df.withColumn(
+        "run",
+        F.concat(
+            F.lit("Run "),
+            F.regexp_extract(F.input_file_name(), _RUN_FILE_RE, 1),
+        ),
+    ).withColumn(
+        "query_id",
+        F.regexp_extract(F.col("query_id").cast("string"), r"^q?(\d+)$", 1).cast(
+            "int"
+        ),
+    )
+    for col in METRIC_COLUMNS:
+        if col in df.columns:
+            cleaned = F.col(col).cast("double")
+            df = df.withColumn(col, F.when(cleaned >= 0, cleaned))
+    return df
+
+
+def summarize_single_config(
+    log: DataFrame,
+    *,
+    runtime_col: str = "runtime_s",
+    run_col: str = "run",
+    query_col: str = "query_id",
+    required_samples: int = 5,
+) -> DataFrame:
+    """One-row variance summary of a workload log (reference ``helpers.py:10-90``).
+
+    Columns (snake_case versions of the paper's Table-1 headers):
+    ``mean_runtime_{avg,std,p50,p99}_s`` over per-run mean runtimes,
+    ``std_{avg,p50,p99}_s`` and ``cv_{avg,p50,p99}_pct`` over per-query
+    repeatability, plus ``runs`` and ``queries`` counts. Per-query std is NULL
+    (and the query excluded) unless it has exactly ``required_samples``
+    non-null runtimes — the reference's Bessel-at-n=5 rule (``helpers.py:55``).
+    """
+    rt = F.col(runtime_col)
+    sub = log.filter(rt.isNotNull())
+
+    per_run = sub.groupBy(run_col).agg(F.avg(rt).alias("run_mean"))
+    across_runs = per_run.agg(
+        F.avg("run_mean").alias("mean_runtime_avg_s"),
+        F.stddev_samp("run_mean").alias("mean_runtime_std_s"),
+        F.percentile("run_mean", F.lit(0.5)).alias("mean_runtime_p50_s"),
+        F.percentile("run_mean", F.lit(0.99)).alias("mean_runtime_p99_s"),
+        F.count("*").alias("runs"),
+    )
+
+    per_query = (
+        sub.groupBy(query_col)
+        .agg(
+            F.avg(rt).alias("q_mean"),
+            F.when(
+                F.count(rt) == required_samples, F.stddev_samp(rt)
+            ).alias("q_std"),
+        )
+        .filter(F.col("q_std").isNotNull())
+        .withColumn("q_cv", 100.0 * F.col("q_std") / F.col("q_mean"))
+    )
+    across_queries = per_query.agg(
+        F.avg("q_std").alias("std_avg_s"),
+        F.percentile("q_std", F.lit(0.5)).alias("std_p50_s"),
+        F.percentile("q_std", F.lit(0.99)).alias("std_p99_s"),
+        F.avg("q_cv").alias("cv_avg_pct"),
+        F.percentile("q_cv", F.lit(0.5)).alias("cv_p50_pct"),
+        F.percentile("q_cv", F.lit(0.99)).alias("cv_p99_pct"),
+        F.count("*").alias("queries"),
+    )
+
+    return across_runs.crossJoin(across_queries)
+
+
+def compare_config_deltas(baseline: DataFrame, variant: DataFrame) -> DataFrame:
+    """Variant summary row + percentage deltas vs baseline
+    (reference ``helpers.py:198-228``): Δ of mean runtime and of the CV
+    Avg/P50/P99 stats, each as ``100 * (variant - baseline) / baseline``.
+    Both inputs are single-row ``summarize_single_config`` outputs; the join
+    is a broadcast cross join of two 1-row frames.
+    """
+    base = baseline.select(
+        *[F.col(c).alias(f"base_{c}") for c in baseline.columns]
+    )
+
+    def delta(col: str) -> F.Column:
+        return 100.0 * (F.col(col) - F.col(f"base_{col}")) / F.col(f"base_{col}")
+
+    return variant.crossJoin(F.broadcast(base)).select(
+        *variant.columns,
+        delta("mean_runtime_avg_s").alias("delta_mean_runtime_pct"),
+        delta("cv_avg_pct").alias("delta_cv_avg_pct"),
+        delta("cv_p50_pct").alias("delta_cv_p50_pct"),
+        delta("cv_p99_pct").alias("delta_cv_p99_pct"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Registered oracle-checked queries. The synthetic `events` table stands in
+# for a trace log: run := event_id mod 5 (5 workload runs), query := user_id,
+# runtime := mean event value per (run, query) — the same (5 runs × N queries)
+# shape as the reference's Study-1 traces.
+# ---------------------------------------------------------------------------
+
+
+def _event_log(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.concat(F.lit("Run "), (F.pmod("event_id", F.lit(5)) + 1)).alias("run"),
+            F.col("user_id").alias("query_id"),
+        )
+        .agg(F.avg("value").alias("runtime_s"))
+    )
+
+
+_EVENT_LOG_SQL = """
+        SELECT concat('Run ', CAST((event_id % 5) + 1 AS VARCHAR)) AS run,
+               user_id AS query_id,
+               avg(value) AS runtime_s
+        FROM events
+        GROUP BY 1, 2
+"""
+
+_SUMMARY_SQL = """
+    per_run AS (
+        SELECT run, avg(runtime_s) AS run_mean FROM log GROUP BY run
+    ),
+    across_runs AS (
+        SELECT avg(run_mean)                 AS mean_runtime_avg_s,
+               stddev_samp(run_mean)         AS mean_runtime_std_s,
+               quantile_cont(run_mean, 0.5)  AS mean_runtime_p50_s,
+               quantile_cont(run_mean, 0.99) AS mean_runtime_p99_s,
+               count(*)                      AS runs
+        FROM per_run
+    ),
+    per_query AS (
+        SELECT query_id,
+               avg(runtime_s) AS q_mean,
+               CASE WHEN count(runtime_s) = 5
+                    THEN stddev_samp(runtime_s) END AS q_std
+        FROM log
+        GROUP BY query_id
+    ),
+    per_query_cv AS (
+        SELECT q_std, 100.0 * q_std / q_mean AS q_cv
+        FROM per_query WHERE q_std IS NOT NULL
+    ),
+    across_queries AS (
+        SELECT avg(q_std)                 AS std_avg_s,
+               quantile_cont(q_std, 0.5)  AS std_p50_s,
+               quantile_cont(q_std, 0.99) AS std_p99_s,
+               avg(q_cv)                  AS cv_avg_pct,
+               quantile_cont(q_cv, 0.5)   AS cv_p50_pct,
+               quantile_cont(q_cv, 0.99)  AS cv_p99_pct,
+               count(*)                   AS queries
+        FROM per_query_cv
+    )
+"""
+
+_ROUNDED_SUMMARY = """
+    SELECT round(mean_runtime_avg_s, 4) AS mean_runtime_avg_s,
+           round(mean_runtime_std_s, 4) AS mean_runtime_std_s,
+           round(mean_runtime_p50_s, 4) AS mean_runtime_p50_s,
+           round(mean_runtime_p99_s, 4) AS mean_runtime_p99_s,
+           round(std_avg_s, 4)          AS std_avg_s,
+           round(std_p50_s, 4)          AS std_p50_s,
+           round(std_p99_s, 4)          AS std_p99_s,
+           round(cv_avg_pct, 4)         AS cv_avg_pct,
+           round(cv_p50_pct, 4)         AS cv_p50_pct,
+           round(cv_p99_pct, 4)         AS cv_p99_pct,
+           runs, queries
+    FROM across_runs CROSS JOIN across_queries
+"""
+
+
+def _round4(df: DataFrame, skip: tuple[str, ...] = ("runs", "queries")) -> DataFrame:
+    return df.select(
+        *[
+            F.col(c) if c in skip else F.round(F.col(c), 4).alias(c)
+            for c in df.columns
+        ]
+    )
+
+
+@register(
+    "trace_workload_summary",
+    oracle=f"WITH log AS ({_EVENT_LOG_SQL}),{_SUMMARY_SQL}{_ROUNDED_SUMMARY}",
+)
+def trace_workload_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The paper's core analytical query (Table 1): runtime-variance summary
+    of a 5-run workload log (reference ``helpers.py:10-90`` + notebook
+    ``traces/table_1.ipynb``). Two hash-aggregation pyramids (runs, queries)
+    joined as single rows — shuffle volume is |runs| + |queries| regardless
+    of log size."""
+    return _round4(summarize_single_config(_event_log(spark, sf_dir)))
+
+
+@register(
+    "trace_config_delta",
+    oracle=f"""
+    WITH base_log AS (
+        SELECT * FROM ({_EVENT_LOG_SQL}) WHERE query_id % 2 = 0
+    ),
+    var_log AS (
+        SELECT * FROM ({_EVENT_LOG_SQL}) WHERE query_id % 2 = 1
+    ),
+    base AS (
+        WITH log AS (SELECT * FROM base_log),{_SUMMARY_SQL}
+        SELECT * FROM across_runs CROSS JOIN across_queries
+    ),
+    var AS (
+        WITH log AS (SELECT * FROM var_log),{_SUMMARY_SQL}
+        SELECT * FROM across_runs CROSS JOIN across_queries
+    )
+    SELECT round(var.mean_runtime_avg_s, 4) AS mean_runtime_avg_s,
+           round(var.cv_avg_pct, 4)         AS cv_avg_pct,
+           round(100.0 * (var.mean_runtime_avg_s - base.mean_runtime_avg_s)
+                 / base.mean_runtime_avg_s, 4) AS delta_mean_runtime_pct,
+           round(100.0 * (var.cv_avg_pct - base.cv_avg_pct)
+                 / base.cv_avg_pct, 4)         AS delta_cv_avg_pct,
+           round(100.0 * (var.cv_p50_pct - base.cv_p50_pct)
+                 / base.cv_p50_pct, 4)         AS delta_cv_p50_pct,
+           round(100.0 * (var.cv_p99_pct - base.cv_p99_pct)
+                 / base.cv_p99_pct, 4)         AS delta_cv_p99_pct
+    FROM var CROSS JOIN base
+    """,
+)
+def trace_config_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Config-vs-config delta analysis (reference ``helpers.py:198-228``,
+    Table 2): split the log into a baseline and a variant config and report
+    the variant's stats plus percentage deltas."""
+    log = _event_log(spark, sf_dir)
+    base = summarize_single_config(log.filter(F.col("query_id") % 2 == 0))
+    variant = summarize_single_config(log.filter(F.col("query_id") % 2 == 1))
+    out = compare_config_deltas(base, variant)
+    return _round4(
+        out.select(
+            "mean_runtime_avg_s",
+            "cv_avg_pct",
+            "delta_mean_runtime_pct",
+            "delta_cv_avg_pct",
+            "delta_cv_p50_pct",
+            "delta_cv_p99_pct",
+        )
+    )

@@ -34,6 +34,8 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 
 def load_all() -> None:
     """Import every module that registers queries (idempotent)."""
+    from lakehouse_variance_spark.analytics import traces  # noqa: F401
+    from lakehouse_variance_spark.functions import durations  # noqa: F401
     from lakehouse_variance_spark.operators import (  # noqa: F401
         dedup,
         relational,

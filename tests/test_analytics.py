@@ -1,0 +1,124 @@
+"""Unit tests for trace analytics + duration parsing against hand-computed
+reference semantics (traces/tools/helpers.py, make_lakehouse_workload_logs.sh).
+"""
+
+from __future__ import annotations
+
+import json
+import math
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from lakehouse_variance_spark.analytics.traces import (
+    compare_config_deltas,
+    load_workload_logs,
+    summarize_single_config,
+)
+from lakehouse_variance_spark.functions.durations import duration_to_seconds
+
+# 2 runs x 3 queries + one query with only 1 sample (std must be excluded),
+# plus a NULL runtime row (dropped before all stats).
+LOG_ROWS = [
+    ("Run 1", 1, 10.0),
+    ("Run 1", 2, 20.0),
+    ("Run 1", 3, 5.0),
+    ("Run 2", 1, 12.0),
+    ("Run 2", 2, 24.0),
+    ("Run 2", 3, 7.0),
+    ("Run 1", 4, 99.0),  # only one sample -> no std
+    ("Run 2", 5, None),  # null runtime -> dropped
+]
+
+
+def _log_df(spark):
+    return spark.createDataFrame(LOG_ROWS, "run string, query_id int, runtime_s double")
+
+
+def test_summarize_single_config_matches_numpy(spark):
+    row = (
+        summarize_single_config(_log_df(spark), required_samples=2)
+        .collect()[0]
+        .asDict()
+    )
+    run_means = np.array([(10 + 20 + 5 + 99) / 4, (12 + 24 + 7) / 3])
+    assert row["mean_runtime_avg_s"] == pytest.approx(run_means.mean())
+    assert row["mean_runtime_std_s"] == pytest.approx(run_means.std(ddof=1))
+    assert row["mean_runtime_p50_s"] == pytest.approx(np.percentile(run_means, 50))
+    assert row["mean_runtime_p99_s"] == pytest.approx(np.percentile(run_means, 99))
+    assert row["runs"] == 2
+
+    # Per-query stats: only q1..q3 have exactly 2 samples.
+    q_means = np.array([11.0, 22.0, 6.0])
+    q_stds = np.array(
+        [np.std([10, 12], ddof=1), np.std([20, 24], ddof=1), np.std([5, 7], ddof=1)]
+    )
+    q_cvs = 100.0 * q_stds / q_means
+    assert row["queries"] == 3
+    assert row["std_avg_s"] == pytest.approx(q_stds.mean())
+    assert row["std_p99_s"] == pytest.approx(np.percentile(q_stds, 99))
+    assert row["cv_avg_pct"] == pytest.approx(q_cvs.mean())
+    assert row["cv_p50_pct"] == pytest.approx(np.percentile(q_cvs, 50))
+
+
+def test_compare_config_deltas(spark):
+    log = _log_df(spark)
+    base = summarize_single_config(log, required_samples=2)
+    # Variant = baseline with doubled runtimes: mean doubles (+100%), CV equal.
+    variant = summarize_single_config(
+        log.withColumn("runtime_s", F.col("runtime_s") * 2), required_samples=2
+    )
+    row = compare_config_deltas(base, variant).collect()[0].asDict()
+    assert row["delta_mean_runtime_pct"] == pytest.approx(100.0)
+    assert row["delta_cv_avg_pct"] == pytest.approx(0.0, abs=1e-9)
+    assert row["delta_cv_p99_pct"] == pytest.approx(0.0, abs=1e-9)
+
+
+DURATION_CASES = [
+    ("42", 42.0),
+    ("1.5s", 1.5),
+    ("340ms", 0.34),
+    ("17us", 17e-6),
+    ("17µs", 17e-6),
+    ("8ns", 8e-9),
+    ("1.2m", 72.0),
+    ("2.5h", 9000.0),
+    ("  2.5h ", 9000.0),  # trimmed
+    ("-3s", None),  # jq regexes are ^[0-9] anchored
+    ("3 s", None),
+    ("fast", None),
+    ("1.2.3s", None),
+    (None, None),
+]
+
+
+def test_duration_to_seconds(spark):
+    df = spark.createDataFrame(
+        [(s,) for s, _ in DURATION_CASES], "dur string"
+    ).withColumn("sec", duration_to_seconds("dur"))
+    got = {r["dur"]: r["sec"] for r in df.collect()}
+    for s, want in DURATION_CASES:
+        if want is None:
+            assert got[s] is None, f"{s!r} should not parse"
+        else:
+            assert got[s] == pytest.approx(want, rel=1e-12), s
+
+
+def test_load_workload_logs(spark, tmp_path):
+    for run in (1, 2):
+        rows = [
+            {"query_id": f"q{q}", "Runtime (s)": float(q * run), "elapsed_s": q * run}
+            for q in (1, 2)
+        ]
+        rows.append({"query_id": "q3", "Runtime (s)": -1.0, "elapsed_s": -1.0})
+        path = tmp_path / f"Workload_log_BASE_{run}.ndjson"
+        path.write_text("\n".join(json.dumps(r) for r in rows) + "\n")
+
+    df = load_workload_logs(spark, str(tmp_path))
+    rows = {(r["run"], r["query_id"]): r for r in df.collect()}
+    assert rows[("Run 2", 2)]["runtime_s"] == 4.0
+    # failure sentinel -1 -> NULL, not dropped
+    assert rows[("Run 1", 3)]["runtime_s"] is None
+    assert rows[("Run 1", 3)]["elapsed_s"] is None
+    assert len(rows) == 6
