@@ -42,3 +42,4 @@ def load_all() -> None:
         similarity,
         textops,
     )
+    from lakehouse_variance_spark.scheduling import queries  # noqa: F401

@@ -1,0 +1,285 @@
+"""Oracle-checked scheduling queries over the synthetic tables.
+
+The `events` table stands in for the reference's inputs: 5-minute averages of
+`value` form the carbon-intensity series (the reference's Electricity-Maps
+CSVs, ``low-carbon-scheduling/src/config.py:6-9``), and per-user mean values
+form the (pred, actual) runtime workload (the reference's ``values.csv``,
+``workload.py:29-52``). 30 days of 5-minute slots = 8,640 readings, upsampled
+×5 to 43,200 one-minute slots.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from lakehouse_variance_spark.registry import register
+from lakehouse_variance_spark.scheduling import carbon, schedulers
+from lakehouse_variance_spark.tables import load_table
+
+ORIGIN = "2024-01-01"
+RAW_SLOT_SEC = 300
+UPSAMPLE = 5
+SLOT_SEC = RAW_SLOT_SEC // UPSAMPLE  # 60 s slots after upsampling
+N_RAW_SLOTS = 30 * 24 * 12  # 30 days of 5-minute readings
+N_SLOTS = N_RAW_SLOTS * UPSAMPLE
+
+# Shared oracle CTE bodies (DuckDB dialect).
+_PREFIX_CTES = f"""
+    series AS (
+        SELECT CAST(floor((epoch(ts) - epoch(TIMESTAMP '{ORIGIN}')) / {RAW_SLOT_SEC})
+                    AS BIGINT) AS slot5,
+               avg(value) AS ci
+        FROM events GROUP BY 1
+    ),
+    grid AS (SELECT g.i AS slot5 FROM generate_series(0, {N_RAW_SLOTS - 1}) g(i)),
+    dense AS (
+        SELECT grid.slot5, coalesce(series.ci, 0.0) AS ci
+        FROM grid LEFT JOIN series USING (slot5)
+    ),
+    fine AS (
+        SELECT slot5 * {UPSAMPLE} + u.i AS slot, ci
+        FROM dense, generate_series(0, {UPSAMPLE - 1}) u(i)
+    ),
+    prefix AS (
+        SELECT slot, ci,
+               sum(ci) OVER (ORDER BY slot
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS prefix_incl
+        FROM fine
+    )
+"""
+
+_WORKLOAD_CTES = """
+    runtimes AS (
+        SELECT user_id AS query_id,
+               coalesce(10 * avg(CASE WHEN event_id % 2 = 0 THEN value END), 0.0)
+                   AS pred_s,
+               coalesce(10 * avg(CASE WHEN event_id % 2 = 1 THEN value END), 0.0)
+                   AS actual_s
+        FROM events GROUP BY user_id
+    ),
+    workload AS (
+        SELECT query_id,
+               greatest(1, CAST(ceil(pred_s / 60.0) AS BIGINT))   AS pred_slots,
+               greatest(1, CAST(ceil(actual_s / 60.0) AS BIGINT)) AS actual_slots
+        FROM runtimes
+    )
+"""
+
+
+def carbon_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(slot, ci, prefix_incl) — dense 1-minute CI series derived from events."""
+    ev = load_table(spark, sf_dir, "events")
+    series = ev.select("ts", F.col("value").alias("ci"))
+    dense = carbon.to_slots(series, ORIGIN, RAW_SLOT_SEC, N_RAW_SLOTS)
+    return carbon.with_prefix(carbon.upsample(dense, UPSAMPLE))
+
+
+def event_workload(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(query_id, pred_slots, actual_slots) — per-user workload from events,
+    quantized with the reference's max(1, ceil(runtime/slot)) rule."""
+    ev = load_table(spark, sf_dir, "events")
+    runtimes = ev.groupBy(F.col("user_id").alias("query_id")).agg(
+        F.coalesce(
+            10 * F.avg(F.when(F.col("event_id") % 2 == 0, F.col("value"))), F.lit(0.0)
+        ).alias("pred_s"),
+        F.coalesce(
+            10 * F.avg(F.when(F.col("event_id") % 2 == 1, F.col("value"))), F.lit(0.0)
+        ).alias("actual_s"),
+    )
+    return runtimes.select(
+        "query_id",
+        schedulers.runtime_to_slots(F.col("pred_s"), 60.0).alias("pred_slots"),
+        schedulers.runtime_to_slots(F.col("actual_s"), 60.0).alias("actual_slots"),
+    )
+
+
+@register(
+    "carbon_upsample_prefix",
+    oracle=f"""
+    WITH {_PREFIX_CTES}
+    SELECT slot, round(ci, 4) AS ci, round(prefix_incl, 4) AS prefix_ci
+    FROM prefix
+    """,
+)
+def carbon_upsample_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CI series pipeline (reference ``carbon.py:4-75``): bucket readings to a
+    dense 5-minute grid, upsample-by-repeat to 1-minute slots, prefix-sum via
+    a running window. spark.range supplies the grid distributed; the only wide
+    op is the final ordered window."""
+    profile = carbon_profile(spark, sf_dir)
+    return profile.select(
+        "slot",
+        F.round("ci", 4).alias("ci"),
+        F.round("prefix_incl", 4).alias("prefix_ci"),
+    )
+
+
+@register(
+    "workload_quantize_orderings",
+    oracle=f"""
+    WITH {_WORKLOAD_CTES}
+    SELECT query_id, pred_slots, actual_slots,
+           row_number() OVER (ORDER BY query_id)        AS ord_arrival,
+           row_number() OVER (ORDER BY pred_slots DESC, query_id)
+               AS ord_pred_longest,
+           row_number() OVER (ORDER BY pred_slots ASC, query_id)
+               AS ord_pred_shortest,
+           row_number() OVER (ORDER BY abs(actual_slots - pred_slots) DESC,
+                              query_id) AS ord_high_error
+    FROM workload
+    """,
+)
+def workload_quantize_orderings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Runtime→slot quantization (reference ``workload.py:13-18``) plus the
+    ordering policies (``workload.py:65-117``) materialized as rank columns
+    (query_id tie-break for determinism)."""
+    from pyspark.sql import Window as W
+
+    w = event_workload(spark, sf_dir)
+    return w.select(
+        "query_id",
+        "pred_slots",
+        "actual_slots",
+        F.row_number().over(W.orderBy("query_id")).alias("ord_arrival"),
+        F.row_number()
+        .over(W.orderBy(*schedulers.order_keys("pred_longest_first")))
+        .alias("ord_pred_longest"),
+        F.row_number()
+        .over(W.orderBy(*schedulers.order_keys("pred_shortest_first")))
+        .alias("ord_pred_shortest"),
+        F.row_number()
+        .over(W.orderBy(*schedulers.order_keys("high_error_first")))
+        .alias("ord_high_error"),
+    )
+
+
+# Decimal variant of the CI series for the carbon-cost query: the event
+# values are 2-decimal quantities, so sums of them frequently land exactly on
+# decimal rounding half-boundaries where double rounding is engine-dependent.
+# DECIMAL arithmetic keeps every intermediate exact; the only double appears
+# at the very end via an exact decimal→double cast (deterministic nearest).
+_PREFIX_CTES_DECIMAL = f"""
+    series AS (
+        SELECT CAST(floor((epoch(ts) - epoch(TIMESTAMP '{ORIGIN}')) / {RAW_SLOT_SEC})
+                    AS BIGINT) AS slot5,
+               CAST(sum(CAST(value AS DECIMAL(12, 2))) AS DECIMAL(14, 2)) AS ci
+        FROM events GROUP BY 1
+    ),
+    grid AS (SELECT g.i AS slot5 FROM generate_series(0, {N_RAW_SLOTS - 1}) g(i)),
+    dense AS (
+        SELECT grid.slot5, coalesce(series.ci, CAST(0 AS DECIMAL(14, 2))) AS ci
+        FROM grid LEFT JOIN series USING (slot5)
+    ),
+    fine AS (
+        SELECT slot5 * {UPSAMPLE} + u.i AS slot, ci
+        FROM dense, generate_series(0, {UPSAMPLE - 1}) u(i)
+    )
+"""
+
+
+@register(
+    "fifo_schedule_carbon",
+    oracle=f"""
+    WITH {_PREFIX_CTES_DECIMAL},
+    {_WORKLOAD_CTES},
+    fifo AS (
+        SELECT query_id, actual_slots,
+               CAST(coalesce(sum(actual_slots) OVER (ORDER BY query_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                    AS BIGINT) AS start_slot
+        FROM workload
+    ),
+    occupied AS (
+        SELECT query_id, start_slot, actual_slots,
+               unnest(generate_series(start_slot,
+                      least(start_slot + actual_slots, {N_SLOTS}) - 1)) AS slot
+        FROM fifo
+    )
+    SELECT o.query_id, o.start_slot, o.actual_slots,
+           CAST(CAST(sum(p.ci) AS DECIMAL(18, 2)) * CAST(0.0025 AS DECIMAL(5, 4))
+                AS DOUBLE) AS carbon_g
+    FROM occupied o JOIN fine p USING (slot)
+    GROUP BY o.query_id, o.start_slot, o.actual_slots
+    """,
+)
+def fifo_schedule_carbon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FIFO schedule (reference ``scheduler.py:67-94``) scored with
+    ``window_carbon`` semantics (``carbon.py:78-99``): planned starts are a
+    running-sum window; each query's occupied slot interval is exploded to
+    rows and equi-joined with the CI series — linear in Σ durations, no
+    per-window driver calls. (The O(1)-per-window prefix-difference variant is
+    ``carbon.window_carbon_batch``.) CI here is the per-bucket *total* event
+    value in DECIMAL, and power·dt (0.150 kW · 1/60 h) is the exact decimal
+    0.0025, so the whole computation is exact — doubles appear only in the
+    final cast."""
+    import decimal
+
+    ev = load_table(spark, sf_dir, "events")
+    origin_ts = F.unix_timestamp(F.lit(ORIGIN).cast("date").cast("timestamp"))
+    bucketed = ev.groupBy(
+        F.floor((F.unix_timestamp("ts") - origin_ts) / RAW_SLOT_SEC).alias("slot5")
+    ).agg(
+        F.sum(F.col("value").cast("decimal(12,2)"))
+        .cast("decimal(14,2)")
+        .alias("ci")
+    )
+    grid = spark.range(N_RAW_SLOTS).withColumnRenamed("id", "slot5")
+    dense = grid.join(bucketed, "slot5", "left").select(
+        "slot5",
+        F.coalesce("ci", F.lit(decimal.Decimal("0.00")).cast("decimal(14,2)")).alias(
+            "ci"
+        ),
+    )
+    fine = carbon.upsample(dense.withColumnRenamed("slot5", "slot"), UPSAMPLE)
+
+    fifo = schedulers.fifo_schedule(event_workload(spark, sf_dir))
+    end = F.least(F.col("start_slot") + F.col("actual_slots"), F.lit(N_SLOTS))
+    occupied = fifo.select(
+        "query_id",
+        "start_slot",
+        "actual_slots",
+        F.explode(F.sequence(F.col("start_slot"), end - 1)).alias("slot"),
+    )
+    power_dt = F.lit(decimal.Decimal("0.0025"))  # 0.150 kW * (60s / 3600s/h)
+    return (
+        occupied.join(fine, "slot")
+        .groupBy("query_id", "start_slot", "actual_slots")
+        .agg(
+            (F.sum("ci").cast("decimal(18,2)") * power_dt)
+            .cast("double")
+            .alias("carbon_g")
+        )
+    )
+
+
+@register("greedy_lowcarbon_schedule")  # sequential driver algorithm: rows-only
+def greedy_lowcarbon_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy low-carbon defer scheduler (reference ``scheduler.py:96-194``)
+    over the first 100 queries, plus realised sequential carbon
+    (``scheduler.py:14-49``) attached as a constant column. The search loop is
+    inherently sequential (each placement constrains the next), so it runs on
+    the driver over the collected 43k-slot CI array; all data prep is
+    DataFrames."""
+    import numpy as np
+
+    profile = carbon_profile(spark, sf_dir)
+    ci = np.array(
+        [r["ci"] for r in profile.select("slot", "ci").orderBy("slot").collect()]
+    )
+    workload = event_workload(spark, sf_dir).filter(F.col("query_id") < 100)
+    schedule = schedulers.greedy_low_carbon_schedule(
+        workload, ci, slot_sec=SLOT_SEC, search_hours=4.0, candidate_step_slots=10
+    )
+    schedulers.assert_schedule_fits_sequential(workload, schedule, len(ci))
+    realised = schedulers.realised_carbon_sequential(
+        workload, schedule, ci, slot_sec=SLOT_SEC
+    )
+    rows = [
+        (int(qid), int(start), round(realised, 4))
+        for qid, start in sorted(schedule.items())
+    ]
+    return spark.createDataFrame(
+        rows, "query_id long, start_slot long, realised_carbon_g double"
+    )
