@@ -43,3 +43,4 @@ def load_all() -> None:
         textops,
     )
     from lakehouse_variance_spark.scheduling import queries  # noqa: F401
+    from lakehouse_variance_spark.sources import scrub  # noqa: F401
