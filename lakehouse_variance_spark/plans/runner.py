@@ -1,0 +1,108 @@
+"""Benchmark query runner: sorted SQL loading, timed execution, NDJSON logs.
+
+Spark-native re-expression of the reference's workload client
+(``docker/trino-client/src/run_workload.py``):
+
+* ``load_queries_from_directory`` — sorted ``q*.sql`` glob → (name, sql)
+  pairs (``run_workload.py:26-30``; sorted iteration is the reference's
+  determinism convention).
+* ``run_query`` — execute one statement, fully drain the result, record
+  wall-clock + phase times and UTC start/end stamps; failures return the
+  reference's ``-1`` sentinel record instead of raising
+  (``run_workload.py:32-64``).
+* ``run_workload`` — loop a query list, write ``Workload_log_BASE_<n>.ndjson``
+  (``run_workload.py:66-80``) in the exact shape the trace analytics load
+  (``analytics.traces.load_workload_logs``).
+
+Phase semantics mirror the Trino fields the reference scrapes
+(``make_lakehouse_workload_logs.sh:91-95``): ``planning_s`` is Catalyst
+analysis+optimization+physical planning (forcing ``executedPlan``),
+``execution_s`` is the job run draining to a noop sink, ``elapsed_s`` the sum.
+Spark has no separate queueing stage locally, so ``resource_waiting_s`` is 0.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+from datetime import datetime, timezone
+from pathlib import Path
+from typing import Any
+
+from pyspark.sql import SparkSession
+
+SENTINEL = -1  # reference run_workload.py:62-64 failure marker
+
+
+def load_queries_from_directory(directory: str | Path) -> list[tuple[str, str]]:
+    """Sorted ``q*.sql`` files → [(stem, sql)] (reference ``run_workload.py:26-30``)."""
+    return [
+        (p.stem, p.read_text().strip())
+        for p in sorted(Path(directory).glob("q*.sql"))
+    ]
+
+
+def _utc_now() -> str:
+    return datetime.now(timezone.utc).strftime("%Y-%m-%dT%H:%M:%SZ")
+
+
+def run_query(spark: SparkSession, name: str, sql: str) -> dict[str, Any]:
+    """Execute one SQL statement, drain it, and return a log record
+    (semantics of reference ``run_workload.py:32-64``).
+
+    Draining uses the ``noop`` DSv2 sink: every result row is produced by the
+    executors and discarded, the distributed analogue of the reference's
+    ``for _ in cursor: pass``, without funnelling rows to the driver.
+    """
+    start_stamp = _utc_now()
+    t0 = time.perf_counter()
+    try:
+        df = spark.sql(sql)
+        # Forcing the executed plan materializes analysis + optimization +
+        # physical planning without running a job.
+        df._jdf.queryExecution().executedPlan()
+        t_planned = time.perf_counter()
+        df.write.format("noop").mode("overwrite").save()
+        t1 = time.perf_counter()
+        return {
+            "query_id": name,
+            "start_time": start_stamp,
+            "end_time": _utc_now(),
+            "Runtime (s)": t1 - t0,
+            "elapsed_s": t1 - t0,
+            "planning_s": t_planned - t0,
+            "execution_s": t1 - t_planned,
+            "resource_waiting_s": 0.0,
+        }
+    except Exception as exc:  # noqa: BLE001 — sentinel instead of abort
+        return {
+            "query_id": name,
+            "start_time": SENTINEL,
+            "end_time": SENTINEL,
+            "Runtime (s)": SENTINEL,
+            "elapsed_s": SENTINEL,
+            "planning_s": SENTINEL,
+            "execution_s": SENTINEL,
+            "resource_waiting_s": SENTINEL,
+            "error": str(exc).split("\n", 1)[0][:500],
+        }
+
+
+def run_workload(
+    spark: SparkSession,
+    queries: list[tuple[str, str]],
+    log_dir: str | Path | None = None,
+    attempt: int = 1,
+) -> list[dict[str, Any]]:
+    """Run a query list sequentially and optionally write the NDJSON run log
+    (reference ``run_workload.py:66-80``). The log file name matches the
+    ``Workload_log_BASE_<attempt>.ndjson`` pattern the trace loader globs."""
+    records = [run_query(spark, name, sql) for name, sql in queries]
+    if log_dir is not None:
+        log_dir = Path(log_dir)
+        log_dir.mkdir(parents=True, exist_ok=True)
+        path = log_dir / f"Workload_log_BASE_{attempt}.ndjson"
+        with path.open("w", encoding="utf-8") as f:
+            for rec in records:
+                f.write(json.dumps(rec) + "\n")
+    return records

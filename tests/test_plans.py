@@ -1,0 +1,48 @@
+"""Query runner + plan feature extraction (reference run_workload.py and the
+GNN plan featurization).
+"""
+
+from __future__ import annotations
+
+from lakehouse_variance_spark.analytics.traces import load_workload_logs
+from lakehouse_variance_spark.plans import features, runner
+
+
+def test_load_queries_sorted(tmp_path):
+    (tmp_path / "q2.sql").write_text("SELECT 2")
+    (tmp_path / "q1.sql").write_text("SELECT 1  \n")
+    (tmp_path / "notes.txt").write_text("skip me")
+    qs = runner.load_queries_from_directory(tmp_path)
+    assert qs == [("q1", "SELECT 1"), ("q2", "SELECT 2")]
+
+
+def test_run_workload_log_roundtrip(spark, tmp_path):
+    queries = [
+        ("q1", "SELECT 1 AS x"),
+        ("q2", "SELECT * FROM does_not_exist"),  # -> sentinel record
+    ]
+    records = runner.run_workload(spark, queries, log_dir=tmp_path, attempt=1)
+    assert records[0]["Runtime (s)"] > 0
+    assert records[0]["planning_s"] > 0 and records[0]["execution_s"] > 0
+    assert records[1]["Runtime (s)"] == runner.SENTINEL
+    assert "error" in records[1]
+
+    # The log round-trips through the trace analytics loader: the sentinel
+    # becomes NULL (helpers.py:150-159 semantics).
+    df = load_workload_logs(spark, str(tmp_path))
+    rows = {r["query_id"]: r for r in df.collect()}
+    assert rows[1]["runtime_s"] > 0
+    assert rows[2]["runtime_s"] is None
+
+
+def test_plan_features_shape(spark):
+    df = spark.range(100).filter("id > 5").selectExpr("id * 2 AS d")
+    feats = features.plan_feature_rows(df)
+    assert feats, "no plan nodes extracted"
+    ops = [f["operator"] for f in feats]
+    assert feats[0]["node_id"] == 0 and feats[0]["depth"] == 0
+    assert any("Range" in op for op in ops)
+    for f in feats:
+        assert f["est_rows"] >= 1
+        assert f["tuple_width_bytes"] >= 1
+        assert f["log1p_est_rows"] > 0
