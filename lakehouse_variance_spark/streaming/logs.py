@@ -1,0 +1,162 @@
+"""Structured-Streaming analytics over the event/log stream.
+
+The reference is batch-only (SURVEY.md §2A "Streaming-only operators": traces
+are post-hoc files), but its workload-log pipeline is naturally a stream —
+run logs land in a directory and the variance stats should update
+incrementally. This module provides that Spark-native extension:
+
+* ``stream_event_window`` — file-source ``readStream`` over the events
+  parquet, event-time watermark, tumbling-window aggregation, ``availableNow``
+  trigger into a memory sink. On a cluster the same code tails an object-store
+  directory forever; ``availableNow`` makes it a terminating batch whose
+  result equals the batch SQL oracle.
+* ``session_window_agg`` — per-user sessionization with Spark's
+  ``session_window`` (30-minute inactivity gap). Registered as a batch query
+  (identical operator semantics; streaming would need append-mode watermark
+  that withholds the trailing sessions), with a lag/cumsum SQL oracle.
+
+State scale notes: tumbling windows keep |windows × keys| state rows and
+watermarking bounds that by the lateness horizon; session windows merge in
+the state store — both are the standard Spark mechanisms for unbounded logs.
+"""
+
+from __future__ import annotations
+
+import itertools
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from lakehouse_variance_spark.registry import register
+from lakehouse_variance_spark.tables import load_table
+
+_MEMORY_SINK_IDS = itertools.count()
+
+
+def streaming_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source streaming read of the events table with the same
+    nanos→timestamp normalization as the batch loader."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    path = os.path.join(sf_dir, "events.parquet")
+    schema = spark.read.parquet(path).schema
+    # The file stream source tails a directory; glob-filter it down to the
+    # events table (on a cluster this is the log-landing prefix instead).
+    stream = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    if dict(stream.dtypes).get("ts") == "bigint":
+        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return stream
+
+
+def run_to_memory(stream_df: DataFrame, output_mode: str = "complete") -> DataFrame:
+    """Execute a streaming aggregation to completion (availableNow) into a
+    memory sink and return the result table."""
+    name = f"lvs_stream_{next(_MEMORY_SINK_IDS)}"
+    query = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    return stream_df.sparkSession.table(name)
+
+
+@register(
+    "stream_event_window",
+    oracle="""
+    SELECT date_trunc('hour', ts) AS window_start,
+           event_type,
+           count(*) AS n,
+           round(avg(value), 4) AS avg_value,
+           round(sum(value), 2) AS sum_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def stream_event_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour window aggregation over the event stream with an
+    event-time watermark (the SURVEY §2A streaming extension:
+    ``readStream → withWatermark → window → writeStream``). availableNow
+    processes the whole table as one terminating stream, so the result must
+    equal the batch GROUP BY date_trunc oracle."""
+    events = streaming_events(spark, sf_dir)
+    agg = (
+        events.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.avg("value"), 4).alias("avg_value"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n",
+            "avg_value",
+            "sum_value",
+        )
+    )
+    return run_to_memory(agg)
+
+
+@register(
+    "session_window_agg",
+    oracle="""
+    WITH ev AS (
+        -- Truncate TIMESTAMP_NS to microseconds: Spark timestamps are µs.
+        SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value FROM events
+    ),
+    gaps AS (
+        SELECT user_id, ts, value,
+               CASE WHEN lag(ts) OVER w IS NULL
+                         OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+                    THEN 1 ELSE 0 END AS new_session
+        FROM ev
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ),
+    sessions AS (
+        SELECT user_id, ts, value,
+               sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS session_no
+        FROM gaps
+    )
+    SELECT user_id,
+           min(ts) AS session_start,
+           max(ts) + INTERVAL 30 MINUTE AS session_end,
+           count(*) AS n_events,
+           round(sum(value), 2) AS total_value
+    FROM sessions
+    GROUP BY user_id, session_no
+    """,
+)
+def session_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user sessionization with a 30-minute inactivity gap via Spark's
+    ``session_window`` (the merging-window operator behind streaming
+    sessionization; here in batch so every trailing session is emitted).
+    The oracle reconstructs sessions relationally: lag-gap flags → running
+    sum → group. Session end is last-event + gap, Spark's half-open
+    convention."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.session_window("ts", "30 minutes").alias("sw"), "user_id"
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            "user_id",
+            F.col("sw.start").alias("session_start"),
+            F.col("sw.end").alias("session_end"),
+            "n_events",
+            "total_value",
+        )
+    )

@@ -44,8 +44,10 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     for col in _NANOS_TS_COLUMNS.get(name, ()):
         if dict(df.dtypes).get(col) == "bigint":
+            # Integer division: double math (col/1000) loses 1µs on 19-digit
+            # nanosecond values (doubles carry 53 bits of mantissa).
             df = df.withColumn(
-                col, F.timestamp_micros((F.col(col) / 1000).cast("long"))
+                col, F.timestamp_micros(F.expr(f"`{col}` div 1000"))
             )
     return df
 
