@@ -126,52 +126,152 @@ def embed_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --- Random-hyperplane LSH (the 100 TB path) -------------------------------
+#
+# Multi-table LSH: L independent tables of b hyperplane bits each. One table
+# of many bits has near-zero recall on unstructured embeddings (collision
+# probability (1-θ/π)^b decays fast); L smaller tables trade a bounded
+# candidate-set blowup for 1-(1-p)^L recall — the standard banding argument.
 
-N_PLANES = 12
+N_TABLES = 16
+BITS_PER_TABLE = 5
 DIM = 64
 
 
-def _hyperplanes() -> list[list[float]]:
+def _hyperplanes(table: int) -> list[list[float]]:
     """Deterministic pseudo-random hyperplanes (no RNG: fixed sin lattice)."""
     return [
-        [math.sin(1.0 + p * 131.0 + i * 7919.0) for i in range(DIM)]
-        for p in range(N_PLANES)
+        [
+            math.sin(1.0 + (table * BITS_PER_TABLE + p) * 131.0 + i * 7919.0)
+            for i in range(DIM)
+        ]
+        for p in range(BITS_PER_TABLE)
     ]
 
 
-def signs_bucket(vec: Column) -> Column:
-    """Pack the sign pattern of <vec, plane_p> into an integer bucket id."""
+def signs_bucket(vec: Column, table: int) -> Column:
+    """Pack the sign pattern of <vec, plane_p> into an integer bucket id for
+    one hash table."""
     bucket = F.lit(0).cast("long")
-    for p, plane in enumerate(_hyperplanes()):
+    for p, plane in enumerate(_hyperplanes(table)):
         proj = dot(vec, F.array(*[F.lit(x) for x in plane]))
         bit = F.when(proj >= 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
         bucket = bucket.bitwiseOR(F.shiftleft(bit, p))
     return bucket
 
 
+def _with_tables(df: DataFrame) -> DataFrame:
+    """Explode each vector into its (table, bucket) entries — the inverted
+    LSH index as rows. Sign patterns are scale-invariant, so bucketing runs
+    on the raw vectors; the explode is a narrow map (×L rows, no shuffle)."""
+    entries = F.array(
+        *[
+            F.struct(
+                F.lit(t).alias("t"), signs_bucket(F.col("v"), t).alias("b")
+            )
+            for t in range(N_TABLES)
+        ]
+    )
+    return (
+        df.withColumn("tb", F.explode(entries))
+        .select("*", F.col("tb.t").alias("t"), F.col("tb.b").alias("b"))
+        .drop("tb")
+    )
+
+
 @register("ann_lsh_topk")
 def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate top-k: random-hyperplane buckets, candidates share a
-    bucket, exact cosine re-rank within candidates (rows-only check; recall
-    vs brute force asserted in tests/test_similarity.py).
+    """Approximate top-k: multi-table random-hyperplane LSH; candidates share
+    any table's bucket with the query, then exact cosine re-ranks the
+    candidate set (rows-only check; recall vs brute force asserted in
+    tests/test_similarity.py).
 
     At scale: bucketing is one narrow map; the candidate join is an equi-join
-    on bucket id, so compute tracks bucket occupancy instead of |corpus|²."""
+    on (table, bucket), so compute tracks bucket occupancy instead of
+    |corpus|²."""
     emb = _prepped(load_table(spark, sf_dir, "embeddings"), "vec_id", "embedding")
-    # Sign patterns are scale-invariant, so bucketing runs on the raw vectors.
-    bucketed = emb.withColumn("bucket", signs_bucket(F.col("v")))
+    bucketed = _with_tables(emb)
     queries = bucketed.filter(F.col("vec_id") < N_QUERY_VECS).withColumnsRenamed(
         {"vec_id": "query_id", "v": "qv", "nrm": "qn"}
     )
     cos = dot(F.col("qv"), F.col("v")) / (F.col("qn") * F.col("nrm"))
     pairs = (
-        bucketed.join(F.broadcast(queries), "bucket")
+        bucketed.join(F.broadcast(queries), ["t", "b"])
         .filter(F.col("vec_id") != F.col("query_id"))
         .select("query_id", F.col("vec_id").alias("neighbor_id"), cos.alias("cos"))
+        # A pair can collide in several tables — dedup before ranking.
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.first("cos").alias("cos"))
     )
     w = W.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
     return (
         pairs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= TOP_K)
+        .select("query_id", "neighbor_id", F.round("cos", 4).alias("cosine"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) ANN: KMeans coarse quantizer + probed-cluster search
+# ---------------------------------------------------------------------------
+
+N_CLUSTERS = 8
+N_PROBE = 3
+
+
+@register("ann_ivf_topk")
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate top-k: a seeded KMeans coarse quantizer partitions the
+    corpus into inverted lists; each query probes its N_PROBE nearest
+    centroids and re-ranks exactly within those lists only (rows-only check;
+    recall vs brute force asserted in tests/test_similarity.py).
+
+    At scale this is the classic IVF layout: the corpus is written
+    partitioned by cluster id (partition pruning ≙ inverted-list seek), the
+    centroid table is tiny and broadcast, and per-query work tracks probed
+    list occupancy (~N_PROBE/K of the corpus) instead of |corpus|."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    emb = _prepped(load_table(spark, sf_dir, "embeddings"), "vec_id", "embedding")
+    vecs = emb.withColumn("features", array_to_vector(F.col("v")))
+    model = KMeans(
+        k=N_CLUSTERS, seed=0, featuresCol="features", predictionCol="cluster"
+    ).fit(vecs)
+    assigned = model.transform(vecs).drop("features")
+
+    centroids = spark.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())],
+        "cluster int, cvec array<double>",
+    )
+    queries = assigned.filter(F.col("vec_id") < N_QUERY_VECS).withColumnsRenamed(
+        {"vec_id": "query_id", "v": "qv", "nrm": "qn", "cluster": "qcluster"}
+    )
+    # Probe ranking: cosine of each query against every centroid (tiny cross
+    # join against the broadcast centroid table).
+    c_cos = dot(F.col("qv"), F.col("cvec")) / (
+        F.col("qn") * F.sqrt(dot(F.col("cvec"), F.col("cvec")))
+    )
+    wp = W.partitionBy("query_id").orderBy(F.col("c_cos").desc(), F.col("cluster"))
+    probes = (
+        queries.crossJoin(F.broadcast(centroids))
+        .withColumn("c_cos", c_cos)
+        .withColumn("rn", F.row_number().over(wp))
+        .filter(F.col("rn") <= N_PROBE)
+        .select("query_id", "qv", "qn", "cluster")
+    )
+    # Candidate generation is an equi-join on cluster id — only probed
+    # inverted lists are scanned.
+    ivf_cos = dot(F.col("qv"), F.col("v")) / (F.col("qn") * F.col("nrm"))
+    pairs = (
+        assigned.join(F.broadcast(probes), "cluster")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id", F.col("vec_id").alias("neighbor_id"), ivf_cos.alias("cos")
+        )
+    )
+    wr = W.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
+    return (
+        pairs.withColumn("rn", F.row_number().over(wr))
         .filter(F.col("rn") <= TOP_K)
         .select("query_id", "neighbor_id", F.round("cos", 4).alias("cosine"))
     )

@@ -38,6 +38,7 @@ def load_all() -> None:
     from lakehouse_variance_spark.functions import durations  # noqa: F401
     from lakehouse_variance_spark.operators import (  # noqa: F401
         dedup,
+        multimodal,
         relational,
         similarity,
         textops,

