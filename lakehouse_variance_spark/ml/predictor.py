@@ -1,0 +1,140 @@
+"""Runtime-prediction pipeline (reference ``models/RF``), on pyspark.ml.
+
+The reference predicts query runtime from SQL text: tokenize → embed →
+(PCA when the embedding is wide) → RandomForest with 5-fold grid search →
+QError P50/P99 + MAE on a held-out split (``models/RF/Model/sql_encoder.py``,
+``Dataloader.py:49-58``, ``train.ipynb``). The Spark-native pipeline:
+
+* ``featurize_text`` — RegexTokenizer + HashingTF (a hashed bag-of-tokens in
+  place of the reference's mean-of-token-embeddings; both are fixed-width
+  text featurizers, and HashingTF is shuffle-free and stateless, so it
+  scales to any corpus), then ``pyspark.ml.feature.PCA`` down to
+  ``pca_dims`` — applied only above the reference's width threshold
+  (``Dataloader.py:49-58``: embeddings >5000 dims → PCA).
+* ``train_runtime_model`` — seeded ``RandomForestRegressor``; optional
+  ``CrossValidator`` + ``ParamGridBuilder`` grid with MAE scoring, the
+  reference's GridSearchCV(cv=5, MAE) analogue.
+* ``qerror`` — max(y,ŷ)/max(min(y,ŷ),1e-3) as a pure column expression
+  (reference ``train.ipynb`` ``percentile_qerror``); summaries via exact
+  percentiles.
+
+Everything distributes: featurization is a narrow map, RF training fans out
+over partitions, evaluation is one aggregation.
+"""
+
+from __future__ import annotations
+
+from pyspark.ml import Pipeline, PipelineModel
+from pyspark.ml.feature import PCA, HashingTF, RegexTokenizer
+from pyspark.ml.regression import RandomForestRegressor
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from lakehouse_variance_spark.registry import register
+from lakehouse_variance_spark.tables import load_table
+
+SEED = 0  # reference train.ipynb SEED=0 convention
+PCA_THRESHOLD = 5000  # reference Dataloader.py:49-58
+QERROR_FLOOR = 1e-3
+
+
+def featurize_text(
+    df: DataFrame,
+    text_col: str,
+    *,
+    num_features: int = 256,
+    pca_dims: int = 4,
+) -> tuple[PipelineModel, DataFrame]:
+    """Text → fixed-width feature vector; PCA applies only when the raw
+    width exceeds the reference's 5000-dim threshold."""
+    stages = [
+        RegexTokenizer(
+            inputCol=text_col, outputCol="_tokens", pattern=r"\W+", toLowercase=True
+        ),
+        HashingTF(inputCol="_tokens", outputCol="_tf", numFeatures=num_features),
+    ]
+    if num_features > PCA_THRESHOLD:
+        stages.append(PCA(k=pca_dims, inputCol="_tf", outputCol="features"))
+    else:
+        stages[-1].setOutputCol("features")
+    model = Pipeline(stages=stages).fit(df)
+    return model, model.transform(df).drop("_tokens", "_tf")
+
+
+def train_runtime_model(
+    train: DataFrame,
+    *,
+    label_col: str = "label",
+    cross_validate: bool = False,
+    num_folds: int = 5,
+):
+    """Seeded RF regressor; with ``cross_validate`` runs the reference's
+    grid (trees × depth, MAE scoring, 5 folds) via CrossValidator."""
+    rf = RandomForestRegressor(
+        featuresCol="features",
+        labelCol=label_col,
+        seed=SEED,
+        numTrees=32,
+        maxDepth=10,
+        # sklearn's RandomForestRegressor (the reference model) considers all
+        # features at every split for regression; Spark's default of 1/3
+        # drowns sparse text features in uninformative trees.
+        featureSubsetStrategy="all",
+    )
+    if not cross_validate:
+        return rf.fit(train)
+    from pyspark.ml.evaluation import RegressionEvaluator
+    from pyspark.ml.tuning import CrossValidator, ParamGridBuilder
+
+    grid = (
+        ParamGridBuilder()
+        .addGrid(rf.numTrees, [16, 32])
+        .addGrid(rf.maxDepth, [4, 6])
+        .build()
+    )
+    cv = CrossValidator(
+        estimator=rf,
+        estimatorParamMaps=grid,
+        evaluator=RegressionEvaluator(labelCol=label_col, metricName="mae"),
+        numFolds=num_folds,
+        seed=SEED,
+    )
+    return cv.fit(train).bestModel
+
+
+def qerror(label: Column, pred: Column) -> Column:
+    """QError = max(y,ŷ) / max(min(y,ŷ), 1e-3) — pure column expr
+    (reference ``train.ipynb`` cell 0, ``models/GNN/table3.ipynb``)."""
+    return F.greatest(label, pred) / F.greatest(
+        F.least(label, pred), F.lit(QERROR_FLOOR)
+    )
+
+
+def evaluate_predictions(
+    scored: DataFrame, *, label_col: str = "label", pred_col: str = "prediction"
+) -> DataFrame:
+    """One-row MAE + QError P50/P99 summary (the reference's
+    ``results_text.txt`` metrics)."""
+    q = qerror(F.col(label_col), F.col(pred_col))
+    return scored.agg(
+        F.round(F.avg(F.abs(F.col(label_col) - F.col(pred_col))), 4).alias("mae"),
+        F.round(F.percentile(q, F.lit(0.5)), 4).alias("p50_qerror"),
+        F.round(F.percentile(q, F.lit(0.99)), 4).alias("p99_qerror"),
+        F.count("*").alias("n"),
+    )
+
+
+@register("ml_runtime_prediction")  # seeded ML training: rows-only check
+def ml_runtime_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end predictor replay on the synthetic corpus: document text
+    stands in for SQL text, ln(n_chars) for the log runtime label
+    (the reference's ``Runtime_log`` transform). 80/20 split by id hash,
+    train seeded RF, score the holdout, emit MAE + QError summary."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", F.log(F.col("n_chars").cast("double")).alias("label")
+    )
+    _, feats = featurize_text(docs, "text")
+    train = feats.filter(F.pmod("doc_id", F.lit(5)) != 0)
+    holdout = feats.filter(F.pmod("doc_id", F.lit(5)) == 0)
+    model = train_runtime_model(train)
+    return evaluate_predictions(model.transform(holdout))

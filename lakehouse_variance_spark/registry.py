@@ -43,6 +43,7 @@ def load_all() -> None:
         similarity,
         textops,
     )
+    from lakehouse_variance_spark.ml import predictor  # noqa: F401
     from lakehouse_variance_spark.plans import features  # noqa: F401
     from lakehouse_variance_spark.scheduling import queries  # noqa: F401
     from lakehouse_variance_spark.sources import scrub  # noqa: F401
