@@ -18,8 +18,9 @@ from lakehouse_variance_spark import registry
 from lakehouse_variance_spark.session import build_session
 
 # Headline set: one per operator family — aggregation, multiway join, window,
-# top-k, set op, correlated subquery, dedup (exact + shingle + LSH),
-# similarity (brute force + LSH), text analysis.
+# top-k, set op, correlated subquery, trace analytics, scheduling, session
+# windows, dedup (exact + shingle + LSH), similarity (brute force + LSH),
+# text analysis, multimodal fan-out.
 HEADLINE_QUERIES = (
     "q1_pricing_summary",
     "join_topk_revenue",
@@ -29,6 +30,9 @@ HEADLINE_QUERIES = (
     "correlated_scalar_subquery",
     "qerror_metric",
     "set_union_all",
+    "trace_workload_summary",
+    "fifo_schedule_carbon",
+    "session_window_agg",
     "dedup_exact",
     "dedup_shingle_jaccard",
     "dedup_minhash_lsh",
@@ -36,6 +40,7 @@ HEADLINE_QUERIES = (
     "ann_lsh_topk",
     "text_token_stats",
     "text_fingerprint",
+    "media_frame_sample",
 )
 
 

@@ -10,6 +10,8 @@ from __future__ import annotations
 
 import math
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
@@ -148,33 +150,41 @@ def _hyperplanes(table: int) -> list[list[float]]:
     ]
 
 
-def signs_bucket(vec: Column, table: int) -> Column:
-    """Pack the sign pattern of <vec, plane_p> into an integer bucket id for
-    one hash table."""
-    bucket = F.lit(0).cast("long")
-    for p, plane in enumerate(_hyperplanes(table)):
-        proj = dot(vec, F.array(*[F.lit(x) for x in plane]))
-        bit = F.when(proj >= 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
-        bucket = bucket.bitwiseOR(F.shiftleft(bit, p))
-    return bucket
+def _plane_matrix() -> np.ndarray:
+    """All tables' hyperplanes stacked: (N_TABLES*BITS_PER_TABLE, DIM)."""
+    return np.array(
+        [plane for t in range(N_TABLES) for plane in _hyperplanes(t)]
+    )
+
+
+def _bucket_ids_udf():
+    """Arrow-batched projection: one numpy matmul computes every (vector,
+    hyperplane) dot product per batch — 80 sign bits per vector in a single
+    BLAS call. The column-expression alternative (80 nested
+    zip_with/aggregate lambdas) blows up codegen and runs ~10× slower; dense
+    linear algebra is exactly the case for a vectorized pandas UDF."""
+    planes_t = _plane_matrix().T  # DIM x (tables*bits)
+    weights = 1 << np.arange(BITS_PER_TABLE)
+
+    @F.pandas_udf("array<long>")
+    def bucket_ids(vecs: pd.Series) -> pd.Series:
+        mat = np.stack(vecs.to_numpy())  # n x DIM
+        bits = (mat @ planes_t) >= 0  # n x (tables*bits)
+        buckets = bits.reshape(len(mat), N_TABLES, BITS_PER_TABLE) @ weights
+        return pd.Series(buckets.tolist())
+
+    return bucket_ids
 
 
 def _with_tables(df: DataFrame) -> DataFrame:
     """Explode each vector into its (table, bucket) entries — the inverted
     LSH index as rows. Sign patterns are scale-invariant, so bucketing runs
     on the raw vectors; the explode is a narrow map (×L rows, no shuffle)."""
-    entries = F.array(
-        *[
-            F.struct(
-                F.lit(t).alias("t"), signs_bucket(F.col("v"), t).alias("b")
-            )
-            for t in range(N_TABLES)
-        ]
-    )
+    buckets = _bucket_ids_udf()
     return (
-        df.withColumn("tb", F.explode(entries))
-        .select("*", F.col("tb.t").alias("t"), F.col("tb.b").alias("b"))
-        .drop("tb")
+        df.withColumn("bs", buckets(F.col("v")))
+        .select("*", F.posexplode("bs").alias("t", "b"))
+        .drop("bs")
     )
 
 
