@@ -22,7 +22,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from lakehouse_variance_spark.registry import register
-from lakehouse_variance_spark.tables import load_table
+from lakehouse_variance_spark.tables import load_table, spread
 
 JACCARD_THRESHOLD = 0.5
 
@@ -40,9 +40,11 @@ _SHINGLES_EXPR = """
 
 
 def shingled(docs: DataFrame) -> DataFrame:
-    """(doc_id, shingle) pairs, distinct per doc."""
+    """(doc_id, shingle) pairs, distinct per doc. The input is spread across
+    the cluster first: shingling multiplies rows ~500× and a small-file scan
+    would otherwise run it on one task."""
     return (
-        docs.select("doc_id", F.split("text", " ").alias("words"))
+        spread(docs).select("doc_id", F.split("text", " ").alias("words"))
         .select(
             "doc_id",
             F.explode(F.array_distinct(F.expr(_SHINGLES_EXPR))).alias("shingle"),

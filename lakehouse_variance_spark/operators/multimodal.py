@@ -25,7 +25,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from lakehouse_variance_spark.registry import register
-from lakehouse_variance_spark.tables import load_table
+from lakehouse_variance_spark.tables import load_table, spread
 
 FRAME_BYTES = 32  # fake fixed-size "frame" within a payload
 FRAME_STRIDE = 4  # sample every 4th frame
@@ -38,7 +38,7 @@ def media_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     e.g. a JPEG); metadata is a typed struct as a real pipeline would carry
     (format tag, nominal dims derived from the payload length).
     """
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread(load_table(spark, sf_dir, "documents"))
     media = F.encode(F.col("text"), "UTF-8")
     return docs.select(
         "doc_id",

@@ -17,7 +17,7 @@ from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from lakehouse_variance_spark.registry import register
-from lakehouse_variance_spark.tables import load_table
+from lakehouse_variance_spark.tables import load_table, spread
 
 TOP_K = 3
 N_QUERY_VECS = 5
@@ -50,8 +50,11 @@ def _prepped(df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
     The norm stays a *plain column* rather than being divided into the vector
     elements: Catalyst's CollapseProject would otherwise inline the norm
     aggregate into a per-element lambda, re-evaluating it d times per row
-    (O(d²)). Cosine is then dot(a,b)/(norm_a*norm_b) at the pair stage."""
-    return df.select(
+    (O(d²)). Cosine is then dot(a,b)/(norm_a*norm_b) at the pair stage.
+
+    The input is spread across the cluster first — vector math on a
+    single-file scan would otherwise run on one task."""
+    return spread(df).select(
         F.col(id_col), _as_double(vec_col).alias("v")
     ).withColumn("nrm", norm(F.col("v")))
 

@@ -48,7 +48,11 @@ def build_session(
         # converts them back to timestamps losslessly.
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.ui.enabled", "false")
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "90g"))
+        # 24g, NOT most of the box: local benchmarking showed a 90g heap
+        # makes GC behavior bimodal (individual sub-second queries spiking to
+        # 10-30 s); a right-sized heap keeps collections short and uniform.
+        # On a cluster, executor memory comes from the submitter instead.
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
     )
     if master:
         builder = builder.master(master)
