@@ -228,6 +228,54 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- Embedding-cosine near-dup ---------------------------------------------
+
+EMB_DUP_THRESHOLD = 0.45
+
+
+@register(
+    "dedup_embedding",
+    oracle=f"""
+    SELECT a.vec_id AS vec_id,
+           least(a.vec_id, coalesce(min(b.vec_id), a.vec_id)) AS keeper_id,
+           count(b.vec_id) AS n_similar
+    FROM embeddings a
+    LEFT JOIN embeddings b
+      ON a.vec_id <> b.vec_id
+     AND list_cosine_similarity(a.embedding::DOUBLE[],
+                                b.embedding::DOUBLE[]) >= {EMB_DUP_THRESHOLD}
+    GROUP BY a.vec_id
+    """,
+)
+def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate canonicalization: each vector maps to
+    the minimum vec_id in its cosine>=threshold neighborhood (itself
+    included) — the one-hop keeper rule used to pick a canonical
+    representative per near-dup cluster.
+
+    Exact all-pairs with the small side broadcast is the correctness
+    baseline here; at 100 TB the candidate pairs come from the LSH / IVF
+    index in similarity.py instead and only candidates are cosine-verified,
+    so cost tracks true neighborhood size, not |corpus|²."""
+    from lakehouse_variance_spark.operators.similarity import _prepped, dot
+
+    emb = _prepped(load_table(spark, sf_dir, "embeddings"), "vec_id", "embedding")
+    a = emb.withColumnsRenamed({"v": "va", "nrm": "na"})
+    b = emb.withColumnsRenamed({"vec_id": "vec_b", "v": "vb", "nrm": "nb"})
+    cos = dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
+    joined = a.join(
+        F.broadcast(b),
+        (F.col("vec_id") != F.col("vec_b")) & (cos >= EMB_DUP_THRESHOLD),
+        "left",
+    )
+    return joined.groupBy("vec_id").agg(
+        F.least(
+            F.col("vec_id"), F.coalesce(F.min("vec_b"), F.col("vec_id"))
+        ).alias("keeper_id"),
+        F.count("vec_b").alias("n_similar"),
+    )
+
+
 # --- SimHash ---------------------------------------------------------------
 
 SIMHASH_BITS = 64

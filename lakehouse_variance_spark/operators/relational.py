@@ -841,3 +841,183 @@ def log_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.avg(F.log("value")), 4).alias("mean_log_value"),
         F.round(F.exp(F.avg(F.log("value"))), 4).alias("geo_mean_value"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Classic decision-support join/subquery shapes (reference: TPC-DS queries use
+# every one of these forms — outer-join count distributions, IN-aggregated
+# subqueries, scalar subqueries against CTE aggregates, anti-join + scalar
+# threshold; citations per query)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "join_custdist_outer",
+    oracle="""
+    SELECT c_count, count(*) AS custdist
+    FROM (
+        SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+        FROM customer c
+        LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+                          AND o.o_orderpriority <> '1-URGENT'
+        GROUP BY c.c_custkey)
+    GROUP BY c_count
+    """,
+)
+def join_custdist_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q13-shaped customer distribution: left outer join with an extra
+    join-side predicate, then a two-level aggregation (count per customer,
+    histogram of counts). The reference's workload-generator queries are all
+    left-join chains (tpcds_Baseline_train.ndjson:1-3).
+
+    The filter on orders is applied BEFORE the join (Catalyst pushes it into
+    the scan), and the second aggregation is over ~|customers| rows already
+    reduced by the first — both shuffles carry only keys and counts."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") != "1-URGENT"
+    )
+    per_cust = (
+        cust.join(orders, F.col("c_custkey") == F.col("o_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count("*").alias("custdist"))
+
+
+LARGE_ORDER_QTY = 300
+
+
+@register(
+    "join_large_order_in_subquery",
+    oracle=f"""
+    SELECT c.c_name, o.o_orderkey, o.o_orderdate,
+           round(o.o_totalprice, 2) AS o_totalprice,
+           round(sum(l.l_quantity), 2) AS sum_qty
+    FROM customer c, orders o, lineitem l
+    WHERE o.o_orderkey IN (
+            SELECT l_orderkey FROM lineitem
+            GROUP BY l_orderkey
+            HAVING sum(l_quantity) > {LARGE_ORDER_QTY})
+      AND c.c_custkey = o.o_custkey
+      AND o.o_orderkey = l.l_orderkey
+    GROUP BY c.c_name, o.o_orderkey, o.o_orderdate, o.o_totalprice
+    """,
+)
+def join_large_order_in_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q18-shaped large-volume orders: IN over an aggregated subquery
+    with HAVING, then a three-way join re-aggregated per order (the
+    IN-(SELECT...) form appears in 9 reference queries, SURVEY §2A joins).
+
+    The HAVING subquery reuses the lineitem scan and reduces to a short key
+    list — joined as a left-semi join (Catalyst rewrites IN to semi), so no
+    row multiplication; the keeper aggregation groups on the order key the
+    join already shuffled on."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("qty"))
+        .filter(F.col("qty") > LARGE_ORDER_QTY)
+        .select("l_orderkey")
+    )
+    return (
+        orders.join(big.withColumnRenamed("l_orderkey", "o_orderkey"),
+                    "o_orderkey", "left_semi")
+        .join(cust, F.col("c_custkey") == F.col("o_custkey"))
+        .join(li, F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy("c_name", "o_orderkey", "o_orderdate", "o_totalprice")
+        .agg(F.round(F.sum("l_quantity"), 2).alias("sum_qty"))
+        .select(
+            "c_name", "o_orderkey", "o_orderdate",
+            F.round("o_totalprice", 2).alias("o_totalprice"), "sum_qty",
+        )
+    )
+
+
+@register(
+    "anti_join_scalar_threshold",
+    oracle="""
+    SELECT c_mktsegment,
+           count(*) AS numcust,
+           round(sum(c_acctbal), 2) AS totacctbal
+    FROM customer c
+    WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0)
+      AND NOT EXISTS (
+            SELECT 1 FROM orders o
+            WHERE o.o_custkey = c.c_custkey
+              AND o.o_orderpriority = '1-URGENT')
+    GROUP BY c_mktsegment
+    """,
+)
+def anti_join_scalar_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q22-shaped opportunity query: an uncorrelated scalar subquery
+    threshold combined with NOT EXISTS (anti join) and a final rollup per
+    segment (reference anti-join: q16.sql:19, q95; scalar subquery q1.sql:12-14).
+
+    The scalar average is computed once and broadcast into the filter; the
+    anti join shuffles only (custkey) pairs. At scale the urgent-orders side
+    collapses to distinct custkeys before the join."""
+    cust = load_table(spark, sf_dir, "customer")
+    urgent = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select(F.col("o_custkey").alias("c_custkey"))
+        .distinct()
+    )
+    avg_bal = (
+        cust.filter(F.col("c_acctbal") > 0)
+        .agg(F.avg("c_acctbal").alias("a"))
+        .first()[0]
+    )
+    return (
+        cust.filter(F.col("c_acctbal") > F.lit(avg_bal))
+        .join(urgent, "c_custkey", "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("numcust"),
+            F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
+        )
+    )
+
+
+@register(
+    "top_supplier_cte_max",
+    oracle="""
+    WITH revenue AS (
+        SELECT l_suppkey AS supplier_no,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_revenue
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate <  TIMESTAMP '1996-04-01'
+        GROUP BY l_suppkey)
+    SELECT s.s_suppkey, s.s_name, r.total_revenue
+    FROM supplier s JOIN revenue r ON s.s_suppkey = r.supplier_no
+    WHERE r.total_revenue = (SELECT max(total_revenue) FROM revenue)
+    """,
+)
+def top_supplier_cte_max(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q15-shaped top supplier: a reused aggregated CTE compared
+    against its own scalar max (uncorrelated scalar subquery over an
+    aggregate — the same decorrelation class as reference q1.sql:12-14).
+
+    Revenue is rounded BEFORE the max comparison on both engines so the
+    equality is on identical 2-decimal values. The CTE feeds two plan
+    branches; at sf the re-computation is cheaper than a checkpoint, and on
+    a cluster AQE reuses the shuffle output of the first aggregation."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    revenue = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
+        .alias("total_revenue")
+    )
+    max_rev = revenue.agg(F.max("total_revenue")).first()[0]
+    sup = load_table(spark, sf_dir, "supplier")
+    return (
+        sup.join(revenue, F.col("s_suppkey") == F.col("supplier_no"))
+        .filter(F.col("total_revenue") == F.lit(max_rev))
+        .select("s_suppkey", "s_name", "total_revenue")
+    )

@@ -160,3 +160,98 @@ def session_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_value",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Custom stateful streaming operator (applyInPandasWithState)
+# ---------------------------------------------------------------------------
+
+_USER_STATS_OUT = (
+    "user_id bigint, n_events bigint, total_value double, max_gap_s double"
+)
+_USER_STATS_STATE = "n bigint, total double, last_us bigint, max_gap double"
+
+
+def _user_stats_fn(key, pdfs, state):
+    """Per-user running stats with explicit state: event count, value total,
+    and the maximum inter-event gap. The gap REQUIRES state — it spans
+    micro-batch boundaries, so the previous batch's last timestamp must be
+    carried in the state store (the exact case groupBy can't express)."""
+    import pandas as pd
+
+    if state.exists:
+        n, total, last_us, max_gap = state.get
+    else:
+        n, total, last_us, max_gap = 0, 0.0, None, 0.0
+    for pdf in pdfs:
+        if pdf.empty:
+            continue
+        pdf = pdf.sort_values("ts")
+        us = (
+            pd.to_datetime(pdf["ts"]).astype("datetime64[us]").astype("int64")
+        ).to_numpy()
+        if last_us is not None:
+            max_gap = max(max_gap, (us[0] - last_us) / 1e6)
+        if len(us) > 1:
+            batch_max = float((us[1:] - us[:-1]).max()) / 1e6
+            max_gap = max(max_gap, batch_max)
+        last_us = int(us[-1])
+        n += len(pdf)
+        total += float(pdf["value"].sum())
+    state.update((n, total, last_us, max_gap))
+    yield pd.DataFrame(
+        [
+            {
+                "user_id": key[0],
+                "n_events": n,
+                "total_value": round(total, 2),
+                "max_gap_s": round(max_gap, 3),
+            }
+        ]
+    )
+
+
+@register(
+    "stream_stateful_user_stats",
+    oracle="""
+    WITH ev AS (
+        SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value FROM events),
+    g AS (
+        SELECT user_id, value,
+               date_diff('microsecond',
+                         lag(ts) OVER (PARTITION BY user_id ORDER BY ts),
+                         ts) / 1e6 AS gap
+        FROM ev)
+    SELECT user_id,
+           count(*) AS n_events,
+           round(sum(value), 2) AS total_value,
+           round(coalesce(max(gap), 0.0), 3) AS max_gap_s
+    FROM g GROUP BY user_id
+    """,
+)
+def stream_stateful_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful streaming operator via ``applyInPandasWithState``
+    (SURVEY §2A streaming extension): per-user event count, value total, and
+    max inter-event gap, with the last-seen timestamp carried in the state
+    store across micro-batches.
+
+    State is one fixed-width row per user — the store stays |users|-sized
+    no matter how long the stream runs. The groupBy shuffles each user's
+    events to one task; Arrow batches feed the pandas function. Because the
+    stream terminates (availableNow) after draining every event, the final
+    update per user equals the batch lag-window oracle."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    events = streaming_events(spark, sf_dir)
+    updates = (
+        events.select("user_id", "ts", "value")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _user_stats_fn,
+            outputStructType=_USER_STATS_OUT,
+            stateStructType=_USER_STATS_STATE,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+    return run_to_memory(updates, output_mode="update")

@@ -1,0 +1,63 @@
+"""Unit test for the applyInPandasWithState update function's cross-batch
+state semantics: the max-gap tracker must carry the last-seen timestamp
+across micro-batches (the availableNow end-to-end run only ever sees one
+batch, so the boundary case needs a direct test)."""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from lakehouse_variance_spark.streaming.logs import _user_stats_fn
+
+
+class FakeState:
+    def __init__(self):
+        self.exists = False
+        self._value = None
+
+    @property
+    def get(self):
+        return self._value
+
+    def update(self, value):
+        self._value = value
+        self.exists = True
+
+
+def _batch(ts_seconds, values):
+    return pd.DataFrame(
+        {
+            "ts": pd.to_datetime(ts_seconds, unit="s"),
+            "value": values,
+        }
+    )
+
+
+def test_gap_spans_micro_batches():
+    state = FakeState()
+    # Batch 1: events at t=0s and t=10s (gap 10s within the batch).
+    out1 = list(_user_stats_fn((7,), iter([_batch([0, 10], [1.0, 2.0])]), state))
+    assert out1[0].iloc[0].to_dict() == {
+        "user_id": 7,
+        "n_events": 2,
+        "total_value": 3.0,
+        "max_gap_s": 10.0,
+    }
+    # Batch 2: one event at t=70s — the 60s gap exists ONLY across the
+    # batch boundary and must come from the stored last timestamp.
+    out2 = list(_user_stats_fn((7,), iter([_batch([70], [0.5])]), state))
+    assert out2[0].iloc[0].to_dict() == {
+        "user_id": 7,
+        "n_events": 3,
+        "total_value": 3.5,
+        "max_gap_s": 60.0,
+    }
+
+
+def test_out_of_order_within_batch_sorted_before_gaps():
+    state = FakeState()
+    out = list(
+        _user_stats_fn((1,), iter([_batch([30, 0, 35], [1.0, 1.0, 1.0])]), state)
+    )
+    # Sorted order 0,30,35 -> max gap 30s, not the raw-order 30s->0s jump.
+    assert out[0].iloc[0]["max_gap_s"] == 30.0
