@@ -1,0 +1,140 @@
+"""Physical data layout for 100 TB scale: partitioned writes, bucketed
+co-located joins, and skew salting.
+
+The reference delegates layout to Iceberg (512 MB target files,
+csv_to_iceberg.py:213; manifest-based pruning, import_tables.py:14-19). On
+Spark the same levers are:
+
+* **Partitioned parquet** — directory partitioning on a low-cardinality
+  derived key (e.g. ship month). Predicates on the partition key prune whole
+  directories at planning time (``PartitionFilters`` in the scan node), so a
+  one-month query over a 100 TB table touches ~1/84th of the files.
+* **Bucketed tables** — ``bucketBy(k)`` pre-shuffles rows by join key at
+  write time; two tables bucketed the same way join with NO exchange on
+  either side (the scan itself satisfies the required hash distribution).
+  This converts every repeated big-big join on the same key from a 2×100 TB
+  shuffle into a map-side zip of co-located buckets.
+* **Salting** — for skewed join keys, spread each hot key over N synthetic
+  sub-keys: the fact side gets a deterministic salt, the (smaller) build side
+  is replicated N×. The join then distributes a hot key's rows across N
+  tasks instead of one straggler. AQE's skew-join split handles moderate
+  skew automatically; salting is the explicit fallback for pathological keys.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from lakehouse_variance_spark.registry import register
+from lakehouse_variance_spark.tables import load_table
+
+
+def write_partitioned(
+    df: DataFrame, path: str, partition_cols: list[str], mode: str = "overwrite"
+) -> None:
+    """Directory-partitioned parquet write. Partition columns should be
+    low-cardinality derived keys (date buckets, tenant ids) — one directory
+    (and at least one file) per value, so a high-cardinality key would
+    produce a small-files explosion."""
+    df.write.mode(mode).partitionBy(*partition_cols).parquet(path)
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_cols: list[str],
+    n_buckets: int,
+    mode: str = "overwrite",
+) -> None:
+    """Hash-bucketed (and bucket-sorted) managed table. Reading two tables
+    bucketed by the same key with the same count joins shuffle-free; the
+    sort makes the merge join spill-free within each bucket."""
+    (
+        df.write.mode(mode)
+        .bucketBy(n_buckets, *bucket_cols)
+        .sortBy(*bucket_cols)
+        .format("parquet")
+        .saveAsTable(table)
+    )
+
+
+def scan_has_partition_filter(df: DataFrame) -> bool:
+    """True when the physical scan carries a non-empty PartitionFilters list
+    — i.e. the predicate prunes directories at planning time instead of
+    filtering rows after a full scan."""
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    for line in plan.splitlines():
+        if "PartitionFilters" in line:
+            inner = line.split("PartitionFilters: [", 1)[-1].split("]", 1)[0]
+            if inner.strip():
+                return True
+    return False
+
+
+def plan_exchange_count(df: DataFrame) -> int:
+    """Number of shuffle exchanges in the physical plan (bucketed joins
+    should show zero on the bucketed sides)."""
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    return sum(
+        1
+        for line in plan.splitlines()
+        if "Exchange hashpartitioning" in line or "Exchange rangepartitioning" in line
+    )
+
+
+def salted_join(
+    fact: DataFrame,
+    build: DataFrame,
+    key: str,
+    n_salts: int = 8,
+    salt_source: str | Column | None = None,
+) -> DataFrame:
+    """Inner equi-join with the fact side salted over ``n_salts`` sub-keys.
+
+    The salt is deterministic — a hash of ``salt_source`` (default: every
+    fact column), never ``rand()`` — so retried tasks re-derive identical
+    salts and results stay reproducible. The build side is replicated
+    ``n_salts``× via an explode (a narrow map; for a broadcast-sized build
+    side the replication is free because broadcast already copies it
+    everywhere — salting only pays off for shuffle joins of skewed big
+    tables)."""
+    if salt_source is None:
+        salt_source = F.xxhash64(*[F.col(c) for c in fact.columns])
+    elif isinstance(salt_source, str):
+        salt_source = F.xxhash64(salt_source)
+    salted_fact = fact.withColumn("_salt", F.pmod(salt_source, F.lit(n_salts)))
+    replicated = build.withColumn(
+        "_salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))
+    )
+    return salted_fact.join(replicated, [key, "_salt"]).drop("_salt")
+
+
+@register(
+    "skew_salted_join_agg",
+    oracle="""
+    SELECT o.o_orderpriority,
+           count(*) AS n_items,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    GROUP BY o.o_orderpriority
+    """,
+)
+def skew_salted_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact-to-dimension join executed through the salting path, then
+    aggregated — the explicit skew-mitigation plan for a pathological hot
+    key. Salting must be semantically invisible: the oracle is the plain
+    join, and the salted plan has to produce byte-identical aggregates."""
+    li = load_table(spark, sf_dir, "lineitem").withColumnRenamed(
+        "l_orderkey", "o_orderkey"
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority"
+    )
+    joined = salted_join(li, orders, "o_orderkey", n_salts=8)
+    return joined.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n_items"),
+        F.round(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+        ).alias("revenue"),
+    )

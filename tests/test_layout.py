@@ -1,0 +1,94 @@
+"""Physical-layout tests: partition pruning actually prunes, bucketed joins
+actually skip the shuffle, and salting is semantically invisible."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from lakehouse_variance_spark.sources.layout import (
+    plan_exchange_count,
+    salted_join,
+    scan_has_partition_filter,
+    write_bucketed,
+    write_partitioned,
+)
+from lakehouse_variance_spark.tables import load_table
+from tests.conftest import SF_DIR
+
+
+def test_partitioned_write_prunes(spark, tmp_path):
+    li = load_table(spark, SF_DIR, "lineitem").withColumn(
+        "ship_month", F.date_format("l_shipdate", "yyyy-MM")
+    )
+    path = str(tmp_path / "li_part")
+    write_partitioned(li, path, ["ship_month"])
+
+    back = spark.read.parquet(path)
+    pruned = back.filter(F.col("ship_month") == "1996-03")
+    assert scan_has_partition_filter(pruned)
+    # Pruning must not change results.
+    expected = li.filter(F.col("ship_month") == "1996-03").count()
+    assert pruned.count() == expected
+
+
+def test_unpartitioned_scan_has_no_partition_filter(spark):
+    li = load_table(spark, SF_DIR, "lineitem")
+    assert not scan_has_partition_filter(li.filter(F.col("l_quantity") > 10))
+
+
+def test_bucketed_join_skips_shuffle(spark):
+    li = load_table(spark, SF_DIR, "lineitem")
+    orders = load_table(spark, SF_DIR, "orders")
+    write_bucketed(li, "li_bkt", ["l_orderkey"], 4)
+    write_bucketed(
+        orders.withColumnRenamed("o_orderkey", "l_orderkey"), "ord_bkt",
+        ["l_orderkey"], 4,
+    )
+    try:
+        a, b = spark.table("li_bkt"), spark.table("ord_bkt")
+        # Disable broadcast so the join would otherwise shuffle both sides.
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            joined = a.join(b, "l_orderkey")
+            assert plan_exchange_count(joined) == 0
+            plain = li.join(
+                orders, li.l_orderkey == orders.o_orderkey
+            )
+            assert plan_exchange_count(plain) > 0
+            assert joined.count() == plain.count()
+        finally:
+            spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    finally:
+        spark.sql("DROP TABLE IF EXISTS li_bkt")
+        spark.sql("DROP TABLE IF EXISTS ord_bkt")
+
+
+def test_salted_join_equals_plain_join(spark):
+    li = load_table(spark, SF_DIR, "lineitem").withColumnRenamed(
+        "l_orderkey", "o_orderkey"
+    )
+    orders = load_table(spark, SF_DIR, "orders").select(
+        "o_orderkey", "o_orderpriority"
+    )
+    salted = salted_join(li, orders, "o_orderkey", n_salts=4)
+    plain = li.join(orders, "o_orderkey")
+    assert salted.count() == plain.count()
+    key = [f.name for f in salted.schema] == [f.name for f in plain.schema]
+    assert key
+    assert salted.exceptAll(plain).isEmpty()
+    assert plain.exceptAll(salted).isEmpty()
+
+
+def test_salt_distributes_hot_key(spark):
+    # One hot key joined through the salted path lands in several sub-keys.
+    hot = spark.range(1000).select(
+        F.lit(1).alias("k"), F.col("id").alias("payload")
+    )
+    dim = spark.createDataFrame([(1, "x")], "k int, attr string")
+    n_salts = 8
+    salted_fact = hot.withColumn(
+        "_salt", F.pmod(F.xxhash64(*[F.col(c) for c in hot.columns]), F.lit(n_salts))
+    )
+    used = salted_fact.select("_salt").distinct().count()
+    assert used == n_salts
+    assert salted_join(hot, dim, "k", n_salts=n_salts).count() == 1000
