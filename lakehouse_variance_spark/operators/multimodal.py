@@ -157,3 +157,68 @@ def media_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return frames.select(
         "doc_id", "frame_idx", F.decode(F.col("frame"), "UTF-8").alias("frame_text")
     )
+
+
+# ---------------------------------------------------------------------------
+# Feature extraction + resize plumbing
+# ---------------------------------------------------------------------------
+
+N_HIST_BINS = 16
+TARGET_BYTES = 256
+
+
+def feature_extract(media: DataFrame) -> DataFrame:
+    """Fixed-width feature vector per payload via Arrow-batched mapInPandas:
+    a 16-bin byte histogram (normalized) plus mean/std byte value — the
+    embedding-stage stand-in. A real pipeline swaps the histogram for a
+    model forward pass; the distributed shape (binary in, ``array<double>``
+    out, vectorized batches, no per-row Python) is identical."""
+    import numpy as np
+
+    def features(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, feats = [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["media"]):
+                arr = np.frombuffer(bytes(payload), dtype=np.uint8)
+                n = max(len(arr), 1)
+                hist = np.bincount(arr >> 4, minlength=N_HIST_BINS) / n
+                vec = np.concatenate(
+                    [hist, [arr.mean() if len(arr) else 0.0, arr.std() if len(arr) else 0.0]]
+                )
+                ids.append(doc_id)
+                feats.append(np.round(vec, 6).tolist())
+            yield pd.DataFrame({"doc_id": ids, "features": feats})
+
+    return media.select("doc_id", "media").mapInPandas(
+        features, "doc_id long, features array<double>"
+    )
+
+
+@register("media_feature_extract")
+def media_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-payload feature vectors (rows-only check; determinism and shape
+    asserted in tests/test_multimodal.py). At 100 TB this is the GPU/codec
+    stage: mapInPandas keeps it Arrow-batched and embarrassingly parallel,
+    and the output is exactly the embeddings layout similarity.py indexes."""
+    return feature_extract(media_table(spark, sf_dir))
+
+
+def resize_payload(media: DataFrame, target_bytes: int = TARGET_BYTES) -> DataFrame:
+    """Resize stub: clamp/pad every payload to a fixed byte budget and update
+    the metadata struct to match — JVM-side substring/rpad on binary-as-text,
+    no Python. A real image resize swaps in a codec UDF; the schema contract
+    (payload replaced, meta rewritten in place, everything else untouched)
+    is what downstream stages depend on."""
+    clamped = F.substring(F.col("media"), 1, target_bytes)
+    resized = F.when(
+        F.octet_length("media") >= target_bytes, clamped
+    ).otherwise(F.encode(F.rpad(F.decode("media", "UTF-8"), target_bytes, " "), "UTF-8"))
+    return media.withColumn("media", resized).withColumn(
+        "meta",
+        F.struct(
+            F.col("meta.format").alias("format"),
+            F.octet_length("media").alias("n_bytes"),
+            F.lit(TARGET_BYTES).alias("width"),
+            F.lit(1).alias("height"),
+        ),
+    )

@@ -1021,3 +1021,19 @@ def top_supplier_cte_max(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("total_revenue") == F.lit(max_rev))
         .select("s_suppkey", "s_name", "total_revenue")
     )
+
+
+@register("agg_approx_count_distinct")
+def agg_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog++ distinct counting — the 100 TB form of the reference's
+    12 count(DISTINCT) queries (q16.sql:2,22). Exact distinct needs a
+    full shuffle of every distinct value; the sketch is a fixed-size
+    mergeable state (map-side partial, tiny final merge), so cost is
+    independent of cardinality. Registered rows-only (the estimate is
+    engine-specific); the ±2% envelope vs exact is asserted in
+    tests/test_registry_oracle.py."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey", rsd=0.02).alias("approx_parts"),
+        F.count("*").alias("n_rows"),
+    )

@@ -37,3 +37,36 @@ def test_frame_sample_matches_stub(spark):
 def test_real_decode_is_gated():
     with pytest.raises(NotImplementedError, match="PIL"):
         multimodal.decode_real_image(b"\xff\xd8\xff")
+
+
+def test_feature_extract_deterministic_shape(spark):
+    import numpy as np
+
+    m = multimodal.media_table(spark, SF_DIR).limit(20)
+    feats = multimodal.feature_extract(m).collect()
+    assert len(feats) == 20
+    by_id = {r["doc_id"]: r["features"] for r in feats}
+    for doc_id, vec in by_id.items():
+        assert len(vec) == multimodal.N_HIST_BINS + 2
+        # Normalized histogram sums to ~1.
+        assert abs(sum(vec[: multimodal.N_HIST_BINS]) - 1.0) < 1e-4
+    # Determinism: recomputation yields identical vectors.
+    again = {r["doc_id"]: r["features"] for r in multimodal.feature_extract(m).collect()}
+    assert by_id == again
+    # Cross-check one vector against a direct numpy computation.
+    payload = bytes(m.filter(F.col("doc_id") == feats[0]["doc_id"]).collect()[0]["media"])
+    arr = np.frombuffer(payload, dtype=np.uint8)
+    expect_mean = round(float(arr.mean()), 6)
+    assert by_id[feats[0]["doc_id"]][multimodal.N_HIST_BINS] == expect_mean
+
+
+def test_resize_payload_clamps_and_pads(spark):
+    m = multimodal.media_table(spark, SF_DIR).limit(30)
+    resized = multimodal.resize_payload(m, multimodal.TARGET_BYTES)
+    rows = resized.select(
+        F.octet_length("media").alias("n"), "meta.n_bytes"
+    ).collect()
+    assert rows
+    for r in rows:
+        assert r["n"] == multimodal.TARGET_BYTES
+        assert r["n_bytes"] == multimodal.TARGET_BYTES

@@ -43,3 +43,23 @@ def test_entry_contract(spark):
     df = e.entry(spark)
     assert df.count() > 0
     assert set(e.oracle_sql()) <= set(e.queries())
+
+
+def test_approx_count_distinct_envelope(spark, duck):
+    """The HLL++ estimate must land within the configured 2% rsd (3 sigma)
+    of the exact distinct count per group."""
+    from lakehouse_variance_spark import registry
+
+    got = {
+        r["l_returnflag"]: r["approx_parts"]
+        for r in registry.QUERIES["agg_approx_count_distinct"](spark, SF_DIR).collect()
+    }
+    exact = dict(
+        duck.sql(
+            f"SELECT l_returnflag, count(DISTINCT l_partkey) "
+            f"FROM read_parquet('{SF_DIR}/lineitem.parquet') GROUP BY 1"
+        ).fetchall()
+    )
+    assert set(got) == set(exact)
+    for flag, est in got.items():
+        assert abs(est - exact[flag]) <= max(0.06 * exact[flag], 2)
