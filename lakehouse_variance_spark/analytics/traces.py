@@ -297,3 +297,90 @@ def trace_config_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
             "delta_cv_p99_pct",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Query-info flattener (EP3 step 2)
+# ---------------------------------------------------------------------------
+
+
+def flatten_query_info(docs: DataFrame, doc_col: str = "doc") -> DataFrame:
+    """Nested Trino query-info documents → one workload-log row per query
+    (reference ``make_lakehouse_workload_logs.sh:85-104``): pull
+    ``queryStats.{elapsedTime, executionTime, analysisTime,
+    resourceWaitingTime}``, convert Trino duration strings to float seconds,
+    and normalize ``"q96"``-style ids to integers.
+
+    JSON-path extraction + the duration parse are all JVM column
+    expressions — flattening a 100 TB trace archive is one narrow scan."""
+    from lakehouse_variance_spark.functions.durations import duration_to_seconds
+
+    def stat(field: str) -> F.Column:
+        return duration_to_seconds(
+            F.get_json_object(F.col(doc_col), f"$.queryStats.{field}")
+        )
+
+    qid = F.regexp_extract(
+        F.get_json_object(F.col(doc_col), "$.queryId"), r"q?(\d+)", 1
+    ).cast("bigint")
+    return docs.select(
+        qid.alias("query_id"),
+        F.round(stat("elapsedTime"), 6).alias("elapsed_s"),
+        F.round(stat("executionTime"), 6).alias("execution_s"),
+        F.round(stat("analysisTime"), 6).alias("planning_s"),
+        F.round(stat("resourceWaitingTime"), 6).alias("resource_waiting_s"),
+    )
+
+
+@register(
+    "trace_flatten_query_info",
+    oracle="""
+    WITH stats AS (
+        SELECT event_id,
+               CAST(printf('%.3f', value) AS DOUBLE) AS elapsed_mag,
+               (['ms', 's', 'm'])[CAST(event_id % 3 AS INT) + 1] AS elapsed_unit,
+               CAST(printf('%.3f', value * 0.8) AS DOUBLE) AS exec_mag,
+               CAST(printf('%.1f', value * 10) AS DOUBLE) AS plan_mag,
+               CAST(printf('%.2f', value * 5) AS DOUBLE) AS wait_mag
+        FROM events
+    )
+    SELECT event_id AS query_id,
+           round(elapsed_mag * CASE elapsed_unit WHEN 'ms' THEN 0.001
+                                                 WHEN 's' THEN 1.0
+                                                 ELSE 60.0 END, 6) AS elapsed_s,
+           round(exec_mag, 6)          AS execution_s,
+           round(plan_mag * 0.001, 6)  AS planning_s,
+           round(wait_mag * 0.001, 6)  AS resource_waiting_s
+    FROM stats
+    """,
+)
+def trace_flatten_query_info(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flattening demo on synthesized query-info docs: each event becomes a
+    nested JSON document whose queryStats carry Trino duration strings in
+    mixed units; the flattener must recover the exact printed magnitudes
+    (the oracle skips the string roundtrip — printf-then-CAST yields the
+    identical rounded value — so any parser drift fails the hash)."""
+    ev = load_table(spark, sf_dir, "events")
+    # Format widths are chosen so printf never has to round (value carries
+    # exactly 2 decimals, so value*0.8 has <=3 and value*5 has <=2): Java's
+    # format_string rounds HALF_UP while C printf rounds half-even, and an
+    # exact .5 boundary would diverge between the engines.
+    unit = F.element_at(
+        F.array(F.lit("ms"), F.lit("s"), F.lit("m")),
+        (F.pmod("event_id", F.lit(3)) + 1).cast("int"),
+    )
+    doc = F.concat(
+        F.lit('{"queryId": "q'),
+        F.col("event_id").cast("string"),
+        F.lit('", "queryStats": {"elapsedTime": "'),
+        F.format_string("%.3f", F.col("value")),
+        unit,
+        F.lit('", "executionTime": "'),
+        F.format_string("%.3f", F.col("value") * 0.8),
+        F.lit('s", "analysisTime": "'),
+        F.format_string("%.1f", F.col("value") * 10),
+        F.lit('ms", "resourceWaitingTime": "'),
+        F.format_string("%.2f", F.col("value") * 5),
+        F.lit('ms"}}'),
+    )
+    return flatten_query_info(ev.select(doc.alias("doc")))
