@@ -106,3 +106,76 @@ def run_workload(
             for rec in records:
                 f.write(json.dumps(rec) + "\n")
     return records
+
+
+# ---------------------------------------------------------------------------
+# Verbatim SQL-string execution (the reference's primary mode)
+# ---------------------------------------------------------------------------
+
+_SQL_TEXT_EXISTS_INTERVAL = """
+WITH shipped AS (
+    SELECT l_orderkey, min(l_shipdate) AS first_ship
+    FROM lineitem GROUP BY l_orderkey
+)
+SELECT o.o_orderpriority,
+       count(*) AS n_orders,
+       sum(CASE WHEN s.first_ship <= o.o_orderdate + INTERVAL '60' DAY
+                THEN 1 ELSE 0 END) AS shipped_60d
+FROM orders o
+JOIN shipped s ON s.l_orderkey = o.o_orderkey
+WHERE EXISTS (SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity > 45)
+  AND NOT EXISTS (SELECT 1 FROM lineitem l2
+                  WHERE l2.l_orderkey = o.o_orderkey
+                    AND l2.l_returnflag = 'R')
+GROUP BY o.o_orderpriority
+"""
+
+
+def register_sf_views(spark: SparkSession, sf_dir: str) -> None:
+    """Expose the scale-factor tables as temp views so verbatim SQL texts
+    (the reference executes its 99 queries as raw strings,
+    ``run_workload.py:38``) resolve against the same loaders the DataFrame
+    queries use."""
+    from lakehouse_variance_spark.tables import TABLE_NAMES, load_table
+
+    for name in TABLE_NAMES:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)
+
+
+def _register_sql_text_query() -> None:
+    from lakehouse_variance_spark.registry import register
+
+    @register(
+        "sql_text_exists_interval",
+        oracle="""
+        WITH shipped AS (
+            SELECT l_orderkey, min(l_shipdate) AS first_ship
+            FROM lineitem GROUP BY l_orderkey
+        )
+        SELECT o.o_orderpriority,
+               count(*) AS n_orders,
+               sum(CASE WHEN s.first_ship <= o.o_orderdate + INTERVAL 60 DAY
+                        THEN 1 ELSE 0 END) AS shipped_60d
+        FROM orders o
+        JOIN shipped s ON s.l_orderkey = o.o_orderkey
+        WHERE EXISTS (SELECT 1 FROM lineitem l
+                      WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity > 45)
+          AND NOT EXISTS (SELECT 1 FROM lineitem l2
+                          WHERE l2.l_orderkey = o.o_orderkey
+                            AND l2.l_returnflag = 'R')
+        GROUP BY o.o_orderpriority
+        """,
+    )
+    def sql_text_exists_interval(spark: SparkSession, sf_dir: str):
+        """Verbatim Trino-dialect SQL text through ``spark.sql`` — the
+        reference's execution mode (``run_workload.py:38``): CTE, EXISTS and
+        NOT EXISTS subqueries (Catalyst rewrites to semi/anti joins), and
+        ``INTERVAL '60' DAY`` date arithmetic, resolved against temp views of
+        the sf tables. Proves the engine runs the query *strings*, not just
+        DataFrame re-expressions."""
+        register_sf_views(spark, sf_dir)
+        return spark.sql(_SQL_TEXT_EXISTS_INTERVAL)
+
+
+_register_sql_text_query()

@@ -44,7 +44,7 @@ def load_all() -> None:
         textops,
     )
     from lakehouse_variance_spark.ml import predictor  # noqa: F401
-    from lakehouse_variance_spark.plans import features  # noqa: F401
+    from lakehouse_variance_spark.plans import features, runner  # noqa: F401
     from lakehouse_variance_spark.scheduling import queries  # noqa: F401
     from lakehouse_variance_spark.sources import layout, scrub  # noqa: F401
     from lakehouse_variance_spark.streaming import logs  # noqa: F401
