@@ -1037,3 +1037,48 @@ def agg_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.approx_count_distinct("l_partkey", rsd=0.02).alias("approx_parts"),
         F.count("*").alias("n_rows"),
     )
+
+
+@register(
+    "rollup_rank_within_parent",
+    oracle="""
+    WITH agg AS (
+        SELECT l_returnflag, l_linestatus,
+               grouping(l_returnflag) + grouping(l_linestatus) AS lochierarchy,
+               grouping(l_linestatus) AS g_status,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        FROM lineitem
+        GROUP BY ROLLUP (l_returnflag, l_linestatus))
+    SELECT l_returnflag, l_linestatus, lochierarchy, revenue,
+           rank() OVER (
+               PARTITION BY lochierarchy,
+                            CASE WHEN g_status = 0 THEN l_returnflag END
+               ORDER BY revenue DESC) AS rank_within_parent
+    FROM agg
+    """,
+)
+def rollup_rank_within_parent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS-q36-shaped hierarchy ranking: rank() partitioned by a
+    grouping()-derived expression over ROLLUP output (reference
+    q36.sql:5-11; same shape in q70/q86). The window's partition key is
+    computed FROM the grouping metadata — the trickiest window/rollup
+    interaction in the reference set."""
+    li = load_table(spark, sf_dir, "lineitem")
+    agg = li.rollup("l_returnflag", "l_linestatus").agg(
+        (
+            F.grouping("l_returnflag") + F.grouping("l_linestatus")
+        ).cast("int").alias("lochierarchy"),
+        F.grouping("l_linestatus").cast("int").alias("g_status"),
+        F.round(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+        ).alias("revenue"),
+    )
+    parent = F.when(F.col("g_status") == 0, F.col("l_returnflag"))
+    w = W.partitionBy("lochierarchy", parent).orderBy(F.col("revenue").desc())
+    return agg.select(
+        "l_returnflag",
+        "l_linestatus",
+        "lochierarchy",
+        "revenue",
+        F.rank().over(w).alias("rank_within_parent"),
+    )
