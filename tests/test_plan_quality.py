@@ -1,0 +1,53 @@
+"""Physical-plan quality gates: the plans we shipped are the plans we want.
+
+These assert the *shape* of the executed plan — filters reaching the scan,
+dimensions broadcast, columns pruned — so a refactor that silently degrades
+a plan (e.g. drops a broadcast to a sort-merge join, or blocks pushdown
+behind a non-deterministic expression) fails CI, not a 100 TB run."""
+
+from __future__ import annotations
+
+import re
+
+from lakehouse_variance_spark import registry
+from tests.conftest import SF_DIR
+
+registry.load_all()
+
+
+def _plan(spark, name: str) -> str:
+    df = registry.QUERIES[name](spark, SF_DIR)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_star_join_broadcasts_all_dimensions(spark):
+    plan = _plan(spark, "join_multiway_region")
+    assert plan.count("BroadcastHashJoin") >= 4
+    assert "SortMergeJoin" not in plan
+
+
+def test_filters_push_into_scans(spark):
+    plan = _plan(spark, "q1_pricing_summary")
+    pushed = re.findall(r"PushedFilters: \[([^\]]*)\]", plan)
+    assert any(p.strip() for p in pushed), "no pushed filters reached the scan"
+
+
+def test_column_pruning_reads_narrow_schema(spark):
+    # q1 touches 7 of lineitem's 11 columns; the scan must not read more.
+    plan = _plan(spark, "q1_pricing_summary")
+    scans = re.findall(r"FileScan parquet \[([^\]]*)\]", plan)
+    assert scans
+    cols = [c.split("#")[0] for c in scans[0].split(",")]
+    assert len(cols) <= 7
+
+
+def test_topk_uses_take_ordered(spark):
+    plan = _plan(spark, "topk_orders")
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_semi_anti_joins_are_joins_not_filters(spark):
+    semi = _plan(spark, "join_semi_exists")
+    anti = _plan(spark, "join_anti_not_exists")
+    assert "LeftSemi" in semi
+    assert "LeftAnti" in anti
