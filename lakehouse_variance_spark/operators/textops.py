@@ -150,3 +150,34 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     xxhash/murmur, so it is oracle-checkable)."""
     docs = load_table(spark, sf_dir, "documents")
     return docs.select("doc_id", F.expr(_FP_SPARK).cast("bigint").alias("fingerprint"))
+
+
+@register(
+    "text_normalize",
+    oracle="""
+    SELECT doc_id,
+           trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+                               ' +', ' ', 'g')) AS norm_text,
+           length(trim(regexp_replace(regexp_replace(lower(text),
+                                                     '[^a-z0-9 ]', ' ', 'g'),
+                                      ' +', ' ', 'g'))) AS norm_len
+    FROM documents
+    """,
+)
+def text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical text normalization for dedup/training pipelines: lowercase,
+    strip non-alphanumerics to spaces, collapse runs, trim — the standard
+    pre-pass before shingling/fingerprinting so near-dup detection ignores
+    case and punctuation. Pure regexp_replace: one narrow JVM map, no
+    shuffle, scales as a single scan."""
+    docs = load_table(spark, sf_dir, "documents")
+    norm = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9 ]", " "),
+            " +",
+            " ",
+        )
+    )
+    return docs.select(
+        "doc_id", norm.alias("norm_text"), F.length(norm).alias("norm_len")
+    )

@@ -61,3 +61,55 @@ def test_out_of_order_within_batch_sorted_before_gaps():
     )
     # Sorted order 0,30,35 -> max gap 30s, not the raw-order 30s->0s jump.
     assert out[0].iloc[0]["max_gap_s"] == 30.0
+
+
+def test_stream_file_sink_with_checkpoint(spark, tmp_path):
+    """End-to-end streaming to a DURABLE sink: availableNow file stream →
+    windowed aggregation → json file sink with a checkpoint directory (the
+    production layout; the memory sink used by the registry queries is
+    test-only). The written files must equal the batch aggregation."""
+    from lakehouse_variance_spark.streaming.logs import streaming_events
+    from lakehouse_variance_spark.tables import load_table
+    from pyspark.sql import functions as F
+    from tests.conftest import SF_DIR
+
+    events = streaming_events(spark, SF_DIR)
+    agg = (
+        events.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n")
+    )
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    q = (
+        agg.writeStream.format("json")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    got = spark.read.json(out).withColumn(
+        "window_start", F.to_timestamp("window_start")
+    )
+    batch = (
+        load_table(spark, SF_DIR, "events")
+        .groupBy(F.date_trunc("hour", "ts").alias("window_start"), "event_type")
+        .agg(F.count("*").alias("n"))
+    )
+    # Append mode only emits windows the watermark has closed; the trailing
+    # window(s) are withheld when the stream drains. So: every emitted row
+    # must equal its batch counterpart, and all windows closed by the final
+    # watermark (max_ts - 1h delay - 1h window) must have been emitted.
+    n_got = got.count()
+    assert n_got > 0
+    agreed = got.join(batch, ["window_start", "event_type", "n"]).count()
+    assert agreed == n_got, "emitted rows diverge from batch aggregation"
+    max_ts = load_table(spark, SF_DIR, "events").agg(F.max("ts")).collect()[0][0]
+    closed = batch.filter(
+        F.col("window_start")
+        < F.lit(max_ts) - F.expr("INTERVAL 2 HOURS")
+    ).count()
+    assert n_got >= closed, "watermark-closed windows missing from the sink"
