@@ -73,8 +73,9 @@ def run_to_memory(stream_df: DataFrame, output_mode: str = "complete") -> DataFr
     SELECT date_trunc('hour', ts) AS window_start,
            event_type,
            count(*) AS n,
-           round(avg(value), 4) AS avg_value,
-           round(sum(value), 2) AS sum_value
+           CAST(round(sum(CAST(round(value * 100) AS BIGINT)) * 100.0
+                      / count(*)) AS BIGINT) / 10000.0 AS avg_value,
+           sum(CAST(round(value * 100) AS BIGINT)) / 100.0 AS sum_value
     FROM events
     GROUP BY 1, 2
     """,
@@ -86,20 +87,34 @@ def stream_event_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     processes the whole table as one terminating stream, so the result must
     equal the batch GROUP BY date_trunc oracle."""
     events = streaming_events(spark, sf_dir)
+    # Aggregate in integer CENTS, not doubles: the fixture values carry
+    # exactly 2 decimals, so the cent sum is an exact integer — immune to
+    # partition-order float re-association AND to the engines' differing
+    # round() implementations (Spark rounds the double's decimal string
+    # HALF_UP; DuckDB multiplies and floors, with its own ulp noise — the
+    # two disagree on the same double at .00005 boundaries, observed at
+    # sf0.1). Every derived value below is a deterministic function of
+    # (integer cents, integer count), bit-identical across engines: the
+    # avg quotient is a rational with denominator n, so it is either an
+    # exact representable tie (both engines round away from zero) or at
+    # least 1/(2n) away from the boundary — never within an ulp of it.
+    cents = F.round(F.col("value") * 100).cast("long")
     agg = (
         events.withWatermark("ts", "1 hour")
         .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
         .agg(
             F.count("*").alias("n"),
-            F.round(F.avg("value"), 4).alias("avg_value"),
-            F.round(F.sum("value"), 2).alias("sum_value"),
+            F.sum(cents).alias("sum_cents"),
         )
         .select(
             F.col("w.start").alias("window_start"),
             "event_type",
             "n",
-            "avg_value",
-            "sum_value",
+            (
+                F.round(F.col("sum_cents") * 100.0 / F.col("n")).cast("long")
+                / 10000.0
+            ).alias("avg_value"),
+            (F.col("sum_cents") / 100.0).alias("sum_value"),
         )
     )
     return run_to_memory(agg)
