@@ -24,28 +24,36 @@ SLOT_SEC = RAW_SLOT_SEC // UPSAMPLE  # 60 s slots after upsampling
 N_RAW_SLOTS = 30 * 24 * 12  # 30 days of 5-minute readings
 N_SLOTS = N_RAW_SLOTS * UPSAMPLE
 
-# Shared oracle CTE bodies (DuckDB dialect).
+# Shared oracle CTE bodies (DuckDB dialect). The CI average is computed in
+# exact integer ten-thousandths (value has exactly 2 decimals → cent sums are
+# exact integers; the e4 quotient is a rational with denominator n, so it is
+# either an exact representable tie — both engines round away from zero — or
+# ≥ 1/(2n) from the boundary, never within a double ulp of it). The prefix is
+# then an exact BIGINT running sum. A plain round(avg(value), 4) diverged
+# between Spark and DuckDB at sf0.1: the engines disagree on the same double
+# at .00005 boundaries (decimal-string HALF_UP vs multiply-and-floor).
 _PREFIX_CTES = f"""
     series AS (
         SELECT CAST(floor((epoch(ts) - epoch(TIMESTAMP '{ORIGIN}')) / {RAW_SLOT_SEC})
                     AS BIGINT) AS slot5,
-               avg(value) AS ci
+               CAST(round(sum(CAST(round(value * 100) AS BIGINT)) * 100.0
+                          / count(*)) AS BIGINT) AS ci_e4
         FROM events GROUP BY 1
     ),
     grid AS (SELECT g.i AS slot5 FROM generate_series(0, {N_RAW_SLOTS - 1}) g(i)),
     dense AS (
-        SELECT grid.slot5, coalesce(series.ci, 0.0) AS ci
+        SELECT grid.slot5, coalesce(series.ci_e4, 0) AS ci_e4
         FROM grid LEFT JOIN series USING (slot5)
     ),
     fine AS (
-        SELECT slot5 * {UPSAMPLE} + u.i AS slot, ci
+        SELECT slot5 * {UPSAMPLE} + u.i AS slot, ci_e4
         FROM dense, generate_series(0, {UPSAMPLE - 1}) u(i)
     ),
     prefix AS (
-        SELECT slot, ci,
-               sum(ci) OVER (ORDER BY slot
-                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-                   AS prefix_incl
+        SELECT slot, ci_e4,
+               sum(ci_e4) OVER (ORDER BY slot
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS prefix_e4
         FROM fine
     )
 """
@@ -99,7 +107,7 @@ def event_workload(spark: SparkSession, sf_dir: str) -> DataFrame:
     "carbon_upsample_prefix",
     oracle=f"""
     WITH {_PREFIX_CTES}
-    SELECT slot, round(ci, 4) AS ci, round(prefix_incl, 4) AS prefix_ci
+    SELECT slot, ci_e4 / 10000.0 AS ci, prefix_e4 / 10000.0 AS prefix_ci
     FROM prefix
     """,
 )
@@ -107,12 +115,34 @@ def carbon_upsample_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CI series pipeline (reference ``carbon.py:4-75``): bucket readings to a
     dense 5-minute grid, upsample-by-repeat to 1-minute slots, prefix-sum via
     a running window. spark.range supplies the grid distributed; the only wide
-    op is the final ordered window."""
-    profile = carbon_profile(spark, sf_dir)
-    return profile.select(
+    op is the final ordered window. Arithmetic is exact-integer e4 throughout
+    (see _PREFIX_CTES comment) so the result is engine- and
+    partition-count-stable."""
+    from pyspark.sql import Window as W
+
+    ev = load_table(spark, sf_dir, "events")
+    spark_session = ev.sparkSession
+    origin_ts = F.unix_timestamp(F.lit(ORIGIN).cast("date").cast("timestamp"))
+    cents = F.round(F.col("value") * 100).cast("long")
+    bucketed = ev.groupBy(
+        F.floor((F.unix_timestamp("ts") - origin_ts) / RAW_SLOT_SEC).alias("slot5")
+    ).agg(
+        F.round(F.sum(cents) * 100.0 / F.count("*")).cast("long").alias("ci_e4")
+    )
+    grid = spark_session.range(N_RAW_SLOTS).withColumnRenamed("id", "slot5")
+    dense = grid.join(bucketed, "slot5", "left").select(
+        "slot5", F.coalesce("ci_e4", F.lit(0)).alias("ci_e4")
+    )
+    fine = dense.select(
+        "slot5",
+        "ci_e4",
+        F.explode(F.sequence(F.lit(0), F.lit(UPSAMPLE - 1))).alias("_o"),
+    ).select((F.col("slot5") * UPSAMPLE + F.col("_o")).alias("slot"), "ci_e4")
+    w = W.orderBy("slot").rowsBetween(W.unboundedPreceding, W.currentRow)
+    return fine.select(
         "slot",
-        F.round("ci", 4).alias("ci"),
-        F.round("prefix_incl", 4).alias("prefix_ci"),
+        (F.col("ci_e4") / 10000.0).alias("ci"),
+        (F.sum("ci_e4").over(w) / 10000.0).alias("prefix_ci"),
     )
 
 
