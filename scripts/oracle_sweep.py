@@ -1,0 +1,70 @@
+"""Oracle sweep at an arbitrary scale factor (default sf0.1).
+
+The driver's correctness gate runs at sf0.01 (`driver_sim.py`); this script
+repeats the same comparison at a larger SF to catch scale-dependent
+instabilities — float re-association across more partitions, engine
+round() divergence on denser value distributions (both bit us at sf0.1;
+see the integer-cents fixes in streaming/logs.py and scheduling/queries.py).
+
+Usage: python scripts/oracle_sweep.py [/root/testdata/sf0.1]
+"""
+
+import hashlib
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import duckdb
+
+from lakehouse_variance_spark import registry
+from lakehouse_variance_spark.session import build_session
+
+TABLES = (
+    "region nation customer supplier part orders lineitem events "
+    "documents embeddings"
+).split()
+
+
+def canon_hash(pdf) -> str:
+    pdf = pdf.reindex(sorted(pdf.columns), axis=1)
+    recs = [
+        "|".join(f"{v:.6g}" if isinstance(v, float) else str(v) for v in r)
+        for _, r in pdf.iterrows()
+    ]
+    return hashlib.md5("\n".join(sorted(recs)).encode()).hexdigest()
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    registry.load_all()
+    spark = build_session(app_name="oracle-sweep")
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    fails = []
+    for name in sorted(registry.ORACLES):
+        t0 = time.time()
+        try:
+            spdf = registry.QUERIES[name](spark, sf_dir).toPandas()
+            opdf = con.sql(registry.ORACLES[name]).df()
+            ok = canon_hash(spdf) == canon_hash(opdf) and len(spdf) == len(opdf)
+        except Exception as exc:  # noqa: BLE001 - report and continue
+            ok = False
+            print(f"  ERROR {name}: {str(exc)[:150]}")
+        if not ok:
+            fails.append(name)
+        print(
+            f"  {'MATCH' if ok else 'MISMATCH'} {name} ({time.time() - t0:.1f}s)",
+            flush=True,
+        )
+    print(f"sweep@{sf_dir}: {len(registry.ORACLES) - len(fails)} match, "
+          f"{len(fails)} mismatch {fails if fails else ''}")
+    return 1 if fails else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
