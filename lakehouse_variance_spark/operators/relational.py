@@ -1082,3 +1082,69 @@ def rollup_rank_within_parent(spark: SparkSession, sf_dir: str) -> DataFrame:
         "revenue",
         F.rank().over(w).alias("rank_within_parent"),
     )
+
+
+@register(
+    "join_market_share",
+    oracle="""
+    SELECT year(o.o_orderdate) AS o_year,
+           round(sum(CASE WHEN ns.n_name = 'NATION_1'
+                          THEN l.l_extendedprice * (1 - l.l_discount)
+                          ELSE 0 END), 2) AS nation_volume,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS total_volume,
+           round(sum(CASE WHEN ns.n_name = 'NATION_1'
+                          THEN l.l_extendedprice * (1 - l.l_discount)
+                          ELSE 0 END), 2)
+             / round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS mkt_share
+    FROM lineitem l
+    JOIN orders o    ON l.l_orderkey = o.o_orderkey
+    JOIN customer c  ON o.o_custkey = c.c_custkey
+    JOIN nation nc   ON c.c_nationkey = nc.n_nationkey
+    JOIN region r    ON nc.n_regionkey = r.r_regionkey AND r.r_name = 'ASIA'
+    JOIN supplier s  ON l.l_suppkey = s.s_suppkey
+    JOIN nation ns   ON s.s_nationkey = ns.n_nationkey
+    GROUP BY 1
+    """,
+)
+def join_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q8-shaped market share: the nation dimension joined in TWO
+    roles (customer's nation restricted by region, supplier's nation feeding
+    the conditional numerator), year extraction as the group key, and a
+    share ratio of conditional to total revenue (reference TPC-DS analogs:
+    multi-role date_dim joins in q2/q59; CASE-inside-agg in q36+).
+
+    Both nation copies and region broadcast; the mkt_share quotient divides
+    the two already-rounded (hence engine-stable) sums and is left
+    unrounded — identical doubles in, identical doubles out."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    nc = nation.select(
+        F.col("n_nationkey").alias("c_nationkey"), F.col("n_regionkey")
+    )
+    ns = nation.select(
+        F.col("n_nationkey").alias("s_nationkey"), F.col("n_name").alias("supp_nation")
+    )
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    nation_rev = F.when(F.col("supp_nation") == "NATION_1", rev).otherwise(F.lit(0.0))
+    joined = (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nc), "c_nationkey")
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(ns), "s_nationkey")
+    )
+    agg = joined.groupBy(F.year("o_orderdate").alias("o_year")).agg(
+        F.round(F.sum(nation_rev), 2).alias("nation_volume"),
+        F.round(F.sum(rev), 2).alias("total_volume"),
+    )
+    return agg.select(
+        "o_year",
+        "nation_volume",
+        "total_volume",
+        (F.col("nation_volume") / F.col("total_volume")).alias("mkt_share"),
+    )
