@@ -1148,3 +1148,25 @@ def join_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         "total_volume",
         (F.col("nation_volume") / F.col("total_volume")).alias("mkt_share"),
     )
+
+
+@register(
+    "set_union_distinct",
+    oracle="""
+    SELECT c_nationkey AS nationkey FROM customer
+    UNION
+    SELECT s_nationkey AS nationkey FROM supplier
+    """,
+)
+def set_union_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION with DISTINCT semantics (SQL's default UNION, complementing the
+    reference's dominant UNION ALL — q2.sql:9): Spark expresses it as
+    union + dropDuplicates, which Catalyst plans as a single hash-aggregate
+    over the concatenated children."""
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("nationkey")
+    )
+    supp = load_table(spark, sf_dir, "supplier").select(
+        F.col("s_nationkey").alias("nationkey")
+    )
+    return cust.union(supp).distinct()
