@@ -279,7 +279,11 @@ def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- SimHash ---------------------------------------------------------------
 
 SIMHASH_BITS = 64
-HAMMING_MAX = 8
+# Manku et al. (WWW'07) near-dup setting for 64-bit SimHash. With 4 banded
+# 16-bit chunks, pigeonhole guarantees any pair within Hamming distance 3
+# shares at least one chunk exactly (3 differing bits touch <= 3 chunks), so
+# the equi-join has FULL recall at this threshold.
+HAMMING_MAX = 3
 
 
 def simhash(sh: DataFrame) -> DataFrame:
@@ -304,12 +308,13 @@ def simhash(sh: DataFrame) -> DataFrame:
 
 @register("dedup_simhash")
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup pairs: Hamming distance <= 8 on 64-bit fingerprints
+    """SimHash near-dup pairs: Hamming distance <= 3 on 64-bit fingerprints
     (rows-only check; sanity-tested in tests/test_dedup.py).
 
-    Banded join on 16-bit chunks: any pair within Hamming distance 8 of a
-    64-bit code shares at least one of 4 chunks exactly (pigeonhole), so the
-    join is an equi-join on (chunk_id, chunk_value), never all-pairs."""
+    Banded join on 16-bit chunks: any pair within Hamming distance 3 of a
+    64-bit code shares at least one of 4 chunks exactly (pigeonhole: 3
+    differing bits can land in at most 3 of the 4 chunks), so the join is an
+    equi-join on (chunk_id, chunk_value) with full recall, never all-pairs."""
     docs = load_table(spark, sf_dir, "documents")
     fp = simhash(shingled(docs))
     chunks = fp.select(

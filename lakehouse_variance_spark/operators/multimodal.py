@@ -196,11 +196,16 @@ def feature_extract(media: DataFrame) -> DataFrame:
 
 @register("media_feature_extract")
 def media_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-payload feature vectors (rows-only check; determinism and shape
-    asserted in tests/test_multimodal.py). At 100 TB this is the GPU/codec
-    stage: mapInPandas keeps it Arrow-batched and embarrassingly parallel,
-    and the output is exactly the embeddings layout similarity.py indexes."""
-    return feature_extract(media_table(spark, sf_dir))
+    """Per-payload feature vectors, exploded to scalar (doc_id, dim_idx,
+    value) rows so every column is hashable for the correctness gate (the
+    array<double> form stays internal — similarity.py consumes it directly).
+    Rows-only check; determinism and shape asserted in
+    tests/test_multimodal.py. At 100 TB this is the GPU/codec stage:
+    mapInPandas keeps it Arrow-batched and embarrassingly parallel."""
+    feats = feature_extract(media_table(spark, sf_dir))
+    return feats.select(
+        "doc_id", F.posexplode("features").alias("dim_idx", "value")
+    )
 
 
 def resize_payload(media: DataFrame, target_bytes: int = TARGET_BYTES) -> DataFrame:

@@ -176,7 +176,7 @@ def agg_rollup_grouping(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT o_orderpriority,
            round(sum(CASE WHEN o_orderstatus = 'O' THEN o_totalprice ELSE 0 END), 2) AS open_total,
            round(sum(CASE WHEN o_orderstatus = 'F' THEN o_totalprice ELSE 0 END), 2) AS filled_total,
-           sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END)                      AS n_pending
+           CAST(sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT)      AS n_pending
     FROM orders
     GROUP BY o_orderpriority
     """,
@@ -376,7 +376,7 @@ def join_self_inequality(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT o_orderpriority,
            count(*) AS n_orders,
            round(sum(coalesce(rev, 0.0)), 2) AS total_revenue,
-           sum(CASE WHEN rev IS NULL THEN 1 ELSE 0 END) AS n_empty_orders
+           CAST(sum(CASE WHEN rev IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_empty_orders
     FROM orders LEFT JOIN (
         SELECT l_orderkey, sum(l_extendedprice * (1 - l_discount)) AS rev
         FROM lineitem WHERE l_quantity > 45 GROUP BY l_orderkey

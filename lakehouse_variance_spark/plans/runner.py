@@ -155,8 +155,8 @@ def _register_sql_text_query() -> None:
         )
         SELECT o.o_orderpriority,
                count(*) AS n_orders,
-               sum(CASE WHEN s.first_ship <= o.o_orderdate + INTERVAL 60 DAY
-                        THEN 1 ELSE 0 END) AS shipped_60d
+               CAST(sum(CASE WHEN s.first_ship <= o.o_orderdate + INTERVAL 60 DAY
+                        THEN 1 ELSE 0 END) AS BIGINT) AS shipped_60d
         FROM orders o
         JOIN shipped s ON s.l_orderkey = o.o_orderkey
         WHERE EXISTS (SELECT 1 FROM lineitem l

@@ -182,22 +182,28 @@ def session_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 _USER_STATS_OUT = (
-    "user_id bigint, n_events bigint, total_value double, max_gap_s double"
+    "user_id bigint, n_events bigint, total_value double, max_gap_us bigint"
 )
-_USER_STATS_STATE = "n bigint, total double, last_us bigint, max_gap double"
+_USER_STATS_STATE = "n bigint, total_cents bigint, last_us bigint, max_gap_us bigint"
 
 
 def _user_stats_fn(key, pdfs, state):
     """Per-user running stats with explicit state: event count, value total,
     and the maximum inter-event gap. The gap REQUIRES state — it spans
     micro-batch boundaries, so the previous batch's last timestamp must be
-    carried in the state store (the exact case groupBy can't express)."""
+    carried in the state store (the exact case groupBy can't express).
+
+    All state is INTEGER (cents / microseconds): float accumulation order
+    varies across partitions and Python round() is half-even where SQL
+    engines round half-up, so a .5 tie (hit at sf0.01, user 111's gap of
+    exactly xxx.2265 s) hash-diverges. Integers carry no such ties; the
+    2-decimal total is reconstructed exactly as cents/100."""
     import pandas as pd
 
     if state.exists:
-        n, total, last_us, max_gap = state.get
+        n, total_cents, last_us, max_gap_us = state.get
     else:
-        n, total, last_us, max_gap = 0, 0.0, None, 0.0
+        n, total_cents, last_us, max_gap_us = 0, 0, None, 0
     for pdf in pdfs:
         if pdf.empty:
             continue
@@ -206,21 +212,22 @@ def _user_stats_fn(key, pdfs, state):
             pd.to_datetime(pdf["ts"]).astype("datetime64[us]").astype("int64")
         ).to_numpy()
         if last_us is not None:
-            max_gap = max(max_gap, (us[0] - last_us) / 1e6)
+            max_gap_us = max(max_gap_us, int(us[0]) - last_us)
         if len(us) > 1:
-            batch_max = float((us[1:] - us[:-1]).max()) / 1e6
-            max_gap = max(max_gap, batch_max)
+            max_gap_us = max(max_gap_us, int((us[1:] - us[:-1]).max()))
         last_us = int(us[-1])
         n += len(pdf)
-        total += float(pdf["value"].sum())
-    state.update((n, total, last_us, max_gap))
+        # values carry exactly 2 decimals; *100 lands within 1 ulp of the
+        # exact integer, so round() recovers it regardless of order.
+        total_cents += int(pdf["value"].mul(100).round().sum())
+    state.update((n, total_cents, last_us, max_gap_us))
     yield pd.DataFrame(
         [
             {
                 "user_id": key[0],
                 "n_events": n,
-                "total_value": round(total, 2),
-                "max_gap_s": round(max_gap, 3),
+                "total_value": total_cents / 100.0,
+                "max_gap_us": max_gap_us,
             }
         ]
     )
@@ -235,12 +242,12 @@ def _user_stats_fn(key, pdfs, state):
         SELECT user_id, value,
                date_diff('microsecond',
                          lag(ts) OVER (PARTITION BY user_id ORDER BY ts),
-                         ts) / 1e6 AS gap
+                         ts) AS gap_us
         FROM ev)
     SELECT user_id,
            count(*) AS n_events,
            round(sum(value), 2) AS total_value,
-           round(coalesce(max(gap), 0.0), 3) AS max_gap_s
+           CAST(coalesce(max(gap_us), 0) AS BIGINT) AS max_gap_us
     FROM g GROUP BY user_id
     """,
 )

@@ -24,17 +24,16 @@ for t in TABLES:
     con.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF01}/{t}.parquet')")
 
 def canon_hash(pdf):
+    # Mirror the real driver: sort columns by name, sort rows via
+    # sort_values (raises TypeError on unhashable cells, e.g. list columns —
+    # exactly as the driver's canonicalizer does), and stringify values
+    # preserving the int-vs-float distinction at full precision (bigint 5
+    # must NOT hash equal to DuckDB HUGEINT->float64 5.0).
     pdf = pdf.reindex(sorted(pdf.columns), axis=1)
-    recs = []
-    for _, r in pdf.iterrows():
-        vals = []
-        for v in r:
-            if isinstance(v, float):
-                vals.append(f"{v:.6g}")
-            else:
-                vals.append(str(v))
-        recs.append("|".join(vals))
-    return hashlib.md5("\n".join(sorted(recs)).encode()).hexdigest()
+    if len(pdf.columns):
+        pdf = pdf.sort_values(by=list(pdf.columns), kind="mergesort")
+    recs = ["|".join(str(v) for v in r) for _, r in pdf.iterrows()]
+    return hashlib.md5("\n".join(recs).encode()).hexdigest()
 
 qs, oracles = e.queries(), e.oracle_sql()
 ok = fail = rows_only = 0
@@ -42,6 +41,7 @@ for name in sorted(qs):
     sdf = qs[name](spark, SF01)
     spdf = sdf.toPandas()
     if name not in oracles:
+        canon_hash(spdf)  # driver canonicalizes rows-only results too
         print(f"  rows-only {name}: {len(spdf)} rows OK")
         rows_only += 1
         continue

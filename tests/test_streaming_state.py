@@ -41,7 +41,7 @@ def test_gap_spans_micro_batches():
         "user_id": 7,
         "n_events": 2,
         "total_value": 3.0,
-        "max_gap_s": 10.0,
+        "max_gap_us": 10_000_000,
     }
     # Batch 2: one event at t=70s — the 60s gap exists ONLY across the
     # batch boundary and must come from the stored last timestamp.
@@ -50,7 +50,7 @@ def test_gap_spans_micro_batches():
         "user_id": 7,
         "n_events": 3,
         "total_value": 3.5,
-        "max_gap_s": 60.0,
+        "max_gap_us": 60_000_000,
     }
 
 
@@ -60,7 +60,7 @@ def test_out_of_order_within_batch_sorted_before_gaps():
         _user_stats_fn((1,), iter([_batch([30, 0, 35], [1.0, 1.0, 1.0])]), state)
     )
     # Sorted order 0,30,35 -> max gap 30s, not the raw-order 30s->0s jump.
-    assert out[0].iloc[0]["max_gap_s"] == 30.0
+    assert out[0].iloc[0]["max_gap_us"] == 30_000_000
 
 
 def test_stream_file_sink_with_checkpoint(spark, tmp_path):
