@@ -52,6 +52,18 @@ def shingled(docs: DataFrame) -> DataFrame:
     )
 
 
+def shingle_hashes(docs: DataFrame) -> DataFrame:
+    """(doc_id, h) pairs — each distinct shingle reduced to its 64-bit
+    xxhash64 at the source. Every downstream stage (counts, inverted-index
+    self-join, MinHash, verification) only needs shingle EQUALITY, so the
+    ~25-byte string is dropped before any shuffle: the exchanged row is two
+    longs (16 bytes), a 2-3× shuffle-byte cut that compounds at 100 TB. A
+    64-bit collision between distinct shingles inside one compared pair
+    (probability ~n²·2⁻⁶⁴) is the accepted error, same as the MinHash tier
+    which already keys on this hash."""
+    return shingled(docs).select("doc_id", F.xxhash64("shingle").alias("h"))
+
+
 def _shingle_counts(pairs: DataFrame) -> DataFrame:
     return pairs.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
 
@@ -105,16 +117,18 @@ def dedup_shingle_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Inverted-index self-join: only documents sharing at least one shingle
     become candidate pairs, so cost tracks the true overlap structure. The
-    per-shingle fan-out is the skew risk at scale — mitigated by dropping
-    ultra-frequent shingles (stop-shingles) before the join, the same
-    prefix-filtering idea used by fuzzy-join systems."""
+    join keys on the 64-bit shingle hash (see shingle_hashes) so the shuffle
+    carries 16-byte rows, not strings. The per-shingle fan-out is the skew
+    risk at scale — mitigated by dropping ultra-frequent shingles
+    (stop-shingles) before the join, the same prefix-filtering idea used by
+    fuzzy-join systems."""
     docs = load_table(spark, sf_dir, "documents")
-    sh = shingled(docs)
+    sh = shingle_hashes(docs)
     counts = _shingle_counts(sh)
     a = sh.withColumnRenamed("doc_id", "doc_a")
     b = sh.withColumnRenamed("doc_id", "doc_b")
     common = (
-        a.join(b, "shingle")
+        a.join(b, "h")
         .filter(F.col("doc_a") < F.col("doc_b"))
         .groupBy("doc_a", "doc_b")
         .agg(F.count("*").alias("n_common"))
@@ -146,13 +160,13 @@ _HASH_B = [(i * 40503 + 12345) % _MERSENNE for i in range(1, 65)]
 
 
 def minhash_signatures(sh: DataFrame) -> DataFrame:
-    """Per-doc MinHash signature: min over shingles of h_i(shingle), where
-    h_i(x) = (a_i * base(x) + b_i) mod 2^31-1 and base = xxhash64(x).
+    """Per-doc MinHash signature over (doc_id, h) shingle-hash pairs:
+    min over shingles of h_i(x) = (a_i * base(x) + b_i) mod 2^31-1, with
+    base = the precomputed 64-bit shingle hash.
 
     One string hash per shingle instead of one per (shingle, permutation) —
     32x less hashing on the wide fact scan; everything JVM-side columnar."""
-    base = F.pmod(F.xxhash64("shingle"), F.lit(_MERSENNE))
-    hashed = sh.withColumn("h_base", base)
+    hashed = sh.withColumn("h_base", F.pmod(F.col("h"), F.lit(_MERSENNE)))
     mins = [
         F.min(
             F.pmod(F.col("h_base") * _HASH_A[i] + _HASH_B[i], F.lit(_MERSENNE))
@@ -197,23 +211,24 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     output is ~linear in true near-dups, so the exact-Jaccard verification
     only runs on that small candidate set."""
     docs = load_table(spark, sf_dir, "documents")
-    # The shingle table feeds four plan branches (signatures, counts, both
-    # sides of the verification join). localCheckpoint materializes it once —
-    # unlike cache() it bypasses the CacheManager, whose per-entry plan
-    # canonicalization costs grow across a long session, and its blocks are
-    # GC-reclaimed with the DataFrame.
-    sh = shingled(docs).localCheckpoint()
+    # The shingle-hash table feeds four plan branches (signatures, counts,
+    # both sides of the verification join). localCheckpoint materializes it
+    # once — unlike cache() it bypasses the CacheManager, whose per-entry
+    # plan canonicalization costs grow across a long session, and its blocks
+    # are GC-reclaimed with the DataFrame. Rows are two longs, so the
+    # checkpointed footprint is ~16 bytes/shingle.
+    sh = shingle_hashes(docs).localCheckpoint()
     candidates = lsh_candidates(minhash_signatures(sh))
     counts = _shingle_counts(sh)
     # Verify ONLY the candidate pairs: broadcast the (small) candidate set
-    # into the shingle table, then count shared shingles per pair — the big
-    # shingle self-join never materializes.
+    # into the shingle table, then count shared shingle hashes per pair —
+    # the big shingle self-join never materializes.
     a = sh.withColumnRenamed("doc_id", "doc_a")
     b = sh.withColumnsRenamed({"doc_id": "doc_b"})
     common = (
         F.broadcast(candidates)
         .join(a, "doc_a")
-        .join(b, ["doc_b", "shingle"])
+        .join(b, ["doc_b", "h"])
         .groupBy("doc_a", "doc_b")
         .agg(F.count("*").alias("n_common"))
     )
@@ -287,8 +302,9 @@ HAMMING_MAX = 3
 
 
 def simhash(sh: DataFrame) -> DataFrame:
-    """64-bit SimHash per doc: sign of the per-bit sum of shingle-hash bits."""
-    h = F.xxhash64("shingle")
+    """64-bit SimHash per doc over (doc_id, h) shingle-hash pairs: sign of
+    the per-bit sum of shingle-hash bits."""
+    h = F.col("h")
     bit_votes = [
         F.sum(
             F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
@@ -316,7 +332,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     differing bits can land in at most 3 of the 4 chunks), so the join is an
     equi-join on (chunk_id, chunk_value) with full recall, never all-pairs."""
     docs = load_table(spark, sf_dir, "documents")
-    fp = simhash(shingled(docs))
+    fp = simhash(shingle_hashes(docs))
     chunks = fp.select(
         "doc_id",
         "simhash",

@@ -202,7 +202,10 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     on (table, bucket), so compute tracks bucket occupancy instead of
     |corpus|²."""
     emb = _prepped(load_table(spark, sf_dir, "embeddings"), "vec_id", "embedding")
-    bucketed = _with_tables(emb)
+    # The bucketed index feeds two plan branches (query side + corpus side);
+    # localCheckpoint materializes it once so the Arrow-batched bucket UDF
+    # runs a single pass over the corpus instead of once per branch.
+    bucketed = _with_tables(emb).localCheckpoint()
     queries = bucketed.filter(F.col("vec_id") < N_QUERY_VECS).withColumnsRenamed(
         {"vec_id": "query_id", "v": "qv", "nrm": "qn"}
     )
