@@ -18,15 +18,17 @@ from lakehouse_variance_spark import registry
 from lakehouse_variance_spark.session import build_session
 
 # Headline set: one per operator family — aggregation, multiway join, window,
-# top-k, set op, correlated subquery, trace analytics, scheduling, session
-# windows, dedup (exact + shingle + LSH), similarity (brute force + LSH),
-# text analysis, multimodal fan-out.
+# full-outer cumulative, as-of join, top-k, set op, correlated subquery,
+# trace analytics, scheduling, session windows, dedup (exact + shingle +
+# LSH), similarity (brute force + LSH), text analysis, multimodal fan-out.
 HEADLINE_QUERIES = (
     "q1_pricing_summary",
     "join_topk_revenue",
     "join_multiway_region",
     "agg_rollup_grouping",
     "window_running_sum",
+    "window_fullouter_cumulative",
+    "asof_join_latest_click",
     "correlated_scalar_subquery",
     "qerror_metric",
     "set_union_all",

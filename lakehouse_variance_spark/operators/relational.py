@@ -1170,3 +1170,78 @@ def set_union_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("s_nationkey").alias("nationkey")
     )
     return cust.union(supp).distinct()
+
+
+@register(
+    "window_fullouter_cumulative",
+    oracle="""
+    WITH open_d AS (
+        SELECT o_orderpriority AS prio, CAST(o_orderdate AS DATE) AS day,
+               sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS cents
+        FROM orders WHERE o_orderstatus = 'O' GROUP BY 1, 2),
+    filled_d AS (
+        SELECT o_orderpriority AS prio, CAST(o_orderdate AS DATE) AS day,
+               sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS cents
+        FROM orders WHERE o_orderstatus = 'F' GROUP BY 1, 2),
+    open_c AS (
+        SELECT prio, day,
+               sum(cents) OVER (PARTITION BY prio ORDER BY day
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS open_cum_cents
+        FROM open_d),
+    filled_c AS (
+        SELECT prio, day,
+               sum(cents) OVER (PARTITION BY prio ORDER BY day
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS filled_cum_cents
+        FROM filled_d)
+    SELECT coalesce(o.prio, f.prio) AS prio,
+           coalesce(o.day, f.day) AS day,
+           o.open_cum_cents,
+           f.filled_cum_cents
+    FROM open_c o FULL OUTER JOIN filled_c f
+        ON o.prio = f.prio AND o.day = f.day
+    """,
+)
+def window_fullouter_cumulative(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q51 shape: two per-channel daily cumulative revenue series
+    (here: open vs filled orders) FULL OUTER JOINed on (priority, day) — the
+    one query in the reference set that needs a full outer join
+    (``q51.sql``), plus the ROWS-frame running sum it feeds.
+
+    Revenue accumulates as integer cents so the running sums are exact
+    bigints — engine-stable at any partition count (see the verify skill's
+    determinism note). Spark coalesces the USING-style join keys itself;
+    each branch is one partial-agg + one window over the same (prio-ranged)
+    sort, and the full outer join shuffles only the ~|days|x|priorities|
+    aggregated rows, never the fact table."""
+    orders = load_table(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("bigint")
+
+    def branch(status: str, out: str) -> DataFrame:
+        daily = (
+            orders.filter(F.col("o_orderstatus") == status)
+            .groupBy(
+                F.col("o_orderpriority").alias("prio"),
+                F.col("o_orderdate").cast("date").alias("day"),
+            )
+            .agg(F.sum(cents).alias("cents"))
+        )
+        w = (
+            W.partitionBy("prio")
+            .orderBy("day")
+            .rowsBetween(W.unboundedPreceding, W.currentRow)
+        )
+        # Group at day granularity but emit TIMESTAMP: DuckDB DATE arrives
+        # in pandas as datetime64, and Spark DateType as datetime.date —
+        # same value, different canonical string. Timestamp on both sides
+        # renders identically.
+        return daily.select(
+            "prio",
+            F.col("day").cast("timestamp").alias("day"),
+            F.sum("cents").over(w).alias(out),
+        )
+
+    open_c = branch("O", "open_cum_cents")
+    filled_c = branch("F", "filled_cum_cents")
+    return open_c.join(filled_c, ["prio", "day"], "full")

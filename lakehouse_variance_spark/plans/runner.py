@@ -131,6 +131,20 @@ WHERE EXISTS (SELECT 1 FROM lineitem l
 GROUP BY o.o_orderpriority
 """
 
+# Dialect-portable text: runs verbatim under BOTH Spark SQL and DuckDB, so
+# the oracle is literally the same string — the strongest form of the
+# "execute the query text, don't re-express it" parity check.
+_SQL_TEXT_ROLLUP_PIVOT = """
+SELECT o_orderpriority,
+       CAST(grouping(o_orderpriority) AS INT) AS g,
+       count(*) AS n_orders,
+       round(sum(o_totalprice), 2) AS total_price,
+       CAST(sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_open
+FROM orders
+GROUP BY ROLLUP (o_orderpriority)
+"""
+
 
 def register_sf_views(spark: SparkSession, sf_dir: str) -> None:
     """Expose the scale-factor tables as temp views so verbatim SQL texts
@@ -176,6 +190,15 @@ def _register_sql_text_query() -> None:
         DataFrame re-expressions."""
         register_sf_views(spark, sf_dir)
         return spark.sql(_SQL_TEXT_EXISTS_INTERVAL)
+
+    @register("sql_text_rollup_pivot", oracle=_SQL_TEXT_ROLLUP_PIVOT)
+    def sql_text_rollup_pivot(spark: SparkSession, sf_dir: str):
+        """Verbatim ROLLUP + grouping() + conditional-aggregate SQL text
+        (reference q36.sql:5-9, q22.sql:12 — 11 ROLLUP queries, 127 CASE
+        WHEN) through ``spark.sql``. The oracle is the IDENTICAL string
+        DuckDB executes — zero re-expression on either side."""
+        register_sf_views(spark, sf_dir)
+        return spark.sql(_SQL_TEXT_ROLLUP_PIVOT)
 
 
 _register_sql_text_query()

@@ -41,6 +41,7 @@ def load_all() -> None:
         multimodal,
         relational,
         similarity,
+        temporal,
         textops,
     )
     from lakehouse_variance_spark.ml import predictor  # noqa: F401

@@ -277,3 +277,41 @@ def stream_stateful_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return run_to_memory(updates, output_mode="update")
+
+
+@register(
+    "stream_static_join_dim",
+    oracle="""
+    SELECT c.c_mktsegment AS segment,
+           count(*) AS n_events,
+           sum(CAST(round(e.value * 100) AS BIGINT)) / 100.0 AS sum_value
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    GROUP BY 1
+    """,
+)
+def stream_static_join_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static join: the event stream enriched against the (batch)
+    customer dimension, then aggregated per market segment — the standard
+    Spark pattern for dimension lookups on unbounded data. The static side
+    is broadcast, so each micro-batch joins map-side with NO stream-side
+    shuffle before the aggregation; at 100 TB the dimension refreshes by
+    re-resolving the batch table per micro-batch (Spark re-plans the static
+    side each trigger). Value totals aggregate as integer cents (see
+    stream_event_window's determinism note)."""
+    events = streaming_events(spark, sf_dir)
+    dim = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"),
+        F.col("c_mktsegment").alias("segment"),
+    )
+    cents = F.round(F.col("value") * 100).cast("long")
+    agg = (
+        events.join(F.broadcast(dim), "user_id")
+        .groupBy("segment")
+        .agg(F.count("*").alias("n_events"), F.sum(cents).alias("sum_cents"))
+        .select(
+            "segment",
+            "n_events",
+            (F.col("sum_cents") / 100.0).alias("sum_value"),
+        )
+    )
+    return run_to_memory(agg)
