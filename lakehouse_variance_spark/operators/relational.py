@@ -1245,3 +1245,130 @@ def window_fullouter_cumulative(spark: SparkSession, sf_dir: str) -> DataFrame:
     open_c = branch("O", "open_cum_cents")
     filled_c = branch("F", "filled_cum_cents")
     return open_c.join(filled_c, ["prio", "day"], "full")
+
+
+@register(
+    "agg_pivot_wide",
+    oracle="""
+    SELECT o_orderpriority,
+           round(sum(CASE WHEN o_orderstatus = 'O' THEN o_totalprice END), 2)
+               AS open_total,
+           round(sum(CASE WHEN o_orderstatus = 'F' THEN o_totalprice END), 2)
+               AS filled_total,
+           round(sum(CASE WHEN o_orderstatus = 'P' THEN o_totalprice END), 2)
+               AS pending_total
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def agg_pivot_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The DataFrame ``pivot()`` relational operator (long→wide reshape) —
+    the API form of the reference's pervasive sum(CASE WHEN) pivot idiom
+    (q36.sql:9). Pivot values are listed EXPLICITLY: with them the plan is a
+    single pass (no extra distinct-values job) and deterministic column
+    order; absent cells stay NULL, matching ELSE-less CASE aggregation."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["O", "F", "P"])
+        .agg(F.round(F.sum("o_totalprice"), 2))
+        .withColumnsRenamed(
+            {"O": "open_total", "F": "filled_total", "P": "pending_total"}
+        )
+    )
+
+
+@register(
+    "set_except_all",
+    oracle="""
+    SELECT l_orderkey FROM lineitem WHERE l_returnflag = 'N'
+    EXCEPT ALL
+    SELECT l_orderkey FROM lineitem WHERE l_returnflag = 'R'
+    """,
+)
+def set_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT ALL — bag (multiset) semantics, complementing the
+    distinct-semantics set_except: each l_orderkey survives max(0, n_N - n_R)
+    times. SURVEY §7 flags q87's EXCEPT semantics as a hard part; covering
+    BOTH forms pins the engine's behavior against the oracle. Spark plans
+    exceptAll as a count-tagged aggregate + generate, not a pairwise join."""
+    li = load_table(spark, sf_dir, "lineitem")
+    n_side = li.filter(F.col("l_returnflag") == "N").select("l_orderkey")
+    r_side = li.filter(F.col("l_returnflag") == "R").select("l_orderkey")
+    return n_side.exceptAll(r_side)
+
+
+@register(
+    "time_rollup_multigrain",
+    oracle="""
+    WITH ev AS (
+        SELECT CAST(ts AS TIMESTAMP) AS ts,
+               CAST(round(value * 100) AS BIGINT) AS cents
+        FROM events),
+    hourly AS (
+        SELECT date_trunc('hour', ts) AS bucket,
+               count(*) AS n_events, sum(cents) AS cents
+        FROM ev GROUP BY 1)
+    SELECT 'hour' AS grain, bucket, n_events, cents / 100.0 AS sum_value
+    FROM hourly
+    UNION ALL
+    SELECT 'day', date_trunc('day', bucket),
+           CAST(sum(n_events) AS BIGINT), sum(cents) / 100.0
+    FROM hourly GROUP BY 2
+    UNION ALL
+    SELECT 'month', date_trunc('month', bucket),
+           CAST(sum(n_events) AS BIGINT), sum(cents) / 100.0
+    FROM hourly GROUP BY 2
+    """,
+)
+def time_rollup_multigrain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style continuous-aggregate rollup: the event stream
+    aggregated at hour/day/month grains in one result. The day and month
+    series RE-AGGREGATE the hourly partials instead of rescanning the fact
+    table — the hierarchical-rollup pattern that makes multi-grain
+    materialized views cheap at 100 TB (coarser grains cost |hourly| rows,
+    not |events|). Totals are integer cents, so every grain is exact."""
+    events = load_table(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100).cast("long")
+    # One fact-table scan; coarser grains derive from this result.
+    hourly = (
+        events.groupBy(F.date_trunc("hour", "ts").alias("bucket"))
+        .agg(F.count("*").alias("n_events"), F.sum(cents).alias("cents"))
+        .localCheckpoint()
+    )
+
+    def regrain(grain: str) -> DataFrame:
+        return (
+            hourly.groupBy(F.date_trunc(grain, "bucket").alias("bucket"))
+            .agg(F.sum("n_events").alias("n_events"), F.sum("cents").alias("cents"))
+            .select(
+                F.lit(grain).alias("grain"),
+                "bucket",
+                "n_events",
+                (F.col("cents") / 100.0).alias("sum_value"),
+            )
+        )
+
+    hour_out = hourly.select(
+        F.lit("hour").alias("grain"),
+        "bucket",
+        "n_events",
+        (F.col("cents") / 100.0).alias("sum_value"),
+    )
+    return hour_out.unionByName(regrain("day")).unionByName(regrain("month"))
+
+
+@register("agg_approx_percentiles")
+def agg_approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-based percentiles (Greenwald-Khanna) — the 100 TB form of
+    agg_percentiles: exact interpolated percentiles need a full sort per
+    group, the sketch is fixed-size mergeable state (map-side partial, tiny
+    final merge). Registered rows-only (the estimate is engine-specific);
+    the accuracy envelope vs the exact quantile is asserted in
+    tests/test_registry_oracle.py."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.percentile_approx("value", F.lit(0.50), F.lit(10000)).alias("p50_approx"),
+        F.percentile_approx("value", F.lit(0.99), F.lit(10000)).alias("p99_approx"),
+        F.count("*").alias("n"),
+    )

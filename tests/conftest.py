@@ -64,6 +64,18 @@ def assert_matches_oracle(spark_df, duck, sql: str, sf_dir: str) -> None:
     got = canonical(spark_df.toPandas())
     want = canonical(oracle_frame(duck, sql, sf_dir))
     assert len(got) == len(want), f"row count {len(got)} != oracle {len(want)}"
+    # The driver stringifies values, so bigint 5 vs DuckDB HUGEINT->float64
+    # 5.0 hash-MISMATCH even when numerically equal. Catch that class here
+    # rather than only at the driver: an int column on one side must not be
+    # float on the other (both-float is fine — nullable ints arrive as
+    # float64 from either engine).
+    for col in got.columns:
+        kinds = {got[col].dtype.kind, want[col].dtype.kind}
+        assert kinds != {"i", "f"}, (
+            f"{col}: int-vs-float dtype divergence (spark {got[col].dtype} vs "
+            f"oracle {want[col].dtype}) — the driver's value hash rejects this; "
+            f"CAST the oracle aggregate (DuckDB sum -> HUGEINT -> float64?)"
+        )
     pd.testing.assert_frame_equal(
         got, want, check_dtype=False, check_exact=False, rtol=1e-6, atol=1e-6
     )

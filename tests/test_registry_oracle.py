@@ -63,3 +63,26 @@ def test_approx_count_distinct_envelope(spark, duck):
     assert set(got) == set(exact)
     for flag, est in got.items():
         assert abs(est - exact[flag]) <= max(0.06 * exact[flag], 2)
+
+
+def test_approx_percentiles_envelope(spark, duck):
+    """The Greenwald-Khanna sketch at accuracy=10000 must land within the
+    exact quantile neighborhood: the estimate is some element whose rank is
+    within n/accuracy of the target rank, so compare against the exact
+    discrete quantile with a rank-derived value tolerance."""
+    rows = registry.QUERIES["agg_approx_percentiles"](spark, SF_DIR).collect()
+    exact = {
+        r[0]: (r[1], r[2])
+        for r in duck.sql(
+            f"SELECT event_type, quantile_disc(value, 0.50), "
+            f"quantile_disc(value, 0.99) "
+            f"FROM read_parquet('{SF_DIR}/events.parquet') GROUP BY 1"
+        ).fetchall()
+    }
+    assert {r["event_type"] for r in rows} == set(exact)
+    for r in rows:
+        p50, p99 = exact[r["event_type"]]
+        # value distribution is dense; n/10000 rank error stays within a
+        # small relative band of the exact discrete quantile.
+        assert abs(r["p50_approx"] - p50) <= max(0.05 * abs(p50), 0.5)
+        assert abs(r["p99_approx"] - p99) <= max(0.05 * abs(p99), 0.5)
