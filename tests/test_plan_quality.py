@@ -51,3 +51,41 @@ def test_semi_anti_joins_are_joins_not_filters(spark):
     anti = _plan(spark, "join_anti_not_exists")
     assert "LeftSemi" in semi
     assert "LeftAnti" in anti
+
+
+def test_fullouter_cumulative_joins_aggregates_not_facts(spark):
+    plan = _plan(spark, "window_fullouter_cumulative")
+    # The full outer join must run over the two AGGREGATED daily series
+    # (sort-merge on the composite key), never the orders fact table.
+    assert "FullOuter" in plan
+    # Each branch scans orders once: 2 fact scans total, both pruned to the
+    # 4 columns the branches need.
+    scans = re.findall(r"FileScan parquet \[([^\]]*)\]", plan)
+    assert len(scans) == 2
+    for s in scans:
+        assert len(s.split(",")) <= 4
+
+
+def test_pivot_is_single_scan_no_distinct_job(spark):
+    # Explicit pivot values -> ONE fact scan feeding (prio,status) pre-agg
+    # + pivotfirst, with no separate distinct-values job. (Omitting the
+    # value list would trigger an eager .distinct().collect() before the
+    # plan even builds.)
+    plan = _plan(spark, "agg_pivot_wide")
+    assert plan.count("FileScan parquet") == 1
+    assert "pivotfirst" in plan
+
+
+def test_except_all_avoids_pairwise_join(spark):
+    plan = _plan(spark, "set_except_all")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_time_rollup_reaggregates_partials(spark):
+    # day/month grains must derive from the checkpointed hourly partials:
+    # the returned plan re-reads the materialized RDD and never rescans the
+    # events fact table.
+    plan = _plan(spark, "time_rollup_multigrain")
+    assert "FileScan parquet" not in plan
+    assert plan.count("ExistingRDD") >= 3
