@@ -159,13 +159,16 @@ _HASH_A = [(2 * i + 1) * 2654435761 % _MERSENNE for i in range(1, 65)]
 _HASH_B = [(i * 40503 + 12345) % _MERSENNE for i in range(1, 65)]
 
 
-def minhash_signatures(sh: DataFrame) -> DataFrame:
+def minhash_signatures(sh: DataFrame, with_count: bool = False) -> DataFrame:
     """Per-doc MinHash signature over (doc_id, h) shingle-hash pairs:
     min over shingles of h_i(x) = (a_i * base(x) + b_i) mod 2^31-1, with
     base = the precomputed 64-bit shingle hash.
 
     One string hash per shingle instead of one per (shingle, permutation) —
-    32x less hashing on the wide fact scan; everything JVM-side columnar."""
+    32x less hashing on the wide fact scan; everything JVM-side columnar.
+    ``with_count`` folds the per-doc shingle count (``n_sh``) into the SAME
+    aggregation — one pass and one shuffle over the shingle table instead of
+    two, since Jaccard verification needs both outputs anyway."""
     hashed = sh.withColumn("h_base", F.pmod(F.col("h"), F.lit(_MERSENNE)))
     mins = [
         F.min(
@@ -173,7 +176,8 @@ def minhash_signatures(sh: DataFrame) -> DataFrame:
         ).alias(f"mh_{i}")
         for i in range(N_HASHES)
     ]
-    return hashed.groupBy("doc_id").agg(*mins)
+    extra = [F.count("*").alias("n_sh")] if with_count else []
+    return hashed.groupBy("doc_id").agg(*extra, *mins)
 
 
 def lsh_candidates(signatures: DataFrame) -> DataFrame:
@@ -218,8 +222,10 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # are GC-reclaimed with the DataFrame. Rows are two longs, so the
     # checkpointed footprint is ~16 bytes/shingle.
     sh = shingle_hashes(docs).localCheckpoint()
-    candidates = lsh_candidates(minhash_signatures(sh))
-    counts = _shingle_counts(sh)
+    # Signatures and shingle counts come out of ONE aggregation pass.
+    sig = minhash_signatures(sh, with_count=True).localCheckpoint()
+    candidates = lsh_candidates(sig)
+    counts = sig.select("doc_id", "n_sh")
     # Verify ONLY the candidate pairs: broadcast the (small) candidate set
     # into the shingle table, then count shared shingle hashes per pair —
     # the big shingle self-join never materializes.

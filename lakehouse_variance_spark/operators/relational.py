@@ -1372,3 +1372,29 @@ def agg_approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.percentile_approx("value", F.lit(0.99), F.lit(10000)).alias("p99_approx"),
         F.count("*").alias("n"),
     )
+
+
+@register(
+    "agg_collect_set_sorted",
+    oracle="""
+    SELECT o_orderpriority,
+           array_to_string(list_sort(list(DISTINCT o_orderstatus)), ',')
+               AS statuses,
+           CAST(count(DISTINCT o_orderstatus) AS BIGINT) AS n_statuses
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def agg_collect_set_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array aggregation: collect_set + sort_array + array_join — the
+    group-to-list operator family (small per-group domains only; at scale an
+    unbounded collect_list is the anti-pattern — pre-aggregate or cap with
+    slice). Emitted as a joined string: deterministic regardless of
+    accumulation order, and scalar for the value-hash gate."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderpriority").agg(
+        F.array_join(F.sort_array(F.collect_set("o_orderstatus")), ",").alias(
+            "statuses"
+        ),
+        F.countDistinct("o_orderstatus").alias("n_statuses"),
+    )
