@@ -123,7 +123,10 @@ def dedup_shingle_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     (stop-shingles) before the join, the same prefix-filtering idea used by
     fuzzy-join systems."""
     docs = load_table(spark, sf_dir, "documents")
-    sh = shingle_hashes(docs)
+    # Three plan branches consume the shingle table (both join sides +
+    # counts); materialize the explode once instead of recomputing it per
+    # branch (same rationale as dedup_minhash_lsh).
+    sh = shingle_hashes(docs).localCheckpoint()
     counts = _shingle_counts(sh)
     a = sh.withColumnRenamed("doc_id", "doc_a")
     b = sh.withColumnRenamed("doc_id", "doc_b")

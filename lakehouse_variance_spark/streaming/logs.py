@@ -315,3 +315,42 @@ def stream_static_join_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return run_to_memory(agg)
+
+
+@register(
+    "stream_dedup_exactly_once",
+    oracle="""
+    SELECT event_type,
+           count(*) AS n_events,
+           sum(CAST(round(value * 100) AS BIGINT)) / 100.0 AS sum_value
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def stream_dedup_exactly_once(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming deduplication: the source unioned with itself simulates
+    at-least-once (duplicate) delivery; ``dropDuplicatesWithinWatermark`` on
+    the event id restores exactly-once, so the per-type totals equal the
+    clean batch aggregation — which IS the oracle.
+
+    The within-watermark variant is the 100 TB form: plain streaming
+    dropDuplicates keeps every key forever, while this keeps only keys newer
+    than the event-time watermark, so state is bounded by the lateness
+    horizon x arrival rate regardless of stream lifetime. The deduped rows
+    land append-mode in the sink; the final rollup aggregates the sink
+    (chaining a second stateful aggregate after dedup would need
+    append-mode watermark semantics that withhold trailing windows)."""
+    doubled = streaming_events(spark, sf_dir).unionByName(
+        streaming_events(spark, sf_dir)
+    )
+    deduped = (
+        doubled.withWatermark("ts", "1 hour")
+        .dropDuplicatesWithinWatermark(["event_id"])
+        .select("event_id", "event_type", "value")
+    )
+    sink = run_to_memory(deduped, output_mode="append")
+    cents = F.round(F.col("value") * 100).cast("long")
+    return sink.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        (F.sum(cents) / 100.0).alias("sum_value"),
+    )
