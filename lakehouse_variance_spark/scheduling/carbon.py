@@ -77,15 +77,59 @@ def upsample(slots: DataFrame, factor: int) -> DataFrame:
     ).select((F.col("slot") * factor + F.col("_offset")).alias("slot"), "ci")
 
 
+PREFIX_BUCKET_WIDTH = 65536
+
+
+def distributed_prefix_sum(
+    df: DataFrame,
+    order_col: str,
+    value_col: str,
+    out_col: str,
+    bucket_width: int = PREFIX_BUCKET_WIDTH,
+) -> DataFrame:
+    """Running sum over a dense integer ``order_col`` WITHOUT a global
+    single-partition window — the two-pass scan algorithm:
+
+    1. Bucket rows by ``order_col div bucket_width``; compute the running
+       sum WITHIN each bucket (window partitioned by bucket → parallel).
+    2. Per-bucket totals (= max of the within-sum, reusing the same
+       partitioning) get an exclusive running sum — the only ordered global
+       window, over |rows|/bucket_width rows (a year of 1-second slots →
+       31M/65536 ≈ 480 rows), then broadcast back as each bucket's offset.
+
+    A naive ``Window.orderBy(order_col)`` moves ALL rows to one task
+    (Spark's WindowExec warns exactly this); here the big data only ever
+    sees a partitioned window plus a broadcast join. Exact for integer
+    values; for doubles the bucket-order re-association can differ from a
+    sequential scan by float noise.
+    """
+    bucket = F.floor(F.col(order_col) / bucket_width)
+    w_in = (
+        W.partitionBy("_b")
+        .orderBy(order_col)
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    stage1 = df.withColumn("_b", bucket).withColumn(
+        "_within", F.sum(value_col).over(w_in)
+    )
+    totals = stage1.groupBy("_b").agg(F.max("_within").alias("_tot"))
+    w_off = W.orderBy("_b").rowsBetween(W.unboundedPreceding, -1)
+    offsets = totals.select(
+        "_b", F.coalesce(F.sum("_tot").over(w_off), F.lit(0)).alias("_off")
+    )
+    return (
+        stage1.join(F.broadcast(offsets), "_b")
+        .withColumn(out_col, F.col("_within") + F.col("_off"))
+        .drop("_b", "_within", "_off")
+    )
+
+
 def with_prefix(slots: DataFrame) -> DataFrame:
     """Running sum so sum(ci[s:e]) = prefix_incl[e-1] - prefix_incl[s-1]
-    (reference ``carbon.py:70-75`` ``make_ci_prefix``).
-
-    The global ``Window.orderBy`` is a range-partitioned sort — fine for CI
-    series (even a year of seconds is tens of millions of narrow rows).
+    (reference ``carbon.py:70-75`` ``make_ci_prefix``), via the scalable
+    two-pass ``distributed_prefix_sum`` — no global single-partition window.
     """
-    w = W.orderBy("slot").rowsBetween(W.unboundedPreceding, W.currentRow)
-    return slots.withColumn("prefix_incl", F.sum("ci").over(w))
+    return distributed_prefix_sum(slots, "slot", "ci", "prefix_incl")
 
 
 def window_carbon_batch(

@@ -114,12 +114,11 @@ def event_workload(spark: SparkSession, sf_dir: str) -> DataFrame:
 def carbon_upsample_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CI series pipeline (reference ``carbon.py:4-75``): bucket readings to a
     dense 5-minute grid, upsample-by-repeat to 1-minute slots, prefix-sum via
-    a running window. spark.range supplies the grid distributed; the only wide
-    op is the final ordered window. Arithmetic is exact-integer e4 throughout
-    (see _PREFIX_CTES comment) so the result is engine- and
-    partition-count-stable."""
-    from pyspark.sql import Window as W
-
+    the two-pass ``carbon.distributed_prefix_sum`` (bucketed windows + a
+    broadcast offset join — never a global single-partition window).
+    Arithmetic is exact-integer e4 throughout (see _PREFIX_CTES comment) so
+    the result is engine-, partition-count-, and summation-order-stable —
+    which is also what licenses the two-pass reordering."""
     ev = load_table(spark, sf_dir, "events")
     spark_session = ev.sparkSession
     origin_ts = F.unix_timestamp(F.lit(ORIGIN).cast("date").cast("timestamp"))
@@ -138,11 +137,11 @@ def carbon_upsample_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ci_e4",
         F.explode(F.sequence(F.lit(0), F.lit(UPSAMPLE - 1))).alias("_o"),
     ).select((F.col("slot5") * UPSAMPLE + F.col("_o")).alias("slot"), "ci_e4")
-    w = W.orderBy("slot").rowsBetween(W.unboundedPreceding, W.currentRow)
-    return fine.select(
+    prefixed = carbon.distributed_prefix_sum(fine, "slot", "ci_e4", "prefix_e4")
+    return prefixed.select(
         "slot",
         (F.col("ci_e4") / 10000.0).alias("ci"),
-        (F.sum("ci_e4").over(w) / 10000.0).alias("prefix_ci"),
+        (F.col("prefix_e4") / 10000.0).alias("prefix_ci"),
     )
 
 

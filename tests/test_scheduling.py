@@ -98,3 +98,41 @@ def test_oracle_view(spark):
     w = _workload(spark, [("a", 9, 4)])
     row = schedulers.oracle_view(w).collect()[0]
     assert row["pred_slots"] == row["actual_slots"] == 4
+
+
+def test_distributed_prefix_sum_multi_bucket(spark):
+    """The two-pass prefix sum must equal a sequential scan across bucket
+    boundaries (bucket_width forced far below the row count)."""
+    n = 1000
+    rows = [(i, (i * 7) % 13) for i in range(n)]
+    df = spark.createDataFrame(rows, "slot long, v long")
+    got = {
+        r["slot"]: r["p"]
+        for r in carbon.distributed_prefix_sum(
+            df, "slot", "v", "p", bucket_width=64
+        ).collect()
+    }
+    acc = 0
+    for i, v in rows:
+        acc += v
+        assert got[i] == acc, f"slot {i}"
+
+
+def test_prefix_sum_has_no_global_window_over_rows(spark):
+    """The full-size window must be partitioned; only the bucket-totals
+    window (|rows|/bucket_width rows) may be unpartitioned."""
+    n = 1000
+    df = spark.createDataFrame([(i, 1) for i in range(n)], "slot long, v long")
+    plan = (
+        carbon.distributed_prefix_sum(df, "slot", "v", "p", bucket_width=64)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    import re
+    specs = re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
+    assert specs, "no window in plan"
+    # The full-size running sum partitions by the bucket column.
+    assert any(s.strip().startswith("_b") and "slot" in s for s in specs), specs
+    # Exactly one SinglePartition exchange: the |buckets|-row offsets path.
+    assert plan.count("Exchange SinglePartition") == 1
