@@ -77,7 +77,10 @@ def upsample(slots: DataFrame, factor: int) -> DataFrame:
     ).select((F.col("slot") * factor + F.col("_offset")).alias("slot"), "ci")
 
 
-PREFIX_BUCKET_WIDTH = 65536
+# Small enough that even the 43k-slot test series spans several buckets
+# (real parallelism at every scale); a year of 1-second slots still keeps
+# the offsets window tiny (31M/16384 ≈ 1.9k bucket rows).
+PREFIX_BUCKET_WIDTH = 16384
 
 
 def distributed_prefix_sum(
