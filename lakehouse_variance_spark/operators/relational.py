@@ -1398,3 +1398,55 @@ def agg_collect_set_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.countDistinct("o_orderstatus").alias("n_statuses"),
     )
+
+
+@register(
+    "join_yoy_revenue_ratio",
+    oracle="""
+    WITH yearly AS (
+        SELECT o_orderpriority AS prio,
+               CAST(year(o_orderdate) AS INT) AS yr,
+               sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS cents
+        FROM orders
+        GROUP BY 1, 2)
+    SELECT cur.prio,
+           cur.yr,
+           cur.cents / 100.0 AS revenue,
+           prev.cents / 100.0 AS prev_revenue,
+           round(cur.cents * 1.0 / prev.cents, 6) AS yoy_ratio
+    FROM yearly cur JOIN yearly prev
+        ON cur.prio = prev.prio AND cur.yr = prev.yr + 1
+    """,
+)
+def join_yoy_revenue_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q2/q74 shape: an aggregated CTE self-joined across adjacent
+    periods (year-over-year revenue ratio per priority). The self-join runs
+    over |priorities|x|years| aggregated rows — the fact table is scanned
+    once per branch and reduced before any join. Revenue aggregates as
+    integer cents, so the ratio is a quotient of exact integers: identical
+    in both engines, and round(x, 6) of it cannot sit near a boundary
+    (denominators are huge relative to 1e-6)."""
+    orders = load_table(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("bigint")
+    yearly = orders.groupBy(
+        F.col("o_orderpriority").alias("prio"),
+        F.year("o_orderdate").cast("int").alias("yr"),
+    ).agg(F.sum(cents).alias("cents"))
+    cur = yearly.withColumnsRenamed({"cents": "cur_cents"})
+    prev = yearly.withColumnsRenamed(
+        {"cents": "prev_cents", "yr": "prev_yr", "prio": "prev_prio"}
+    )
+    return (
+        cur.join(
+            prev,
+            (F.col("prio") == F.col("prev_prio"))
+            & (F.col("yr") == F.col("prev_yr") + 1),
+        )
+        .select(
+            "prio",
+            "yr",
+            (F.col("cur_cents") / 100.0).alias("revenue"),
+            (F.col("prev_cents") / 100.0).alias("prev_revenue"),
+            F.round(F.col("cur_cents") / F.col("prev_cents"), 6).alias("yoy_ratio"),
+        )
+    )
