@@ -181,3 +181,42 @@ def text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select(
         "doc_id", norm.alias("norm_text"), F.length(norm).alias("norm_len")
     )
+
+
+# GPT-2-style pre-tokenizer, restricted to the corpus's ASCII alphabet:
+# leading-space-attached letter runs, digit runs, and punctuation runs —
+# the segmentation BPE merges operate within. Identical RE2/Java semantics.
+_BPE_PRETOKEN_RE = r" ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 ]+"
+
+
+@register(
+    "text_bpe_pretokenize",
+    oracle=f"""
+    SELECT doc_id,
+           len(regexp_extract_all(text, '{_BPE_PRETOKEN_RE}'))  AS n_pretokens,
+           len(list_distinct(regexp_extract_all(text, '{_BPE_PRETOKEN_RE}')))
+               AS n_distinct_pretokens,
+           CAST(list_aggregate(list_transform(
+                    regexp_extract_all(text, '{_BPE_PRETOKEN_RE}'),
+                    t -> length(t)), 'sum') AS BIGINT) AS n_covered_chars
+    FROM documents
+    """,
+)
+def text_bpe_pretokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish token counting: the GPT-2 pre-tokenizer segmentation
+    (space-attached word / number / punctuation runs) as a pure regex
+    column expression — the unit BPE merge tables operate on, and the
+    honest train-token estimator (whitespace splitting undercounts
+    punctuation-heavy text). Narrow map, no shuffle, no Python."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.regexp_extract_all("text", F.lit(_BPE_PRETOKEN_RE), F.lit(0))
+    return docs.select(
+        "doc_id",
+        F.size(toks).cast("bigint").alias("n_pretokens"),
+        F.size(F.array_distinct(toks)).cast("bigint").alias("n_distinct_pretokens"),
+        F.aggregate(
+            F.transform(toks, lambda t: F.length(t).cast("bigint")),
+            F.lit(0).cast("bigint"),
+            lambda acc, x: acc + x,
+        ).alias("n_covered_chars"),
+    )
