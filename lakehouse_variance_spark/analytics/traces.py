@@ -384,3 +384,51 @@ def trace_flatten_query_info(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit('ms"}}'),
     )
     return flatten_query_info(ev.select(doc.alias("doc")))
+
+
+@register(
+    "pandas_mad_per_type",
+    oracle="""
+    WITH med AS (
+        SELECT event_type, median(value) AS med_value
+        FROM events GROUP BY event_type)
+    SELECT e.event_type,
+           count(*) AS n,
+           round(any_value(m.med_value), 4) AS median_value,
+           round(median(abs(e.value - m.med_value)), 4) AS mad_value
+    FROM events e JOIN med m USING (event_type)
+    GROUP BY e.event_type
+    """,
+)
+def pandas_mad_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust variance statistic (median absolute deviation) per event type
+    via grouped ``applyInPandas`` — the batch Pandas-UDAF operator class:
+    whole-group Arrow batches feed a vectorized pandas/NumPy function, for
+    statistics that need the full group in memory (order statistics of
+    derived quantities, which no built-in aggregate composes).
+
+    Scale shape: one shuffle on the group key, like any aggregate; the
+    constraint is max-single-group size fitting one task (fine for
+    |event types|; for high-cardinality keys use the built-in
+    percentile_approx path instead). Rounding is safe here: medians of
+    2-decimal values are multiples of 0.005 = even multiples of the
+    0.00005 rounding boundary, never on it."""
+    import pandas as pd
+
+    def mad(pdf: pd.DataFrame) -> pd.DataFrame:
+        med = pdf["value"].median()
+        return pd.DataFrame(
+            [
+                {
+                    "event_type": pdf["event_type"].iloc[0],
+                    "n": len(pdf),
+                    "median_value": round(med, 4),
+                    "mad_value": round((pdf["value"] - med).abs().median(), 4),
+                }
+            ]
+        )
+
+    ev = load_table(spark, sf_dir, "events").select("event_type", "value")
+    return ev.groupBy("event_type").applyInPandas(
+        mad, "event_type string, n bigint, median_value double, mad_value double"
+    )

@@ -1450,3 +1450,53 @@ def join_yoy_revenue_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("cur_cents") / F.col("prev_cents"), 6).alias("yoy_ratio"),
         )
     )
+
+
+@register(
+    "json_struct_parse",
+    oracle="""
+    SELECT event_type,
+           count(*) AS n,
+           CAST(sum(CAST(json_extract(props, '$.k') AS INT)) AS BIGINT) AS sum_k,
+           CAST(max(CAST(json_extract(props, '$.k') AS INT)) AS INT)    AS max_k
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def json_struct_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-ful JSON parsing: ``from_json`` with an explicit struct schema
+    (complementing path-extraction get_json_object — reference
+    make_lakehouse_workload_logs.sh:91-95 consumes nested docs both ways).
+    Parsing once into a typed struct beats per-field path extraction when
+    several fields are read: one parse, then free column pruning."""
+    ev = load_table(spark, sf_dir, "events")
+    parsed = ev.withColumn("p", F.from_json("props", "k INT"))
+    return parsed.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum("p.k").cast("bigint").alias("sum_k"),
+        F.max("p.k").cast("int").alias("max_k"),
+    )
+
+
+# Keep all of src0, half of src1, a quarter of src2, a tenth of src3;
+# every other source drops out of the mixture entirely.
+SAMPLE_FRACTIONS = {"src0": 1.0, "src1": 0.5, "src2": 0.25, "src3": 0.1}
+SAMPLE_SEED = 42
+
+
+@register("sample_stratified")
+def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified corpus downsampling: ``sampleBy`` with per-source
+    fractions and a fixed seed — the source-rebalancing primitive of a
+    training-data pipeline (upweight books/wiki, downweight crawl).
+    Per-row Bernoulli on a seeded hash: a narrow map, no shuffle, and the
+    SAME rows survive at any partitioning (rows-only check — the sampling
+    hash is engine-specific; determinism + per-stratum rates asserted in
+    tests/test_sampling.py). Sources absent from the fraction map drop out,
+    which is the select-your-mixture semantics."""
+    docs = load_table(spark, sf_dir, "documents")
+    sampled = docs.sampleBy("source", SAMPLE_FRACTIONS, seed=SAMPLE_SEED)
+    return sampled.groupBy("source").agg(
+        F.count("*").alias("n_sampled"),
+        F.min("doc_id").alias("first_doc_id"),
+    )
