@@ -12,7 +12,7 @@ re-association across partitions.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
@@ -1484,18 +1484,55 @@ SAMPLE_FRACTIONS = {"src0": 1.0, "src1": 0.5, "src2": 0.25, "src3": 0.1}
 SAMPLE_SEED = 42
 
 
-@register("sample_stratified")
+# Weyl-style multiplier for the sampling hash (Knuth's 2^32/phi). Products
+# stay < 2^63 for any realistic doc_id, so the arithmetic is exact int64.
+_SAMPLE_MULT = 2654435761
+_SAMPLE_MOD = 10000
+
+
+def _sample_bucket(id_col: Column) -> Column:
+    return F.pmod(id_col * F.lit(_SAMPLE_MULT) + F.lit(SAMPLE_SEED), F.lit(_SAMPLE_MOD))
+
+
+@register(
+    "sample_stratified",
+    oracle=f"""
+    SELECT source,
+           count(*) AS n_sampled,
+           min(doc_id) AS first_doc_id
+    FROM documents
+    WHERE (doc_id * {_SAMPLE_MULT} + {SAMPLE_SEED}) % {_SAMPLE_MOD} <
+          CASE source
+              WHEN 'src0' THEN 10000 WHEN 'src1' THEN 5000
+              WHEN 'src2' THEN 2500  WHEN 'src3' THEN 1000
+              ELSE 0 END
+    GROUP BY source
+    """,
+)
 def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Stratified corpus downsampling: ``sampleBy`` with per-source
-    fractions and a fixed seed — the source-rebalancing primitive of a
-    training-data pipeline (upweight books/wiki, downweight crawl).
-    Per-row Bernoulli on a seeded hash: a narrow map, no shuffle, and the
-    SAME rows survive at any partitioning (rows-only check — the sampling
-    hash is engine-specific; determinism + per-stratum rates asserted in
-    tests/test_sampling.py). Sources absent from the fraction map drop out,
-    which is the select-your-mixture semantics."""
+    """Stratified corpus downsampling by deterministic hash thresholding:
+    keep a row iff hash(doc_id) mod 10000 < fraction·10000 — the
+    source-rebalancing primitive of a training-data pipeline (upweight
+    books/wiki, downweight crawl), with sources absent from the mixture
+    dropping out entirely.
+
+    Hash thresholding, NOT ``df.sampleBy``: Spark's Bernoulli samplers seed
+    an RNG per PARTITION, so the surviving rows change whenever the input
+    layout changes — re-running after a repartition or compaction yields a
+    different corpus. The content-hash rule is a pure column expression
+    (narrow map, no shuffle) whose verdict per row is reproducible across
+    layouts, engines, and re-runs — which is also what makes it exactly
+    oracle-checkable and what a 100 TB pipeline needs for resumable,
+    auditable dataset builds."""
     docs = load_table(spark, sf_dir, "documents")
-    sampled = docs.sampleBy("source", SAMPLE_FRACTIONS, seed=SAMPLE_SEED)
+    threshold = F.when(F.lit(False), F.lit(0))
+    for src, frac in SAMPLE_FRACTIONS.items():
+        threshold = threshold.when(
+            F.col("source") == src, F.lit(int(frac * _SAMPLE_MOD))
+        )
+    sampled = docs.filter(
+        _sample_bucket(F.col("doc_id")) < threshold.otherwise(F.lit(0))
+    )
     return sampled.groupBy("source").agg(
         F.count("*").alias("n_sampled"),
         F.min("doc_id").alias("first_doc_id"),
