@@ -167,12 +167,18 @@ N_HIST_BINS = 16
 TARGET_BYTES = 256
 
 
-def feature_extract(media: DataFrame) -> DataFrame:
+def feature_extract(media: DataFrame, rounded: bool = True) -> DataFrame:
     """Fixed-width feature vector per payload via Arrow-batched mapInPandas:
     a 16-bin byte histogram (normalized) plus mean/std byte value — the
     embedding-stage stand-in. A real pipeline swaps the histogram for a
     model forward pass; the distributed shape (binary in, ``array<double>``
-    out, vectorized batches, no per-row Python) is identical."""
+    out, vectorized batches, no per-row Python) is identical.
+
+    ``rounded=False`` keeps raw IEEE values: the histogram dims are then
+    exact ``count/n`` quotients — correctly-rounded division of the same
+    integers any engine computes, hence bit-reproducible (the oracle-checked
+    projection below relies on this). The mean/std tail dims involve
+    re-associated float sums, so consumers compare those with tolerance."""
     import numpy as np
 
     def features(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -186,7 +192,7 @@ def feature_extract(media: DataFrame) -> DataFrame:
                     [hist, [arr.mean() if len(arr) else 0.0, arr.std() if len(arr) else 0.0]]
                 )
                 ids.append(doc_id)
-                feats.append(np.round(vec, 6).tolist())
+                feats.append((np.round(vec, 6) if rounded else vec).tolist())
             yield pd.DataFrame({"doc_id": ids, "features": feats})
 
     return media.select("doc_id", "media").mapInPandas(
@@ -194,18 +200,39 @@ def feature_extract(media: DataFrame) -> DataFrame:
     )
 
 
-@register("media_feature_extract")
+@register(
+    "media_feature_extract",
+    oracle=f"""
+    WITH bytes AS (
+        SELECT doc_id,
+               octet_length(encode(text)) AS n,
+               ascii(substring(text,
+                     CAST(unnest(generate_series(1, octet_length(encode(text))))
+                          AS INT), 1)) // 16 AS nibble
+        FROM documents),
+    dims AS (SELECT d.i AS dim_idx FROM generate_series(0, {N_HIST_BINS - 1}) d(i))
+    SELECT b.doc_id,
+           d.dim_idx,
+           count(*) FILTER (WHERE b.nibble = d.dim_idx) * 1.0 / any_value(b.n)
+               AS value
+    FROM bytes b CROSS JOIN dims d
+    GROUP BY b.doc_id, d.dim_idx
+    """,
+)
 def media_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-payload feature vectors, exploded to scalar (doc_id, dim_idx,
-    value) rows so every column is hashable for the correctness gate (the
-    array<double> form stays internal — similarity.py consumes it directly).
-    Rows-only check; determinism and shape asserted in
-    tests/test_multimodal.py. At 100 TB this is the GPU/codec stage:
-    mapInPandas keeps it Arrow-batched and embarrassingly parallel."""
-    feats = feature_extract(media_table(spark, sf_dir))
+    value) rows — the histogram dims only, UNROUNDED, because each is the
+    exact IEEE quotient count/n of integers both engines derive from the
+    same bytes (the corpus is ASCII, so the oracle re-counts high nibbles
+    relationally). The full vector incl. mean/std stays internal via
+    feature_extract — similarity.py consumes it directly; determinism and
+    shape asserted in tests/test_multimodal.py. At 100 TB this is the
+    GPU/codec stage: mapInPandas keeps it Arrow-batched and embarrassingly
+    parallel."""
+    feats = feature_extract(media_table(spark, sf_dir), rounded=False)
     return feats.select(
         "doc_id", F.posexplode("features").alias("dim_idx", "value")
-    )
+    ).filter(F.col("dim_idx") < N_HIST_BINS)
 
 
 def resize_payload(media: DataFrame, target_bytes: int = TARGET_BYTES) -> DataFrame:
