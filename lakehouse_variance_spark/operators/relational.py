@@ -1537,3 +1537,169 @@ def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_sampled"),
         F.min("doc_id").alias("first_doc_id"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q44 shape: best/worst double ranking joined on rank position
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "window_bestworst_rank",
+    oracle="""
+    WITH rev AS (
+        SELECT l_suppkey,
+               CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+                   AS rev_cents
+        FROM lineitem GROUP BY l_suppkey),
+    best AS (
+        SELECT l_suppkey, rev_cents,
+               row_number() OVER (ORDER BY rev_cents DESC, l_suppkey) AS rnk
+        FROM rev),
+    worst AS (
+        SELECT l_suppkey, rev_cents,
+               row_number() OVER (ORDER BY rev_cents ASC, l_suppkey) AS rnk
+        FROM rev)
+    SELECT b.rnk AS rnk,
+           sb.s_name AS best_supplier, b.rev_cents AS best_rev_cents,
+           sw.s_name AS worst_supplier, w.rev_cents AS worst_rev_cents
+    FROM best b
+    JOIN worst w ON w.rnk = b.rnk
+    JOIN supplier sb ON sb.s_suppkey = b.l_suppkey
+    JOIN supplier sw ON sw.s_suppkey = w.l_suppkey
+    WHERE b.rnk <= 10
+    """,
+)
+def window_bestworst_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q44 shape (reference q44.sql): the same aggregate ranked twice —
+    ascending and descending — and the two rankings joined on rank position
+    to pair best[i] with worst[i].
+
+    Revenue is summed as integer cents so the rank keys are exact, and ties
+    break on the supplier key so both engines produce the same permutation.
+    The rank windows are unpartitioned, but their input is the
+    supplier-grained aggregate (|suppliers| rows, ~1k at sf1), so the
+    single-partition sort is a dimension-sized task — the fact-table scan
+    underneath stays fully parallel. The two window branches and the
+    post-rank joins all reuse that one shuffled aggregate; the supplier name
+    lookups broadcast."""
+    li = load_table(spark, sf_dir, "lineitem")
+    sup = load_table(spark, sf_dir, "supplier")
+    cents = F.round(F.col("l_extendedprice") * 100).cast("bigint")
+    rev = li.groupBy("l_suppkey").agg(F.sum(cents).alias("rev_cents"))
+    best = rev.select(
+        F.col("l_suppkey").alias("best_sk"),
+        F.col("rev_cents").alias("best_rev_cents"),
+        F.row_number()
+        .over(W.orderBy(F.desc("rev_cents"), F.asc("l_suppkey")))
+        .alias("rnk"),
+    )
+    worst = rev.select(
+        F.col("l_suppkey").alias("worst_sk"),
+        F.col("rev_cents").alias("worst_rev_cents"),
+        F.row_number()
+        .over(W.orderBy(F.asc("rev_cents"), F.asc("l_suppkey")))
+        .alias("rnk"),
+    )
+    names = lambda side: F.broadcast(  # noqa: E731 — tiny dimension projection
+        sup.select(
+            F.col("s_suppkey").alias(f"{side}_sk"),
+            F.col("s_name").alias(f"{side}_supplier"),
+        )
+    )
+    return (
+        best.filter(F.col("rnk") <= 10)
+        .join(worst, "rnk")
+        .join(names("best"), "best_sk")
+        .join(names("worst"), "worst_sk")
+        .select(
+            "rnk",
+            "best_supplier",
+            "best_rev_cents",
+            "worst_supplier",
+            "worst_rev_cents",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q63/q58 shape: deviation from the analytic (window) average beyond a band
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "window_tolerance_band",
+    oracle="""
+    WITH m AS (
+        SELECT o_orderpriority AS prio,
+               date_trunc('month', o_orderdate) AS mon,
+               CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                   AS rev_cents
+        FROM orders GROUP BY 1, 2),
+    w AS (
+        SELECT prio, mon, rev_cents,
+               avg(rev_cents) OVER (PARTITION BY prio) AS avg_cents
+        FROM m)
+    SELECT prio, mon, rev_cents
+    FROM w
+    WHERE abs(rev_cents - avg_cents) / avg_cents > 0.1
+    """,
+)
+def window_tolerance_band(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q63/q53 shape (reference q63.sql: ``avg(x) OVER (PARTITION BY ...)``
+    compared against the row's own aggregate with a relative-deviation
+    filter): months whose revenue strays more than 10% from their priority
+    channel's average month.
+
+    Monthly revenue aggregates as integer cents, so ``avg`` over the window
+    is an exact bigint sum divided by an exact count — the same IEEE
+    quotient in any engine — and the band predicate is deterministic. The
+    window partitions on the channel (no single-partition sort), and its
+    input is the month-grained aggregate, not the fact table."""
+    orders = load_table(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("bigint")
+    m = orders.groupBy(
+        F.col("o_orderpriority").alias("prio"),
+        F.date_trunc("month", F.col("o_orderdate")).alias("mon"),
+    ).agg(F.sum(cents).alias("rev_cents"))
+    w = m.withColumn("avg_cents", F.avg("rev_cents").over(W.partitionBy("prio")))
+    deviation = F.abs(F.col("rev_cents") - F.col("avg_cents")) / F.col("avg_cents")
+    return w.filter(deviation > 0.1).select("prio", "mon", "rev_cents")
+
+
+# ---------------------------------------------------------------------------
+# q34/q73 shape: grouped count HAVING BETWEEN, joined back to the dimension
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "join_having_between",
+    oracle="""
+    WITH cnt AS (
+        SELECT o_custkey, count(*) AS n_orders
+        FROM orders
+        GROUP BY o_custkey
+        HAVING count(*) BETWEEN 8 AND 12
+    )
+    SELECT c.c_name AS c_name, cnt.n_orders AS n_orders
+    FROM cnt
+    JOIN customer c ON c.c_custkey = cnt.o_custkey
+    """,
+)
+def join_having_between(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q34/q73 shape (reference q34.sql: order counts per customer filtered
+    to a HAVING band, then joined back to the customer dimension for names).
+
+    The HAVING band filters at the aggregate — after map-side partial
+    combine, before the join — so the join input is already reduced to the
+    qualifying customers; the customer dimension broadcasts."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    cnt = (
+        orders.groupBy("o_custkey")
+        .agg(F.count("*").alias("n_orders"))
+        .filter(F.col("n_orders").between(8, 12))
+    )
+    return cnt.join(
+        F.broadcast(cust), F.col("c_custkey") == F.col("o_custkey")
+    ).select("c_name", "n_orders")

@@ -145,6 +145,21 @@ FROM orders
 GROUP BY ROLLUP (o_orderpriority)
 """
 
+# Dialect-portable text #2: chained INTERSECT (reference q38.sql:11,20 and
+# q14 — customers present in every channel/period; distinct set semantics).
+_SQL_TEXT_INTERSECT3 = """
+SELECT c.c_mktsegment AS c_mktsegment, count(*) AS n_loyal
+FROM (
+    SELECT o_custkey FROM orders WHERE EXTRACT(YEAR FROM o_orderdate) = 1996
+    INTERSECT
+    SELECT o_custkey FROM orders WHERE EXTRACT(YEAR FROM o_orderdate) = 1997
+    INTERSECT
+    SELECT o_custkey FROM orders WHERE EXTRACT(YEAR FROM o_orderdate) = 1998
+) loyal
+JOIN customer c ON c.c_custkey = loyal.o_custkey
+GROUP BY c.c_mktsegment
+"""
+
 
 def register_sf_views(spark: SparkSession, sf_dir: str) -> None:
     """Expose the scale-factor tables as temp views so verbatim SQL texts
@@ -199,6 +214,17 @@ def _register_sql_text_query() -> None:
         DuckDB executes — zero re-expression on either side."""
         register_sf_views(spark, sf_dir)
         return spark.sql(_SQL_TEXT_ROLLUP_PIVOT)
+
+    @register("sql_text_intersect3", oracle=_SQL_TEXT_INTERSECT3)
+    def sql_text_intersect3(spark: SparkSession, sf_dir: str):
+        """Verbatim chained-INTERSECT SQL text (reference q38.sql:11,20,
+        q14.sql — multi-period customer intersection with Trino's
+        DISTINCT-set semantics, the §7 hard part), run through ``spark.sql``
+        with the IDENTICAL string as the DuckDB oracle. Catalyst plans each
+        INTERSECT as a left-semi join after aggregating both sides
+        distinct."""
+        register_sf_views(spark, sf_dir)
+        return spark.sql(_SQL_TEXT_INTERSECT3)
 
 
 _register_sql_text_query()
