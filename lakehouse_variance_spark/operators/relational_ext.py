@@ -1,0 +1,464 @@
+"""Additional relational query shapes from the reference's TPC-DS surface.
+
+Round-3 widening of SURVEY.md §2A coverage: each query here reproduces a
+distinct TPC-DS query *shape* (cited per query against
+/root/reference/docker/trino-client/queries/) that the round-2 inventory did
+not yet exercise as a combined plan — disjunctive multi-table filters (q13),
+union-of-channels rollup (q5/q33/q66), multi-EXISTS customer profiling
+(q10/q35), combined semi+anti fact self-join (q94), day-gap bucket counts
+(q62/q99), scalar-subquery ratios (q90), full-outer overlap counts (q97) —
+plus the lag/lead/ntile/first_value window family as Spark-native extras.
+
+Scale notes are per-query; the common themes: aggregates stay map-side
+partial, dimension sides broadcast, fact-fact correlations key on the
+equi-join column so each shuffles exactly once on the same key, and every
+window partitions by a high-cardinality key (no global single-task windows).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from lakehouse_variance_spark.registry import register
+from lakehouse_variance_spark.tables import load_table
+
+
+@register(
+    "filter_or_of_ands",
+    oracle="""
+    SELECT o_orderpriority,
+           count(*) AS n_orders,
+           round(sum(o_totalprice), 2) AS total_price
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    WHERE (c_mktsegment = 'BUILDING'   AND o_totalprice BETWEEN 1000 AND 50000)
+       OR (c_mktsegment = 'MACHINERY'  AND o_totalprice BETWEEN 50000 AND 150000)
+       OR (c_mktsegment = 'AUTOMOBILE' AND o_orderstatus = 'F')
+    GROUP BY o_orderpriority
+    """,
+)
+def filter_or_of_ands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Large OR-of-ANDs disjunctive predicate spanning two tables (reference
+    q13.sql: three OR'd demographic/marital branches over a join).
+
+    The per-table conjuncts of each branch cannot individually push below the
+    join, but Catalyst extracts the common single-table implications
+    (o_totalprice range union, segment IN-list) and pushes those into the
+    scans; the residual disjunction evaluates post-join inside codegen."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    joined = orders.join(cust, orders.o_custkey == cust.c_custkey)
+    seg = F.col("c_mktsegment")
+    price = F.col("o_totalprice")
+    cond = (
+        ((seg == "BUILDING") & price.between(1000, 50000))
+        | ((seg == "MACHINERY") & price.between(50000, 150000))
+        | ((seg == "AUTOMOBILE") & (F.col("o_orderstatus") == "F"))
+    )
+    return (
+        joined.filter(cond)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+        )
+    )
+
+
+@register(
+    "union_channels_rollup",
+    oracle="""
+    WITH ch AS (
+        SELECT n.n_name AS nation, 'orders' AS channel,
+               o.o_totalprice AS amount
+        FROM orders o
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation n   ON c.c_nationkey = n.n_nationkey
+        UNION ALL
+        SELECT n.n_name AS nation, 'lineitem' AS channel,
+               l.l_extendedprice * (1 - l.l_discount) AS amount
+        FROM lineitem l
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        JOIN nation n   ON s.s_nationkey = n.n_nationkey
+    )
+    SELECT nation, channel,
+           GROUPING(nation)  AS g_nation,
+           GROUPING(channel) AS g_channel,
+           count(*) AS n_rows,
+           round(sum(amount), 2) AS total_amount
+    FROM ch
+    GROUP BY ROLLUP(nation, channel)
+    """,
+)
+def union_channels_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION ALL of per-channel revenue streams then ROLLUP totals — the
+    q5/q33/q56/q66 shape (channel CTEs unioned, then grouped with rollup;
+    reference q5.sql, q66.sql:7-30).
+
+    Each channel's dimension hops (customer→nation, supplier→nation)
+    broadcast; the union is a zero-shuffle bag concat, and the rollup is one
+    shuffle on the grouping key with map-side partials. grouping() columns
+    disambiguate rollup NULLs exactly as q36.sql:5-9 does."""
+    nation = F.broadcast(load_table(spark, sf_dir, "nation"))
+    cust = load_table(spark, sf_dir, "customer")
+    supp = F.broadcast(load_table(spark, sf_dir, "supplier"))
+    orders_ch = (
+        load_table(spark, sf_dir, "orders")
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .join(nation, F.col("c_nationkey") == F.col("n_nationkey"))
+        .select(
+            F.col("n_name").alias("nation"),
+            F.lit("orders").alias("channel"),
+            F.col("o_totalprice").alias("amount"),
+        )
+    )
+    lineitem_ch = (
+        load_table(spark, sf_dir, "lineitem")
+        .join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(nation, F.col("s_nationkey") == F.col("n_nationkey"))
+        .select(
+            F.col("n_name").alias("nation"),
+            F.lit("lineitem").alias("channel"),
+            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("amount"),
+        )
+    )
+    return (
+        orders_ch.unionByName(lineitem_ch)
+        .rollup("nation", "channel")
+        .agg(
+            F.grouping("nation").alias("g_nation"),
+            F.grouping("channel").alias("g_channel"),
+            F.count("*").alias("n_rows"),
+            F.round(F.sum("amount"), 2).alias("total_amount"),
+        )
+        .select(
+            "nation", "channel", "g_nation", "g_channel", "n_rows", "total_amount"
+        )
+    )
+
+
+@register(
+    "multi_exists_profile",
+    oracle="""
+    SELECT c_mktsegment,
+           count(*) AS n_active,
+           CAST(sum(CASE WHEN EXISTS (SELECT 1 FROM orders o
+                                      WHERE o.o_custkey = c.c_custkey)
+                         THEN 1 ELSE 0 END) AS BIGINT) AS with_orders,
+           CAST(sum(CASE WHEN EXISTS (SELECT 1 FROM events e
+                                      WHERE e.user_id = c.c_custkey)
+                         THEN 1 ELSE 0 END) AS BIGINT) AS with_events
+    FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+       OR EXISTS (SELECT 1 FROM events e WHERE e.user_id = c.c_custkey)
+    GROUP BY c_mktsegment
+    """,
+)
+def multi_exists_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customers existing in ANY of several activity tables, profiled per
+    segment — the q10/q35 shape (`EXISTS(store_sales) AND (EXISTS(web_sales)
+    OR EXISTS(catalog_sales))`, reference q10.sql:12-17, q35.sql:10-15).
+
+    Decorrelated form: each activity table reduces to its DISTINCT key set
+    (one map-side-combined shuffle each, output |keys| rows), left-joined to
+    customer as a boolean flag. An OR of EXISTS cannot plan as two stacked
+    semi-joins (that would be AND); flags + filter keep one pass and let the
+    CASE aggregates reuse the same join results the filter used."""
+    cust = load_table(spark, sf_dir, "customer")
+    order_keys = (
+        load_table(spark, sf_dir, "orders")
+        .select(F.col("o_custkey").alias("k"))
+        .distinct()
+        .withColumn("has_orders", F.lit(1))
+    )
+    event_keys = (
+        load_table(spark, sf_dir, "events")
+        .select(F.col("user_id").alias("k"))
+        .distinct()
+        .withColumn("has_events", F.lit(1))
+    )
+    flagged = (
+        cust.join(order_keys, cust.c_custkey == order_keys.k, "left")
+        .drop("k")
+        .join(event_keys, cust.c_custkey == event_keys.k, "left")
+        .drop("k")
+    )
+    return (
+        flagged.filter(
+            F.col("has_orders").isNotNull() | F.col("has_events").isNotNull()
+        )
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n_active"),
+            F.sum(F.coalesce(F.col("has_orders"), F.lit(0))).alias("with_orders"),
+            F.sum(F.coalesce(F.col("has_events"), F.lit(0))).alias("with_events"),
+        )
+    )
+
+
+@register(
+    "semi_anti_combined",
+    oracle="""
+    SELECT count(DISTINCT l1.l_orderkey) AS n_orders,
+           round(sum(l1.l_extendedprice * (1 - l1.l_discount)), 2) AS revenue
+    FROM lineitem l1
+    WHERE l1.l_returnflag <> 'R'
+      AND EXISTS (SELECT 1 FROM lineitem l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_returnflag = 'R')
+    """,
+)
+def semi_anti_combined(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated EXISTS + NOT EXISTS on the same fact table in one query —
+    the q94/q16 shape (orders with another shipment from a different
+    warehouse and no cancellation; reference q94.sql:10-18, q16.sql:14-21).
+
+    Both correlations key on l_orderkey: the semi join (different-supplier
+    sibling, inequality as residual) and the anti join (returned-line
+    existence) each shuffle on the SAME key as the final distinct-count, so
+    the whole plan is one key's worth of co-partitioning; no pair explosion
+    ever materializes."""
+    li = load_table(spark, sf_dir, "lineitem")
+    base = li.filter(F.col("l_returnflag") != "R")
+    sibling = li.select(
+        F.col("l_orderkey").alias("s_orderkey"), F.col("l_suppkey").alias("s_suppkey")
+    )
+    returned = li.filter(F.col("l_returnflag") == "R").select(
+        F.col("l_orderkey").alias("r_orderkey")
+    )
+    kept = (
+        base.join(
+            sibling,
+            (F.col("l_orderkey") == F.col("s_orderkey"))
+            & (F.col("l_suppkey") != F.col("s_suppkey")),
+            "left_semi",
+        )
+        .join(returned, F.col("l_orderkey") == F.col("r_orderkey"), "left_anti")
+    )
+    return kept.agg(
+        F.countDistinct("l_orderkey").alias("n_orders"),
+        F.round(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+        ).alias("revenue"),
+    )
+
+
+@register(
+    "daygap_bucket_counts",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(sum(CASE WHEN gap_days < 0                THEN 1 ELSE 0 END) AS BIGINT) AS early,
+           CAST(sum(CASE WHEN gap_days BETWEEN 0 AND 30   THEN 1 ELSE 0 END) AS BIGINT) AS d0_30,
+           CAST(sum(CASE WHEN gap_days BETWEEN 31 AND 90  THEN 1 ELSE 0 END) AS BIGINT) AS d31_90,
+           CAST(sum(CASE WHEN gap_days BETWEEN 91 AND 365 THEN 1 ELSE 0 END) AS BIGINT) AS d91_365,
+           CAST(sum(CASE WHEN gap_days > 365              THEN 1 ELSE 0 END) AS BIGINT) AS d_over_365,
+           count(*) AS n_lines
+    FROM (
+        SELECT o.o_orderpriority,
+               datediff('day', CAST(o.o_orderdate AS DATE),
+                        CAST(l.l_shipdate AS DATE)) AS gap_days
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    )
+    GROUP BY o_orderpriority
+    """,
+)
+def daygap_bucket_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-gap bucketing with one CASE-count column per latency band — the
+    q62/q99 shape (`sum(case when ship_date - sold_date <= 30 days …)` per
+    group; reference q99.sql:8-18, q62.sql:8-18).
+
+    The fact-fact join keys on orderkey (single co-partitioned shuffle); the
+    bucket CASEs are branch-free codegen over the datediff, and the wide
+    count vector aggregates map-side, so the shuffle carries |groups| rows
+    regardless of fact size."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    gap = F.datediff(
+        F.col("l_shipdate").cast("date"), F.col("o_orderdate").cast("date")
+    )
+    joined = li.join(orders, F.col("l_orderkey") == F.col("o_orderkey")).select(
+        "o_orderpriority", gap.alias("gap_days")
+    )
+    g = F.col("gap_days")
+
+    def bucket(cond, name: str):
+        return F.sum(F.when(cond, 1).otherwise(0)).alias(name)
+
+    return joined.groupBy("o_orderpriority").agg(
+        bucket(g < 0, "early"),
+        bucket(g.between(0, 30), "d0_30"),
+        bucket(g.between(31, 90), "d31_90"),
+        bucket(g.between(91, 365), "d91_365"),
+        bucket(g > 365, "d_over_365"),
+        F.count("*").alias("n_lines"),
+    )
+
+
+@register(
+    "scalar_ratio_am_pm",
+    oracle="""
+    WITH am AS (SELECT count(*) AS n_am,
+                       sum(CAST(round(value * 100) AS BIGINT)) AS am_cents
+                FROM events
+                WHERE EXTRACT(hour FROM CAST(ts AS TIMESTAMP)) < 12),
+         pm AS (SELECT count(*) AS n_pm,
+                       sum(CAST(round(value * 100) AS BIGINT)) AS pm_cents
+                FROM events
+                WHERE EXTRACT(hour FROM CAST(ts AS TIMESTAMP)) >= 12)
+    SELECT n_am, n_pm,
+           round(CAST(n_am AS DOUBLE) / n_pm, 6) AS count_ratio,
+           round(CAST(am_cents AS DOUBLE) / pm_cents, 6) AS value_ratio
+    FROM am CROSS JOIN pm
+    """,
+)
+def scalar_ratio_am_pm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ratio of two scalar subqueries (morning vs evening activity) — the
+    q90 shape (`CAST(amc AS DECIMAL)/CAST(pmc AS DECIMAL)` of two windowed
+    counts; reference q90.sql:2-15).
+
+    Each scalar side is a full-scan conditional aggregate reduced to one row
+    (map-side partials, single-row shuffle); the cross join of two 1-row
+    plans is free. Value sums aggregate as integer cents so both engines
+    divide identical integers."""
+    ev = load_table(spark, sf_dir, "events")
+    hour = F.hour("ts")
+    cents = F.round(F.col("value") * 100).cast("long")
+    am = ev.filter(hour < 12).agg(
+        F.count("*").alias("n_am"), F.sum(cents).alias("am_cents")
+    )
+    pm = ev.filter(hour >= 12).agg(
+        F.count("*").alias("n_pm"), F.sum(cents).alias("pm_cents")
+    )
+    return am.crossJoin(pm).select(
+        "n_am",
+        "n_pm",
+        F.round(F.col("n_am").cast("double") / F.col("n_pm"), 6).alias(
+            "count_ratio"
+        ),
+        F.round(F.col("am_cents").cast("double") / F.col("pm_cents"), 6).alias(
+            "value_ratio"
+        ),
+    )
+
+
+@register(
+    "fullouter_overlap_counts",
+    oracle="""
+    WITH buyers AS (SELECT DISTINCT o_custkey AS k FROM orders),
+         actives AS (SELECT DISTINCT user_id AS k FROM events)
+    SELECT CAST(sum(CASE WHEN b.k IS NOT NULL AND a.k IS NULL
+                         THEN 1 ELSE 0 END) AS BIGINT) AS orders_only,
+           CAST(sum(CASE WHEN b.k IS NULL AND a.k IS NOT NULL
+                         THEN 1 ELSE 0 END) AS BIGINT) AS events_only,
+           CAST(sum(CASE WHEN b.k IS NOT NULL AND a.k IS NOT NULL
+                         THEN 1 ELSE 0 END) AS BIGINT) AS both_channels
+    FROM buyers b FULL OUTER JOIN actives a ON b.k = a.k
+    """,
+)
+def fullouter_overlap_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Channel-overlap counting via FULL OUTER JOIN of two distinct key sets
+    — the q97 shape (store-only / catalog-only / both customer-item counts;
+    reference q97.sql:1-25).
+
+    Both sides reduce to distinct keys before the join (map-side combine,
+    |keys| rows shuffled on the same key the join uses), and the overlap
+    CASEs aggregate to a single row — the join never re-shuffles."""
+    buyers = (
+        load_table(spark, sf_dir, "orders")
+        .select(F.col("o_custkey").alias("bk"))
+        .distinct()
+    )
+    actives = (
+        load_table(spark, sf_dir, "events")
+        .select(F.col("user_id").alias("ak"))
+        .distinct()
+    )
+    joined = buyers.join(actives, buyers.bk == actives.ak, "full_outer")
+    return joined.agg(
+        F.sum(
+            F.when(F.col("bk").isNotNull() & F.col("ak").isNull(), 1).otherwise(0)
+        ).alias("orders_only"),
+        F.sum(
+            F.when(F.col("bk").isNull() & F.col("ak").isNotNull(), 1).otherwise(0)
+        ).alias("events_only"),
+        F.sum(
+            F.when(F.col("bk").isNotNull() & F.col("ak").isNotNull(), 1).otherwise(0)
+        ).alias("both_channels"),
+    )
+
+
+@register(
+    "window_lag_delta",
+    oracle="""
+    SELECT event_id,
+           coalesce(CAST(round(value * 100) AS BIGINT)
+                    - lag(CAST(round(value * 100) AS BIGINT))
+                      OVER (PARTITION BY user_id ORDER BY ts, event_id),
+                    0) AS delta_cents
+    FROM events
+    """,
+)
+def window_lag_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user event-over-event value delta via lag() — the Spark-native
+    form of the reference's run-over-run runtime comparison
+    (traces/tools/helpers.py:198-228 computes config deltas batch-to-batch;
+    lag expresses the same adjacency relationally).
+
+    Partitioned by user_id (high-cardinality — no global window), ordered by
+    (ts, event_id) so ties are total-ordered identically on both engines;
+    deltas are integer cents, exact under any partitioning."""
+    ev = load_table(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100).cast("long")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    return ev.select(
+        "event_id",
+        F.coalesce(cents - F.lag(cents).over(w), F.lit(0)).alias("delta_cents"),
+    )
+
+
+@register(
+    "window_ntile_first_last",
+    oracle="""
+    SELECT o_orderkey,
+           ntile(4) OVER (PARTITION BY o_custkey
+                          ORDER BY o_totalprice, o_orderkey) AS price_quartile,
+           first_value(o_orderkey) OVER w AS first_order,
+           last_value(o_orderkey) OVER w AS last_order,
+           coalesce(lead(o_orderkey) OVER w, -1) AS next_order
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    """,
+)
+def window_ntile_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ntile / first_value / last_value / lead over per-customer order
+    history — the window families the reference's query set omits
+    (SURVEY §2A: "No lag/lead/ntile/first_value in the query set"), provided
+    as first-class extras since trace analytics want them (previous-run
+    lookup, quartile banding).
+
+    One shuffle on o_custkey serves all four functions (same window spec
+    modulo ordering column); last_value uses an explicit unbounded-following
+    frame on BOTH engines — the default frame would return the current row.
+    Tie-broken by o_orderkey for cross-engine determinism."""
+    orders = load_table(spark, sf_dir, "orders")
+    w_price = W.partitionBy("o_custkey").orderBy("o_totalprice", "o_orderkey")
+    w_full = (
+        W.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    )
+    w_lead = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return orders.select(
+        "o_orderkey",
+        F.ntile(4).over(w_price).alias("price_quartile"),
+        F.first("o_orderkey").over(w_full).alias("first_order"),
+        F.last("o_orderkey").over(w_full).alias("last_order"),
+        F.coalesce(F.lead("o_orderkey").over(w_lead), F.lit(-1)).alias(
+            "next_order"
+        ),
+    )

@@ -127,7 +127,12 @@ def asof_join_latest_click(spark: SparkSession, sf_dir: str) -> DataFrame:
     joined = asof_join(
         errors, clicks, on="user_id", ts="ts", right_payload=["click_event_id"]
     )
-    gap = F.unix_micros("ts") - F.unix_micros("ts_right")
+    # ts is TIMESTAMP_NTZ in the parquet; unix_micros requires TIMESTAMP.
+    # The session runs with spark.sql.session.timeZone=UTC, so the cast is a
+    # fixed zero offset and the difference matches DuckDB's naive date_diff.
+    gap = F.unix_micros(F.col("ts").cast("timestamp")) - F.unix_micros(
+        F.col("ts_right").cast("timestamp")
+    )
     return joined.select(
         "event_id", "user_id", "click_event_id", gap.alias("gap_us")
     )

@@ -40,6 +40,7 @@ def load_all() -> None:
         dedup,
         multimodal,
         relational,
+        relational_ext,
         similarity,
         temporal,
         textops,

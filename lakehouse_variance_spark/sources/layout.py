@@ -23,6 +23,9 @@ Spark the same levers are:
 
 from __future__ import annotations
 
+import shutil
+from pathlib import Path
+
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -50,6 +53,17 @@ def write_bucketed(
     """Hash-bucketed (and bucket-sorted) managed table. Reading two tables
     bucketed by the same key with the same count joins shuffle-free; the
     sort makes the merge join spill-free within each bucket."""
+    if mode == "overwrite":
+        # An orphaned warehouse directory (table location left behind by a
+        # crashed writer, no catalog entry) makes saveAsTable fail with
+        # LOCATION_ALREADY_EXISTS; drop both the entry and the location.
+        spark = df.sparkSession
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
+        warehouse = spark.conf.get("spark.sql.warehouse.dir", "")
+        if warehouse.startswith("file:"):
+            loc = Path(warehouse[5:]) / table.lower()
+            if loc.exists():
+                shutil.rmtree(loc, ignore_errors=True)
     (
         df.write.mode(mode)
         .bucketBy(n_buckets, *bucket_cols)

@@ -47,8 +47,16 @@ def streaming_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    if dict(stream.dtypes).get("ts") == "bigint":
+    ts_type = dict(stream.dtypes).get("ts")
+    if ts_type == "bigint":
         stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif ts_type == "timestamp_ntz":
+        # withWatermark requires TIMESTAMP (with local-tz semantics); the
+        # session runs in UTC so the NTZ cast is a zero-offset relabel.
+        # Event-time OUTPUT columns must cast back to timestamp_ntz so the
+        # rendered values stay naive like the oracle's (see
+        # stream_event_window).
+        stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
     return stream
 
 
@@ -107,7 +115,7 @@ def stream_event_window(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(cents).alias("sum_cents"),
         )
         .select(
-            F.col("w.start").alias("window_start"),
+            F.col("w.start").cast("timestamp_ntz").alias("window_start"),
             "event_type",
             "n",
             (

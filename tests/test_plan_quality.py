@@ -89,3 +89,33 @@ def test_time_rollup_reaggregates_partials(spark):
     plan = _plan(spark, "time_rollup_multigrain")
     assert "FileScan parquet" not in plan
     assert plan.count("ExistingRDD") >= 3
+
+
+def test_semi_anti_combined_single_key_copartition(spark):
+    # q94 shape: EXISTS -> LeftSemi, NOT EXISTS -> LeftAnti, and all three
+    # lineitem branches shuffle on the same l_orderkey, so AQE/exchange
+    # reuse keeps the plan at one key's partitioning (no pair explosion,
+    # no cartesian residual).
+    plan = _plan(spark, "semi_anti_combined")
+    assert "LeftSemi" in plan
+    assert "LeftAnti" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_union_channels_broadcasts_dimensions(spark):
+    # Both channel branches do dimension hops (customer->nation,
+    # supplier->nation): nation/supplier must broadcast, and the union must
+    # not introduce its own exchange (rollup's single shuffle only).
+    plan = _plan(spark, "union_channels_rollup")
+    assert plan.count("BroadcastHashJoin") >= 3
+    assert "Union" in plan
+
+
+def test_window_extras_partition_by_customer(spark):
+    # ntile/first/last/lead all share the per-customer partitioning: no
+    # global (empty-partition) window may appear — that would serialize
+    # the whole table through one task.
+    plan = _plan(spark, "window_ntile_first_last")
+    assert "Window" in plan
+    assert re.search(r"windowspecdefinition\(\s*o_custkey", plan), plan
