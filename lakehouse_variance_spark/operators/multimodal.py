@@ -254,3 +254,38 @@ def resize_payload(media: DataFrame, target_bytes: int = TARGET_BYTES) -> DataFr
             F.lit(1).alias("height"),
         ),
     )
+
+
+@register(
+    "media_resize",
+    oracle="""
+    SELECT doc_id,
+           CAST(length(text) >= 256 AS BOOLEAN) AS clamped,
+           256 AS n_bytes,
+           md5(CASE WHEN length(text) >= 256 THEN substring(text, 1, 256)
+                    ELSE text || repeat(' ', 256 - length(text)) END)
+               AS content_md5
+    FROM documents
+    """,
+)
+def media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resize plumbing as a first-class pipeline stage: every payload
+    clamped/padded to the 256-byte budget with its metadata struct rewritten
+    (resize_payload), verified content-exactly via an md5 of the resized
+    bytes (the corpus is ASCII, so the DuckDB string md5 hashes the same
+    bytes Spark's binary md5 sees).
+
+    The byte surgery is all JVM substring/rpad — a real codec swaps in at
+    the same spot as an Arrow-batched UDF; the schema contract (payload
+    replaced, meta rewritten, other columns untouched) is what this query
+    pins down."""
+    m = media_table(spark, sf_dir).withColumn(
+        "clamped", F.octet_length("media") >= TARGET_BYTES
+    )
+    resized = resize_payload(m)
+    return resized.select(
+        "doc_id",
+        "clamped",
+        F.col("meta.n_bytes").cast("int").alias("n_bytes"),
+        F.md5("media").alias("content_md5"),
+    )

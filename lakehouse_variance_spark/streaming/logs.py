@@ -362,3 +362,68 @@ def stream_dedup_exactly_once(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_events"),
         (F.sum(cents) / 100.0).alias("sum_value"),
     )
+
+
+@register(
+    "stream_stream_join",
+    oracle="""
+    SELECT c.user_id,
+           count(*) AS n_pairs,
+           min(c.event_id) AS first_click_id
+    FROM (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id
+          FROM events WHERE event_type = 'click') c
+    JOIN (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts
+          FROM events WHERE event_type = 'error') e
+      ON c.user_id = e.user_id
+     AND e.ts >= c.ts
+     AND e.ts <= c.ts + INTERVAL 10 MINUTE
+    GROUP BY c.user_id
+    """,
+)
+def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream inner join with an event-time range condition: each
+    click joined to the errors that follow it within 10 minutes, per user.
+
+    This is THE stateful two-input streaming operator (SURVEY §2A streaming
+    extension; Spark requires watermarks on both inputs plus a time-range
+    join condition so it can bound the buffered state). Each side keeps only
+    rows newer than its watermark minus the 10-minute range — state is
+    |arrival rate × horizon| regardless of stream lifetime, and the join
+    shuffles both streams once on user_id. The joined pairs land append-mode
+    in the sink; the per-user rollup aggregates the sink (a second stateful
+    aggregate after a stream-stream join would need its own watermark pass).
+    availableNow drains the bounded source, so the result equals the batch
+    interval-join oracle."""
+    clicks = (
+        streaming_events(spark, sf_dir)
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("click_ts"),
+            F.col("event_id").alias("click_id"),
+        )
+        .withWatermark("click_ts", "1 hour")
+    )
+    errors = (
+        streaming_events(spark, sf_dir)
+        .filter(F.col("event_type") == "error")
+        .select(
+            F.col("user_id").alias("e_user"), F.col("ts").alias("err_ts")
+        )
+        .withWatermark("err_ts", "1 hour")
+    )
+    pairs = clicks.join(
+        errors,
+        F.expr(
+            """
+            c_user = e_user
+            AND err_ts >= click_ts
+            AND err_ts <= click_ts + INTERVAL 10 MINUTES
+            """
+        ),
+    )
+    sink = run_to_memory(pairs, output_mode="append")
+    return sink.groupBy(F.col("c_user").alias("user_id")).agg(
+        F.count("*").alias("n_pairs"),
+        F.min("click_id").alias("first_click_id"),
+    )
