@@ -379,3 +379,91 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .filter(F.col("hamming") <= HAMMING_MAX)
     )
+
+
+# --- Near-dup clustering (connected components) ----------------------------
+
+from lakehouse_variance_spark.registry import ORACLES as _ORACLES
+
+# The component oracle runs over exactly the pairs the Jaccard query emits.
+_PAIRS_SQL = _ORACLES["dedup_shingle_jaccard"]
+
+CC_MAX_ITERS = 20
+
+
+@register(
+    "dedup_connected_components",
+    oracle=f"""
+    WITH RECURSIVE pairs AS ({_PAIRS_SQL}),
+    edges AS (
+        SELECT doc_a AS s, doc_b AS d FROM pairs
+        UNION
+        SELECT doc_b AS s, doc_a AS d FROM pairs
+    ),
+    reach(s, d) AS (
+        SELECT s, d FROM edges
+        UNION
+        SELECT r.s, e.d FROM reach r JOIN edges e ON r.d = e.s
+    )
+    SELECT s AS doc_id, least(s, min(d)) AS component_id
+    FROM reach
+    GROUP BY s
+    """,
+)
+def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate CLUSTERS: connected components over the
+    Jaccard>=threshold pair graph, labeling every involved document with the
+    minimum doc_id of its component (the canonical keeper). This is the step
+    a real dedup pipeline runs after pair generation — transitive closure, so
+    A~B~C collapses to ONE keeper even when A and C are not directly similar
+    (pairwise keeper rules can't express that).
+
+    Iterative min-label propagation, driver-controlled: each round joins the
+    edge list to the current labels, takes the per-vertex neighborhood min,
+    and stops when no label changes (an inherently iterative algorithm — the
+    loop is control flow only; all data work is distributed joins/aggs on the
+    vertex key). Rounds needed = graph diameter; at 100 TB swap the
+    propagation body for the large-star/small-star alternation (Kiveris et
+    al.), which contracts the same components in O(log n) rounds with
+    identical output. The oracle is DuckDB's recursive-CTE reachability over
+    the same pair query."""
+    pairs = dedup_shingle_jaccard(spark, sf_dir).select("doc_a", "doc_b")
+    edges = (
+        pairs.select(F.col("doc_a").alias("s"), F.col("doc_b").alias("d"))
+        .unionByName(
+            pairs.select(F.col("doc_b").alias("s"), F.col("doc_a").alias("d"))
+        )
+        .localCheckpoint()  # the loop re-reads edges every round
+    )
+    labels = (
+        edges.select(F.col("s").alias("doc_id"))
+        .distinct()
+        .withColumn("label", F.col("doc_id"))
+        .localCheckpoint()
+    )
+    for _ in range(CC_MAX_ITERS):
+        nbr_min = (
+            edges.join(labels, edges.d == labels.doc_id)
+            .groupBy("s")
+            .agg(F.min("label").alias("nbr_min"))
+        )
+        new_labels = (
+            labels.join(nbr_min, labels.doc_id == nbr_min.s, "left")
+            .select(
+                "doc_id",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("nbr_min"), F.col("label"))
+                ).alias("label"),
+            )
+            .localCheckpoint()  # cut lineage: plans grow linearly otherwise
+        )
+        changed = (
+            new_labels.withColumnRenamed("label", "new_label")
+            .join(labels, "doc_id")
+            .filter(F.col("new_label") != F.col("label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select("doc_id", F.col("label").alias("component_id"))
