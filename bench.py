@@ -29,12 +29,15 @@ HEADLINE_QUERIES = (
     "window_running_sum",
     "window_fullouter_cumulative",
     "asof_join_latest_click",
+    "union_channels_rollup",
+    "daygap_bucket_counts",
     "correlated_scalar_subquery",
     "qerror_metric",
     "set_union_all",
     "trace_workload_summary",
     "fifo_schedule_carbon",
     "session_window_agg",
+    "stream_stream_join",
     "dedup_exact",
     "dedup_shingle_jaccard",
     "dedup_minhash_lsh",

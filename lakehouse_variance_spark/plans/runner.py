@@ -161,6 +161,43 @@ GROUP BY c.c_mktsegment
 """
 
 
+# Dialect-portable text #3: partitioned running sum with an explicit ROWS
+# frame over pre-aggregated daily cents (reference q51.sql:8,21,36,40 — the
+# cumulative-series shape). Dates render through CAST(... AS STRING) so both
+# engines emit the identical 'yyyy-MM-dd' text; money aggregates as integer
+# cents, exact under any partitioning.
+_SQL_TEXT_WINDOW_CUMULATIVE = """
+WITH daily AS (
+    SELECT o_orderpriority,
+           CAST(CAST(o_orderdate AS DATE) AS STRING) AS d,
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS cents
+    FROM orders
+    GROUP BY o_orderpriority, d
+)
+SELECT o_orderpriority, d,
+       CAST(sum(cents) OVER (PARTITION BY o_orderpriority ORDER BY d
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS cum_cents
+FROM daily
+"""
+
+# Dialect-portable text #4: OR-of-ANDs disjunctive multi-table predicate
+# (reference q13.sql — three OR'd branches mixing columns of both tables).
+_SQL_TEXT_OR_OF_ANDS = """
+SELECT c.c_mktsegment AS c_mktsegment,
+       count(*) AS n_orders,
+       round(sum(o.o_totalprice), 2) AS total_price
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+WHERE (c.c_mktsegment = 'BUILDING'
+       AND o.o_totalprice BETWEEN 1000 AND 50000)
+   OR (c.c_mktsegment = 'MACHINERY'
+       AND o.o_totalprice BETWEEN 50000 AND 150000)
+   OR (c.c_mktsegment = 'AUTOMOBILE' AND o.o_orderstatus = 'F')
+GROUP BY c.c_mktsegment
+"""
+
+
 def register_sf_views(spark: SparkSession, sf_dir: str) -> None:
     """Expose the scale-factor tables as temp views so verbatim SQL texts
     (the reference executes its 99 queries as raw strings,
@@ -225,6 +262,23 @@ def _register_sql_text_query() -> None:
         distinct."""
         register_sf_views(spark, sf_dir)
         return spark.sql(_SQL_TEXT_INTERSECT3)
+
+    @register("sql_text_window_cumulative", oracle=_SQL_TEXT_WINDOW_CUMULATIVE)
+    def sql_text_window_cumulative(spark: SparkSession, sf_dir: str):
+        """Verbatim q51-shaped running-sum SQL text (PARTITION BY + ORDER BY
+        + explicit ROWS frame over aggregated daily series; reference
+        q51.sql:8,21,36,40) through ``spark.sql`` — the IDENTICAL string is
+        the DuckDB oracle."""
+        register_sf_views(spark, sf_dir)
+        return spark.sql(_SQL_TEXT_WINDOW_CUMULATIVE)
+
+    @register("sql_text_or_of_ands", oracle=_SQL_TEXT_OR_OF_ANDS)
+    def sql_text_or_of_ands(spark: SparkSession, sf_dir: str):
+        """Verbatim q13-shaped OR-of-ANDs SQL text through ``spark.sql``
+        with the IDENTICAL string as the DuckDB oracle; Catalyst pushes the
+        extractable single-table implications below the join."""
+        register_sf_views(spark, sf_dir)
+        return spark.sql(_SQL_TEXT_OR_OF_ANDS)
 
 
 _register_sql_text_query()
