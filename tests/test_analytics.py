@@ -122,3 +122,53 @@ def test_load_workload_logs(spark, tmp_path):
     assert rows[("Run 1", 3)]["runtime_s"] is None
     assert rows[("Run 1", 3)]["elapsed_s"] is None
     assert len(rows) == 6
+
+
+# ---------------------------------------------------------------------------
+# LaTeX row rendering (reference helpers.py:171-195, 230-320)
+# ---------------------------------------------------------------------------
+
+
+def test_table1_latex_row(spark):
+    from lakehouse_variance_spark.analytics.latex import table1_latex_row
+
+    summary = summarize_single_config(_log_df(spark), required_samples=2)
+    line = table1_latex_row(summary, "AWS", dp=3)
+    assert line.startswith("AWS &&& \\hspace{5pt} ")
+    assert line.endswith(" \\\\")
+    # 8 stat cells -> 7 " & " joins (the platform prefix joins with "&&&")
+    assert line.count(" & ") == 7
+
+
+def test_table2_rows_and_delta_formatting(spark):
+    from lakehouse_variance_spark.analytics.latex import (
+        table2_baseline_latex_row,
+        table2_delta_latex_row,
+    )
+
+    base = summarize_single_config(_log_df(spark), required_samples=2)
+    # variant = same log with runtimes doubled -> +100% mean runtime,
+    # CV stats unchanged (std and mean scale together) -> delta $0$.
+    doubled = _log_df(spark).withColumn(
+        "runtime_s", F.col("runtime_s") * 2
+    )
+    variant = summarize_single_config(doubled, required_samples=2)
+    deltas = compare_config_deltas(base, variant)
+
+    baseline_line = table2_baseline_latex_row(base)
+    assert "(Baseline)" in baseline_line and baseline_line.endswith(" \\\\")
+
+    delta_line = table2_delta_latex_row(deltas, "Warm cache", dp=3)
+    assert delta_line.startswith("& \\textbullet Warm cache & ")
+    assert "$+~100.000$" in delta_line  # mean runtime doubled
+    assert "$0$" in delta_line  # CV unchanged
+
+
+def test_latex_row_rejects_multirow(spark):
+    import pytest as _pytest
+
+    from lakehouse_variance_spark.analytics.latex import table1_latex_row
+
+    two = _log_df(spark).select("run").distinct()
+    with _pytest.raises(ValueError):
+        table1_latex_row(two, "AWS")
