@@ -282,3 +282,87 @@ def _register_sql_text_query() -> None:
 
 
 _register_sql_text_query()
+
+
+# ---------------------------------------------------------------------------
+# Query-info capture (the reference scrapes Trino's /ui/api/query/{id} nested
+# document per query, run_workload.py:49-56; Spark's equivalent store is
+# SQLAppStatusStore, the same store that backs the SQL-tab REST API)
+# ---------------------------------------------------------------------------
+
+
+def capture_query_info(
+    spark: SparkSession, query_id: str, record: dict[str, Any]
+) -> dict[str, Any]:
+    """Nested query-info document for the MOST RECENT SQL execution.
+
+    Shape mirrors what the reference's trace pipeline consumes
+    (``make_lakehouse_workload_logs.sh:91-95`` reads
+    ``queryStats.{elapsedTime, executionTime, analysisTime,
+    resourceWaitingTime}`` as Trino duration strings; ``scrub.jq`` walks the
+    nested rest): phase stats as duration strings, the physical plan
+    description, and every SQL metric of the execution (name, type,
+    formatted value) keyed per operator accumulator. The document round-trips
+    through ``analytics.traces.flatten_query_info`` — our own engine's runs
+    feed the same trace analytics the reference applies to Trino's.
+    """
+    ok = record.get("elapsed_s", SENTINEL) != SENTINEL
+
+    def dur(key: str) -> str:
+        return f"{record[key] * 1000.0:.2f}ms" if ok else "0.00ms"
+
+    doc: dict[str, Any] = {
+        # Trino's field name — the flattener extracts the numeric id from it
+        # (make_lakehouse_workload_logs.sh:91).
+        "queryId": query_id,
+        "state": "FINISHED" if ok else "FAILED",
+        "queryStats": {
+            "elapsedTime": dur("elapsed_s"),
+            "executionTime": dur("execution_s"),
+            "analysisTime": dur("planning_s"),
+            "resourceWaitingTime": dur("resource_waiting_s"),
+        },
+        "metrics": [],
+        "plan": None,
+    }
+    store = spark._jsparkSession.sharedState().statusStore()
+    execs = store.executionsList()
+    if execs.size() == 0:
+        return doc
+    last = execs.apply(execs.size() - 1)
+    eid = last.executionId()
+    doc["execution_id"] = eid
+    doc["plan"] = last.physicalPlanDescription()
+    defs = {}
+    mets = last.metrics()
+    for i in range(mets.size()):
+        m = mets.apply(i)
+        defs[m.accumulatorId()] = (m.name(), m.metricType())
+    values = {}
+    it = store.executionMetrics(eid).iterator()
+    while it.hasNext():
+        kv = it.next()
+        values[kv._1()] = kv._2()
+    doc["metrics"] = [
+        {"name": name, "metricType": mtype, "value": values[acc_id]}
+        for acc_id, (name, mtype) in sorted(defs.items())
+        if acc_id in values
+    ]
+    return doc
+
+
+def run_query_with_info(
+    spark: SparkSession,
+    name: str,
+    sql: str,
+    info_dir: str | Path | None = None,
+) -> tuple[dict[str, Any], dict[str, Any]]:
+    """``run_query`` + query-info scrape + optional ``{name}.json`` save —
+    the full per-query loop of reference ``run_workload.py:32-59``."""
+    record = run_query(spark, name, sql)
+    info = capture_query_info(spark, name, record)
+    if info_dir is not None:
+        info_dir = Path(info_dir)
+        info_dir.mkdir(parents=True, exist_ok=True)
+        (info_dir / f"{name}.json").write_text(json.dumps(info), "utf-8")
+    return record, info

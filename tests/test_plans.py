@@ -46,3 +46,35 @@ def test_plan_features_shape(spark):
         assert f["est_rows"] >= 1
         assert f["tuple_width_bytes"] >= 1
         assert f["log1p_est_rows"] > 0
+
+
+def test_capture_query_info_roundtrips_through_flattener(spark, tmp_path):
+    """EP1→EP3 closure: run a query on OUR engine, scrape its query-info
+    document (SQLAppStatusStore — the SQL-tab store), and feed that doc to
+    the same flattener that processes the reference's Trino scrapes."""
+    import json as _json
+
+    import pytest
+
+    from lakehouse_variance_spark.analytics.traces import flatten_query_info
+    from lakehouse_variance_spark.plans.runner import run_query_with_info
+
+    record, info = run_query_with_info(
+        spark,
+        "q42",
+        "SELECT id % 7 AS g, count(*) AS n FROM range(100000) GROUP BY id % 7",
+        info_dir=tmp_path,
+    )
+    assert record["Runtime (s)"] > 0
+    assert info["state"] == "FINISHED"
+    assert info["queryStats"]["elapsedTime"].endswith("ms")
+    assert info["plan"] and "Physical Plan" in info["plan"]
+    assert any(m["name"] == "number of output rows" for m in info["metrics"])
+    saved = _json.loads((tmp_path / "q42.json").read_text())
+    assert saved["queryId"] == "q42"
+
+    docs = spark.createDataFrame([(_json.dumps(info),)], "doc string")
+    row = flatten_query_info(docs).collect()[0]
+    assert row["query_id"] == 42
+    assert row["elapsed_s"] == pytest.approx(record["elapsed_s"], abs=0.01)
+    assert row["planning_s"] >= 0.0
