@@ -462,3 +462,81 @@ def window_ntile_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
             "next_order"
         ),
     )
+
+
+@register(
+    "window_moving_avg",
+    oracle="""
+    WITH daily AS (
+        SELECT o_orderpriority,
+               CAST(CAST(o_orderdate AS DATE) AS STRING) AS d,
+               CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                   AS cents
+        FROM orders
+        GROUP BY o_orderpriority, d
+    )
+    SELECT o_orderpriority, d,
+           CAST(sum(cents) OVER w AS BIGINT) AS win_cents,
+           CAST(count(*) OVER w AS BIGINT) AS win_days
+    FROM daily
+    WINDOW w AS (PARTITION BY o_orderpriority ORDER BY d
+                 ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+    """,
+)
+def window_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding ROWS frame (3 preceding .. 3 following) — the centered
+    moving-average shape of reference q47/q57 (`avg(sum_sales) OVER
+    (... ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING)`), the one frame type
+    the q51 running sum does not exercise.
+
+    Aggregates daily integer cents first (|days × priorities| rows), then
+    windows over the aggregate — the moving average derives exactly from
+    (win_cents, win_days) so both engines emit identical integers."""
+    orders = load_table(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    daily = (
+        orders.groupBy(
+            "o_orderpriority",
+            F.col("o_orderdate").cast("date").cast("string").alias("d"),
+        )
+        .agg(F.sum(cents).alias("cents"))
+    )
+    w = (
+        W.partitionBy("o_orderpriority")
+        .orderBy("d")
+        .rowsBetween(-3, 3)
+    )
+    return daily.select(
+        "o_orderpriority",
+        "d",
+        F.sum("cents").over(w).alias("win_cents"),
+        F.count("*").over(w).alias("win_days"),
+    )
+
+
+@register(
+    "window_range_frame",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(count(*) OVER (PARTITION BY o_custkey ORDER BY o_totalprice
+                RANGE BETWEEN 1000 PRECEDING AND 1000 FOLLOWING) AS BIGINT)
+               AS n_near_price
+    FROM orders
+    """,
+)
+def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE frame over a numeric ordering column: for each order, how many
+    of the same customer's orders fall within ±1000 of its total price.
+    RANGE frames bound by VALUE distance (not row offsets) — the remaining
+    window frame type after running sums (ROWS unbounded) and moving
+    averages (ROWS sliding). Value-determined membership makes the count
+    independent of tie order, so it is cross-engine deterministic."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = (
+        W.partitionBy("o_custkey")
+        .orderBy("o_totalprice")
+        .rangeBetween(-1000, 1000)
+    )
+    return orders.select(
+        "o_orderkey", F.count("*").over(w).alias("n_near_price")
+    )
