@@ -540,3 +540,99 @@ def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     return orders.select(
         "o_orderkey", F.count("*").over(w).alias("n_near_price")
     )
+
+
+@register(
+    "frequent_items_revenue",
+    oracle="""
+    WITH frequent_parts AS (
+        SELECT l_partkey
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        WHERE EXTRACT(YEAR FROM o_orderdate) IN (1996, 1997)
+        GROUP BY l_partkey
+        HAVING count(*) > 20
+    ),
+    spend AS (
+        SELECT o_custkey, sum(o_totalprice) AS total_spend
+        FROM orders GROUP BY o_custkey
+    ),
+    big_spenders AS (
+        SELECT o_custkey FROM spend
+        WHERE total_spend > (SELECT 0.5 * max(total_spend) FROM spend)
+    )
+    SELECT count(*) AS n_lines,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    WHERE l.l_partkey IN (SELECT l_partkey FROM frequent_parts)
+      AND o.o_custkey IN (SELECT o_custkey FROM big_spenders)
+    """,
+)
+def frequent_items_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q23-shaped composite: revenue from FREQUENT items bought by BIG
+    spenders (reference q23.sql — frequent_ss_items + max_store_sales +
+    best_ss_customer CTEs feeding IN-filters on the final fact scan).
+
+    Three aggregation pyramids feed two semi-joins: frequent parts (HAVING
+    over a fact-fact join), the spend table reused by BOTH the scalar
+    threshold subquery (max of an aggregate) and the big-spender filter —
+    Catalyst materializes the CTE once — and the final fact join reduced by
+    both IN-filters before its aggregation. Every filter key
+    (partkey, custkey) matches the shuffle key of its semi-join."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    year = F.year("o_orderdate")
+    frequent_parts = (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .filter(year.isin(1996, 1997))
+        .groupBy("l_partkey")
+        .agg(F.count("*").alias("cnt"))
+        .filter(F.col("cnt") > 20)
+        .select("l_partkey")
+    )
+    spend = orders.groupBy("o_custkey").agg(
+        F.sum("o_totalprice").alias("total_spend")
+    )
+    threshold = spend.agg(
+        (0.5 * F.max("total_spend")).alias("thr")
+    )
+    big_spenders = (
+        spend.crossJoin(F.broadcast(threshold))
+        .filter(F.col("total_spend") > F.col("thr"))
+        .select("o_custkey")
+    )
+    joined = (
+        li.join(orders.select("o_orderkey", "o_custkey"),
+                F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(frequent_parts, "l_partkey", "left_semi")
+        .join(big_spenders, "o_custkey", "left_semi")
+    )
+    return joined.agg(
+        F.count("*").alias("n_lines"),
+        F.round(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+        ).alias("revenue"),
+    )
+
+
+@register(
+    "set_intersect_all",
+    oracle="""
+    SELECT l_partkey, l_suppkey FROM lineitem WHERE l_returnflag = 'N'
+    INTERSECT ALL
+    SELECT l_partkey, l_suppkey FROM lineitem WHERE l_linestatus = 'F'
+    """,
+)
+def set_intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT ALL — bag-semantics intersection (each (part, supp) pair
+    kept min(count_left, count_right) times), completing the set-op family
+    alongside distinct INTERSECT/EXCEPT and EXCEPT ALL (SURVEY §7 flags the
+    distinct-vs-bag distinction as a correctness hard part). Spark plans
+    this as a count-compare aggregate + generate, one shuffle per side."""
+    li = load_table(spark, sf_dir, "lineitem")
+    left = li.filter(F.col("l_returnflag") == "N").select(
+        "l_partkey", "l_suppkey"
+    )
+    right = li.filter(F.col("l_linestatus") == "F").select(
+        "l_partkey", "l_suppkey"
+    )
+    return left.intersectAll(right)
