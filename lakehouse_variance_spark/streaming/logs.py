@@ -38,6 +38,8 @@ def streaming_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """File-source streaming read of the events table with the same
     nanos→timestamp normalization as the batch loader."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # Zero-offset NTZ<->TZ casts; see load_table for the rationale.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     path = os.path.join(sf_dir, "events.parquet")
     schema = spark.read.parquet(path).schema
     # The file stream source tails a directory; glob-filter it down to the

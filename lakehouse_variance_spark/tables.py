@@ -41,6 +41,11 @@ _NANOS_TS_COLUMNS = {"events": ("ts",)}
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one table. Parquet scan → vectorized reader, pushdown-capable."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # Queries casting TIMESTAMP_NTZ <-> TIMESTAMP (as-of gaps, watermarks)
+    # assume a zero-offset session. The driver supplies its OWN session, so
+    # pin the timezone at the one entry point every query loads through —
+    # a DST-straddling local zone would silently shift those casts.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     for col in _NANOS_TS_COLUMNS.get(name, ()):
         if dict(df.dtypes).get(col) == "bigint":

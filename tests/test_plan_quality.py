@@ -119,3 +119,12 @@ def test_window_extras_partition_by_customer(spark):
     plan = _plan(spark, "window_ntile_first_last")
     assert "Window" in plan
     assert re.search(r"windowspecdefinition\(\s*o_custkey", plan), plan
+
+
+def test_frequent_items_filters_are_semi_joins(spark):
+    # q23 shape: both IN-subquery filters must plan as LeftSemi joins on
+    # their aggregation keys — never as materialized DISTINCT + inner join,
+    # and never nested-loop.
+    plan = _plan(spark, "frequent_items_revenue")
+    assert plan.count("LeftSemi") >= 2
+    assert "CartesianProduct" not in plan
