@@ -1,0 +1,107 @@
+"""Scale-stability probe: do the relational headline queries scale ~linearly
+from sf0.1 to a 10x dataset on the same hardware?
+
+Builds a synthetic "sf1" under .scratch_sf1/ (gitignored): ten key-shifted
+replicas of the fact/dimension tables (every join/group key offset per
+replica so key cardinality scales with data volume and join outputs scale
+linearly — naive duplication would explode self-joins quadratically).
+nation/region stay fixed (they are fixed-size in TPC-H too); documents/
+embeddings are excluded — text/vector operators have their own corpus
+scaling semantics.
+
+Usage: python scripts/scale_probe.py   # prints per-query sf0.1 vs 10x + ratio
+"""
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from lakehouse_variance_spark import registry
+from lakehouse_variance_spark.session import build_session
+
+SRC = "/root/testdata/sf0.1"
+DST = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                   ".scratch_sf1")
+REPLICAS = 10
+SHIFT = 10_000_000_000  # far above any key in the source data
+
+# key columns to offset per replica (replica i adds i*SHIFT)
+KEY_SHIFTS = {
+    "customer": ["c_custkey"],
+    "supplier": ["s_suppkey"],
+    "part": ["p_partkey"],
+    "orders": ["o_orderkey", "o_custkey"],
+    "lineitem": ["l_orderkey", "l_partkey", "l_suppkey"],
+    "events": ["event_id", "user_id"],
+}
+COPY_AS_IS = ["region", "nation"]
+
+PROBE_QUERIES = [
+    "q1_pricing_summary",
+    "join_topk_revenue",
+    "join_multiway_region",
+    "agg_rollup_grouping",
+    "union_channels_rollup",
+    "daygap_bucket_counts",
+    "correlated_scalar_subquery",
+    "window_running_sum",
+    "window_fullouter_cumulative",
+    "window_range_frame",
+    "asof_join_latest_click",
+    "topk_orders",
+    "set_intersect_all",
+    "frequent_items_revenue",
+]
+
+
+def build_dataset(spark) -> None:
+    os.makedirs(DST, exist_ok=True)
+    for name in COPY_AS_IS:
+        df = spark.read.parquet(f"{SRC}/{name}.parquet")
+        df.coalesce(1).write.mode("overwrite").parquet(f"{DST}/{name}.parquet")
+    for name, keys in KEY_SHIFTS.items():
+        df = spark.read.parquet(f"{SRC}/{name}.parquet")
+        replicas = []
+        for i in range(REPLICAS):
+            r = df
+            for k in keys:
+                r = r.withColumn(k, F.col(k) + F.lit(i * SHIFT))
+            replicas.append(r)
+        out = replicas[0]
+        for r in replicas[1:]:
+            out = out.unionByName(r)
+        out.write.mode("overwrite").parquet(f"{DST}/{name}.parquet")
+
+
+def main() -> None:
+    registry.load_all()
+    spark = build_session(app_name="scale-probe")
+    if not os.path.exists(os.path.join(DST, "lineitem.parquet")):
+        t0 = time.perf_counter()
+        build_dataset(spark)
+        print(f"# built 10x dataset in {time.perf_counter()-t0:.1f}s",
+              file=sys.stderr)
+    rows = spark.read.parquet(f"{DST}/lineitem.parquet").count()
+    print(f"# lineitem rows at 10x: {rows}", file=sys.stderr)
+
+    print(f"{'query':35s} {'sf0.1':>8s} {'10x':>8s} {'ratio':>6s}")
+    total_small = total_big = 0.0
+    for name in PROBE_QUERIES:
+        fn = registry.QUERIES[name]
+        fn(spark, SRC).count()  # warm codegen
+        t0 = time.perf_counter(); fn(spark, SRC).count()
+        small = time.perf_counter() - t0
+        fn(spark, DST).count()  # warm
+        t0 = time.perf_counter(); fn(spark, DST).count()
+        big = time.perf_counter() - t0
+        total_small += small; total_big += big
+        print(f"{name:35s} {small:8.3f} {big:8.3f} {big/small:6.2f}")
+    print(f"{'TOTAL':35s} {total_small:8.3f} {total_big:8.3f} "
+          f"{total_big/total_small:6.2f}")
+
+
+if __name__ == "__main__":
+    main()
