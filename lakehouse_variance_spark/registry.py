@@ -39,6 +39,7 @@ def load_all() -> None:
     from lakehouse_variance_spark.operators import (  # noqa: F401
         dedup,
         multimodal,
+        pipeline,
         relational,
         relational_ext,
         similarity,
