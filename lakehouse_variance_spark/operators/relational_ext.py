@@ -636,3 +636,136 @@ def set_intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_partkey", "l_suppkey"
     )
     return left.intersectAll(right)
+
+
+@register(
+    "union_return_ratio_ranked",
+    oracle="""
+    WITH by_channel AS (
+        SELECT l_linestatus AS channel, l_partkey,
+               round(CAST(sum(CASE WHEN l_returnflag = 'R'
+                                   THEN l_quantity ELSE 0 END) AS BIGINT)
+                     * 1.0 / CAST(sum(l_quantity) AS BIGINT), 6) AS qty_ratio,
+               round(sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+                     * 1.0 / count(*), 6)                        AS item_ratio
+        FROM lineitem
+        WHERE l_linestatus IN ('O', 'F')
+        GROUP BY 1, 2),
+    ranked AS (
+        SELECT channel, l_partkey, qty_ratio, item_ratio,
+               rank() OVER (PARTITION BY channel
+                            ORDER BY qty_ratio DESC, l_partkey)  AS qty_rank,
+               rank() OVER (PARTITION BY channel
+                            ORDER BY item_ratio DESC, l_partkey) AS item_rank
+        FROM by_channel)
+    SELECT channel, l_partkey, qty_ratio, item_ratio, qty_rank, item_rank
+    FROM ranked WHERE qty_rank <= 10 OR item_rank <= 10
+    """,
+)
+def union_return_ratio_ranked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q49 shape (queries/q49.sql): per sales channel, rank items by
+    two return ratios at once (returned-quantity share and returned-line
+    share), keep the worst-10 under either ranking, and union the channels.
+
+    The reference runs three per-channel subqueries UNIONed; here the
+    channels live in one fact table, so one scan + one aggregation computes
+    every channel and the "union" is the channel grouping key — the
+    Spark-first rewrite of q49's triple scan. Ratios are quotients of exact
+    int64 sums (quantities are integer-valued; no float re-association), so
+    ranks are engine-deterministic; partkey breaks remaining ties.
+
+    Scale: aggregate keys on (channel, partkey) — partial aggregation +
+    one shuffle; both windows share the channel partitioning (2 partitions
+    of |parts| rows each, re-sorted in place, no second shuffle).
+    """
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_linestatus").isin("O", "F")
+    )
+    ret_qty = F.when(F.col("l_returnflag") == "R", F.col("l_quantity")).otherwise(
+        F.lit(0.0)
+    )
+    by_channel = (
+        li.select(
+            F.col("l_linestatus").alias("channel"),
+            "l_partkey",
+            "l_quantity",
+            "l_returnflag",
+        )
+        .groupBy("channel", "l_partkey")
+        .agg(
+            F.round(
+                F.sum(ret_qty).cast("bigint")
+                / F.sum("l_quantity").cast("bigint"),
+                6,
+            ).alias("qty_ratio"),
+            F.round(
+                F.sum(
+                    F.when(F.col("l_returnflag") == "R", 1).otherwise(0)
+                )
+                / F.count("*"),
+                6,
+            ).alias("item_ratio"),
+        )
+    )
+    w_qty = W.partitionBy("channel").orderBy(
+        F.col("qty_ratio").desc(), F.col("l_partkey")
+    )
+    w_item = W.partitionBy("channel").orderBy(
+        F.col("item_ratio").desc(), F.col("l_partkey")
+    )
+    ranked = by_channel.select(
+        "channel",
+        "l_partkey",
+        "qty_ratio",
+        "item_ratio",
+        F.rank().over(w_qty).alias("qty_rank"),
+        F.rank().over(w_item).alias("item_rank"),
+    )
+    return ranked.filter((F.col("qty_rank") <= 10) | (F.col("item_rank") <= 10))
+
+
+@register(
+    "scalar_counts_crossjoin",
+    oracle="""
+    SELECT * FROM
+        (SELECT count(*) AS h0 FROM events
+         WHERE event_type = 'click' AND hour(ts) BETWEEN 0 AND 2),
+        (SELECT count(*) AS h1 FROM events
+         WHERE event_type = 'click' AND hour(ts) BETWEEN 3 AND 5),
+        (SELECT count(*) AS h2 FROM events
+         WHERE event_type = 'click' AND hour(ts) BETWEEN 6 AND 8),
+        (SELECT count(*) AS h3 FROM events
+         WHERE event_type = 'click' AND hour(ts) BETWEEN 9 AND 11),
+        (SELECT count(*) AS h4 FROM events
+         WHERE event_type = 'click' AND hour(ts) BETWEEN 12 AND 14),
+        (SELECT count(*) AS h5 FROM events
+         WHERE event_type = 'click' AND hour(ts) BETWEEN 15 AND 17),
+        (SELECT count(*) AS h6 FROM events
+         WHERE event_type = 'click' AND hour(ts) BETWEEN 18 AND 20),
+        (SELECT count(*) AS h7 FROM events
+         WHERE event_type = 'click' AND hour(ts) BETWEEN 21 AND 23)
+    """,
+)
+def scalar_counts_crossjoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q88 shape (queries/q88.sql): eight independently-filtered
+    scalar counts (time-of-day bands) cross-joined into a single row.
+
+    The reference (and the oracle here) expresses this as eight separate
+    scans cross-joined; the engine rewrites it as ONE conditional-
+    aggregation scan — sum(CASE WHEN band THEN 1) x 8 — which is the plan
+    you want at 100 TB: one pass over the fact table, partial aggregation
+    to a single row, no join at all. The oracle proves the rewrite exact.
+    """
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type") == "click"
+    )
+    hour = F.hour("ts")
+    aggs = [
+        F.sum(
+            F.when((hour >= lo) & (hour <= lo + 2), 1).otherwise(0)
+        )
+        .cast("bigint")
+        .alias(f"h{i}")
+        for i, lo in enumerate(range(0, 24, 3))
+    ]
+    return ev.agg(*aggs)

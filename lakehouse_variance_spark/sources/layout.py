@@ -73,6 +73,43 @@ def write_bucketed(
     )
 
 
+def compact_files(
+    spark: SparkSession,
+    src_path: str,
+    dst_path: str,
+    target_bytes: int = 128 << 20,
+    partition_cols: list[str] | None = None,
+) -> int:
+    """Small-file compaction (the OPTIMIZE/rewrite_data_files step of a
+    lakehouse maintenance loop; the reference's Iceberg tables target 512 MB
+    files, csv_to_iceberg.py:213).
+
+    Unpartitioned: sizes the output at ceil(input_bytes / target_bytes)
+    files via a round-robin repartition and returns that file count.
+    Partitioned: clusters each partition value into a single task
+    (hash repartition on the partition keys) so every value compacts to one
+    file, preserving directory pruning.
+
+    Streaming-ingest directories accumulate one file per micro-batch per
+    key — compaction is what keeps scan task counts (and Iceberg manifest
+    sizes) bounded at 100 TB.
+    """
+    df = spark.read.parquet(src_path)
+    if partition_cols:
+        out = df.repartition(*[F.col(c) for c in partition_cols])
+        out.write.mode("overwrite").partitionBy(*partition_cols).parquet(dst_path)
+    else:
+        total = 0
+        for uri in df.inputFiles():
+            p = Path(uri[5:] if uri.startswith("file:") else uri)
+            if p.exists():
+                total += p.stat().st_size
+        n = max(1, -(-total // target_bytes))
+        df.repartition(n).write.mode("overwrite").parquet(dst_path)
+    written = spark.read.parquet(dst_path)
+    return len(written.inputFiles())
+
+
 def scan_has_partition_filter(df: DataFrame) -> bool:
     """True when the physical scan carries a non-empty PartitionFilters list
     — i.e. the predicate prunes directories at planning time instead of

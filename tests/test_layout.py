@@ -92,3 +92,38 @@ def test_salt_distributes_hot_key(spark):
     used = salted_fact.select("_salt").distinct().count()
     assert used == n_salts
     assert salted_join(hot, dim, "k", n_salts=n_salts).count() == 1000
+
+
+def test_compact_files_unpartitioned(spark, tmp_path):
+    from lakehouse_variance_spark.sources.layout import compact_files
+
+    docs = load_table(spark, SF_DIR, "documents")
+    src = str(tmp_path / "many_small")
+    # Simulate a micro-batch-fragmented directory: many tiny files.
+    docs.repartition(16).write.parquet(src)
+    assert len(spark.read.parquet(src).inputFiles()) == 16
+
+    dst = str(tmp_path / "compacted")
+    # Huge target => everything folds into a single file.
+    n_files = compact_files(spark, src, dst, target_bytes=1 << 30)
+    assert n_files == 1
+    assert spark.read.parquet(dst).count() == docs.count()
+
+
+def test_compact_files_partitioned_one_file_per_value(spark, tmp_path):
+    from lakehouse_variance_spark.sources.layout import compact_files
+
+    docs = load_table(spark, SF_DIR, "documents")
+    src = str(tmp_path / "part_small")
+    # 4 fragments per source directory.
+    docs.repartition(4).write.partitionBy("source").parquet(src)
+    n_sources = docs.select("source").distinct().count()
+    assert len(spark.read.parquet(src).inputFiles()) > n_sources
+
+    dst = str(tmp_path / "part_compacted")
+    n_files = compact_files(spark, src, dst, partition_cols=["source"])
+    assert n_files == n_sources
+    back = spark.read.parquet(dst)
+    assert back.count() == docs.count()
+    # Compaction must preserve partition pruning.
+    assert scan_has_partition_filter(back.filter(F.col("source") == "src1"))
