@@ -38,6 +38,8 @@ HEADLINE_QUERIES = (
     "fifo_schedule_carbon",
     "session_window_agg",
     "stream_stream_join",
+    "union_return_ratio_ranked",
+    "scalar_counts_crossjoin",
     "dedup_exact",
     "dedup_shingle_jaccard",
     "dedup_minhash_lsh",
@@ -45,6 +47,9 @@ HEADLINE_QUERIES = (
     "ann_lsh_topk",
     "text_token_stats",
     "text_fingerprint",
+    "pack_token_offsets",
+    "text_chunk_dedup",
+    "contamination_ngram",
     "media_frame_sample",
 )
 

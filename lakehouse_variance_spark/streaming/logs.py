@@ -448,3 +448,41 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_pairs"),
         F.min("click_id").alias("first_click_id"),
     )
+
+
+def idempotent_parquet_sink(dst_dir: str):
+    """``foreachBatch`` writer with exactly-once sink semantics.
+
+    Structured Streaming guarantees at-least-once delivery to foreachBatch:
+    after a failure between the sink write and the checkpoint commit, the
+    SAME batch_id is replayed. Writing each micro-batch to its own
+    ``batch_id=<n>`` directory with ``mode("overwrite")`` makes the replay
+    rewrite that directory in place instead of appending duplicates — the
+    standard idempotent-sink pattern for parquet/object-store targets
+    (the transactional alternative is a Delta/Iceberg MERGE on batch_id).
+
+    The directory name doubles as a partition column, so readers prune by
+    batch range for free; ``compact_files`` (sources/layout.py) folds the
+    accumulated per-batch files back down on a maintenance schedule.
+    """
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.write.mode("overwrite").parquet(
+            os.path.join(dst_dir, f"batch_id={batch_id}")
+        )
+
+    return write_batch
+
+
+def run_to_idempotent_sink(
+    stream_df: DataFrame, dst_dir: str, checkpoint_dir: str
+) -> None:
+    """Drain a bounded stream through the idempotent foreachBatch sink with
+    a checkpoint (the restart-safe deployment shape)."""
+    query = (
+        stream_df.writeStream.foreachBatch(idempotent_parquet_sink(dst_dir))
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()

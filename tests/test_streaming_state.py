@@ -5,6 +5,8 @@ batch, so the boundary case needs a direct test)."""
 
 from __future__ import annotations
 
+import os
+
 import pandas as pd
 
 from lakehouse_variance_spark.streaming.logs import _user_stats_fn
@@ -113,3 +115,39 @@ def test_stream_file_sink_with_checkpoint(spark, tmp_path):
         < F.lit(max_ts) - F.expr("INTERVAL 2 HOURS")
     ).count()
     assert n_got >= closed, "watermark-closed windows missing from the sink"
+
+
+def test_foreach_batch_sink_idempotent_on_replay(spark, tmp_path):
+    """A replayed micro-batch (same batch_id, as after a failure between
+    sink write and checkpoint commit) must overwrite, not append — the
+    exactly-once contract of the idempotent foreachBatch sink."""
+    from lakehouse_variance_spark.streaming.logs import (
+        idempotent_parquet_sink,
+        run_to_idempotent_sink,
+        streaming_events,
+    )
+
+    sf_dir = "/root/testdata/sf0.001"
+    dst = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+
+    events = streaming_events(spark, sf_dir).select(
+        "event_id", "user_id", "event_type"
+    )
+    run_to_idempotent_sink(events, dst, ckpt)
+
+    expected = spark.read.parquet(f"{sf_dir}/events.parquet").count()
+    first = spark.read.parquet(dst)
+    assert first.count() == expected
+
+    # Simulate the at-least-once replay: rerun batch 0's writer with the
+    # same batch_id and payload.
+    batch0_pdf = (
+        spark.read.parquet(os.path.join(dst, "batch_id=0"))
+        .select("event_id", "user_id", "event_type")
+        .toPandas()
+    )  # snapshot driver-side before overwriting the directory it came from
+    idempotent_parquet_sink(dst)(spark.createDataFrame(batch0_pdf), 0)
+
+    after = spark.read.parquet(dst)
+    assert after.count() == expected  # no duplicates
