@@ -128,3 +128,43 @@ def test_frequent_items_filters_are_semi_joins(spark):
     plan = _plan(spark, "frequent_items_revenue")
     assert plan.count("LeftSemi") >= 2
     assert "CartesianProduct" not in plan
+
+
+def test_return_ratio_single_aggregate_shared_window_exchange(spark):
+    """q49 shape: one scan + one aggregation computes every channel; the two
+    rankings re-sort within the same channel hash partitioning instead of
+    exchanging twice."""
+    plan = _plan(spark, "union_return_ratio_ranked")
+    assert plan.count("FileScan parquet") == 1  # one scan, not per-channel
+    exchanges = plan.count("Exchange hashpartitioning")
+    assert exchanges <= 2  # agg shuffle + one shared window partitioning
+    assert plan.count("Window") == 2
+
+
+def test_scalar_counts_single_scan_no_join(spark):
+    """q88 shape: the 8 cross-joined scalar subqueries must collapse to ONE
+    conditional-aggregation scan — no join operator at all."""
+    plan = _plan(spark, "scalar_counts_crossjoin")
+    assert plan.count("FileScan parquet") == 1
+    assert "Join" not in plan
+    assert "HashAggregate" in plan
+
+
+def test_contamination_broadcasts_eval_side(spark):
+    """The eval n-gram set must broadcast: the training-side scan joins with
+    no shuffle of the big side."""
+    plan = _plan(spark, "contamination_ngram")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_chunk_dedup_partial_aggregates(spark):
+    """Keeper selection must partial-aggregate map-side before its shuffle."""
+    plan = _plan(spark, "text_chunk_dedup")
+    assert plan.count("HashAggregate") >= 4  # partial+final for keeper + rollup
+
+
+def test_pack_offsets_single_scan_single_window_exchange(spark):
+    plan = _plan(spark, "pack_token_offsets")
+    assert plan.count("FileScan parquet") == 1
+    assert plan.count("Exchange hashpartitioning") == 1  # by source, for the window
