@@ -54,6 +54,8 @@ PROBE_QUERIES = [
     "topk_orders",
     "set_intersect_all",
     "frequent_items_revenue",
+    "union_return_ratio_ranked",
+    "scalar_counts_crossjoin",
 ]
 
 
