@@ -21,7 +21,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from lakehouse_variance_spark.registry import register
-from lakehouse_variance_spark.tables import load_table
+from lakehouse_variance_spark.tables import load_table, spread
 
 # Context-window capacity for sequence packing (tokens per training sequence).
 PACK_CONTEXT = 512
@@ -150,7 +150,7 @@ def text_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     shape as the shingle dedup, with bounded fan-out (len/16 chunks per
     doc). No window over the full corpus, no driver-side state.
     """
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread(load_table(spark, sf_dir, "documents"))
     tokens = F.split(F.col("text"), " ")
     n_chunks = F.ceil(F.size(tokens) / F.lit(float(CHUNK_TOKENS))).cast("int")
     chunks = F.transform(
@@ -216,7 +216,7 @@ def contamination_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffles; contamination checking at 100 TB is a broadcast-hash-join
     over a one-pass scan.
     """
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread(load_table(spark, sf_dir, "documents"))
     tokens = F.split(F.col("text"), " ")
     grams = F.array_distinct(
         F.transform(
