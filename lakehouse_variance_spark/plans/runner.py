@@ -198,6 +198,46 @@ GROUP BY c.c_mktsegment
 """
 
 
+# Dialect-portable text #6: correlated scalar subquery over a shared CTE
+# (reference q1.sql:12-14 — "total > 1.2 * per-group average"). Money sums
+# aggregate as integer cents so the threshold comparison is exact in both
+# engines regardless of partition order.
+_SQL_TEXT_CORRELATED_SCALAR = """
+WITH ct AS (
+    SELECT c.c_custkey AS c_custkey,
+           c.c_nationkey AS c_nationkey,
+           CAST(sum(CAST(round(o.o_totalprice * 100) AS BIGINT))
+                AS BIGINT) AS total_cents
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_custkey, c.c_nationkey)
+SELECT ct1.c_custkey AS c_custkey,
+       ct1.total_cents AS total_cents
+FROM ct ct1
+WHERE ct1.total_cents > (SELECT avg(ct2.total_cents) * 1.2
+                         FROM ct ct2
+                         WHERE ct2.c_nationkey = ct1.c_nationkey)
+ORDER BY ct1.c_custkey
+"""
+
+# Dialect-portable text #7: HAVING over an aggregate + rank() window over
+# the SAME aggregation's outputs + outer rank filter (the q16-style ORDER BY
+# count(DISTINCT ...) and q67-style rank-over-aggregate composed as one
+# statement). All-integer, tie-broken on the group key.
+_SQL_TEXT_HAVING_WINDOW_RANK = """
+SELECT l_suppkey, n_parts, rnk
+FROM (
+    SELECT l_suppkey,
+           count(DISTINCT l_partkey) AS n_parts,
+           rank() OVER (ORDER BY count(DISTINCT l_partkey) DESC,
+                        l_suppkey) AS rnk
+    FROM lineitem
+    GROUP BY l_suppkey
+    HAVING count(*) > 5) t
+WHERE rnk <= 20
+ORDER BY rnk
+"""
+
+
 def register_sf_views(spark: SparkSession, sf_dir: str) -> None:
     """Expose the scale-factor tables as temp views so verbatim SQL texts
     (the reference executes its 99 queries as raw strings,
@@ -279,6 +319,24 @@ def _register_sql_text_query() -> None:
         extractable single-table implications below the join."""
         register_sf_views(spark, sf_dir)
         return spark.sql(_SQL_TEXT_OR_OF_ANDS)
+
+    @register("sql_text_correlated_scalar", oracle=_SQL_TEXT_CORRELATED_SCALAR)
+    def sql_text_correlated_scalar(spark: SparkSession, sf_dir: str):
+        """Verbatim correlated-scalar-subquery text (q1.sql:12-14 shape)
+        through ``spark.sql`` with the IDENTICAL string as the DuckDB
+        oracle; Catalyst decorrelates the subquery into an aggregate+join."""
+        register_sf_views(spark, sf_dir)
+        return spark.sql(_SQL_TEXT_CORRELATED_SCALAR)
+
+    @register(
+        "sql_text_having_window_rank", oracle=_SQL_TEXT_HAVING_WINDOW_RANK
+    )
+    def sql_text_having_window_rank(spark: SparkSession, sf_dir: str):
+        """Verbatim HAVING + rank()-over-aggregate text (q16 ORDER BY
+        count(DISTINCT) + q67 rank-over-aggregate composed); identical
+        string on both engines."""
+        register_sf_views(spark, sf_dir)
+        return spark.sql(_SQL_TEXT_HAVING_WINDOW_RANK)
 
 
 _register_sql_text_query()
