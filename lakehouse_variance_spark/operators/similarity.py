@@ -291,3 +291,61 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= TOP_K)
         .select("query_id", "neighbor_id", F.round("cos", 4).alias("cosine"))
     )
+
+
+@register(
+    "embed_quantize_int8",
+    oracle="""
+    WITH prep AS (
+        SELECT vec_id,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb,
+               list_max(list_transform(embedding,
+                                       x -> abs(CAST(x AS DOUBLE)))) / 127
+                   AS raw_scale
+        FROM embeddings)
+    SELECT vec_id,
+           round(raw_scale, 6) AS scale,
+           array_to_string(
+               list_transform(emb, x -> CAST(round(
+                   CASE WHEN raw_scale = 0 THEN 0 ELSE x / raw_scale END)
+                   AS INT)), ',') AS codes,
+           CAST(list_aggregate(
+               list_transform(emb, x -> CAST(round(
+                   CASE WHEN raw_scale = 0 THEN 0 ELSE x / raw_scale END)
+                   AS INT)), 'sum') AS BIGINT) AS code_sum
+    FROM prep
+    """,
+)
+def embed_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 vector quantization: per-vector scale = max|x|/127,
+    codes = round(x/scale) ∈ [-127, 127] — the 4× memory/IO compression
+    every large-scale ANN index applies before sharding. Codes render as a
+    comma-joined string so the oracle hash is list-representation-agnostic.
+
+    Scale: a narrow per-row map (higher-order array functions, no Python,
+    no shuffle); float32 values widen to float64 before the divide so both
+    engines round the same doubles.
+    """
+    emb = spread(load_table(spark, sf_dir, "embeddings"))
+    v = _as_double("embedding")
+    prep = emb.select(
+        "vec_id",
+        v.alias("emb"),
+        (F.array_max(F.transform(v, lambda x: F.abs(x))) / 127).alias(
+            "raw_scale"
+        ),
+    )
+    code = lambda x: F.round(  # noqa: E731
+        F.when(F.col("raw_scale") == 0, F.lit(0.0)).otherwise(
+            x / F.col("raw_scale")
+        )
+    ).cast("int")
+    codes = F.transform(F.col("emb"), code)
+    return prep.select(
+        "vec_id",
+        F.round("raw_scale", 6).alias("scale"),
+        F.array_join(codes, ",").alias("codes"),
+        F.aggregate(
+            codes, F.lit(0).cast("bigint"), lambda acc, x: acc + x
+        ).alias("code_sum"),
+    )

@@ -238,6 +238,22 @@ ORDER BY rnk
 """
 
 
+# Dialect-portable text #8: explicit GROUPING SETS with grouping() markers —
+# the generalization of the reference's ROLLUP queries (q22/q36/q67 etc. use
+# ROLLUP, which is sugar for exactly these sets); grouping() disambiguates
+# the NULLs of each grain.
+_SQL_TEXT_GROUPING_SETS = """
+SELECT l_returnflag,
+       l_linestatus,
+       grouping(l_returnflag) AS g_flag,
+       grouping(l_linestatus) AS g_status,
+       count(*) AS n_lines,
+       CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+FROM lineitem
+GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+"""
+
+
 def register_sf_views(spark: SparkSession, sf_dir: str) -> None:
     """Expose the scale-factor tables as temp views so verbatim SQL texts
     (the reference executes its 99 queries as raw strings,
@@ -337,6 +353,15 @@ def _register_sql_text_query() -> None:
         string on both engines."""
         register_sf_views(spark, sf_dir)
         return spark.sql(_SQL_TEXT_HAVING_WINDOW_RANK)
+
+    @register("sql_text_grouping_sets", oracle=_SQL_TEXT_GROUPING_SETS)
+    def sql_text_grouping_sets(spark: SparkSession, sf_dir: str):
+        """Verbatim GROUPING SETS text with grouping() markers (the grain
+        vocabulary behind the reference's 11 ROLLUP queries); identical
+        string on both engines. Spark plans one Expand + one aggregate —
+        no per-grain rescans."""
+        register_sf_views(spark, sf_dir)
+        return spark.sql(_SQL_TEXT_GROUPING_SETS)
 
 
 _register_sql_text_query()
