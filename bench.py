@@ -35,6 +35,7 @@ HEADLINE_QUERIES = (
     "qerror_metric",
     "set_union_all",
     "trace_workload_summary",
+    "trace_variance_decomposition",
     "fifo_schedule_carbon",
     "session_window_agg",
     "stream_stream_join",

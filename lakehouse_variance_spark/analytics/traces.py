@@ -250,6 +250,75 @@ def trace_workload_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "trace_variance_decomposition",
+    oracle=f"""
+    WITH log AS ({_EVENT_LOG_SQL}),
+    grand AS (
+        SELECT avg(runtime_s) AS gm, count(*) AS n FROM log),
+    per_run AS (
+        SELECT run,
+               count(*) AS n_g,
+               avg(runtime_s) AS mean_g,
+               var_samp(runtime_s) AS var_g
+        FROM log GROUP BY run),
+    parts AS (
+        SELECT sum(n_g * (mean_g - gm) * (mean_g - gm)) AS ss_between,
+               sum((n_g - 1) * var_g)                   AS ss_within,
+               count(*)                                 AS k,
+               max(n)                                   AS n
+        FROM per_run CROSS JOIN grand)
+    SELECT round(ss_between, 4)                             AS ss_between,
+           round(ss_within, 4)                              AS ss_within,
+           round(ss_between + ss_within, 4)                 AS ss_total,
+           CAST(k - 1 AS BIGINT)                            AS df_between,
+           CAST(n - k AS BIGINT)                            AS df_within,
+           round((ss_between / (k - 1))
+                 / (ss_within / (n - k)), 4)                AS f_stat,
+           round(ss_between / (ss_between + ss_within), 6)  AS eta_sq
+    FROM parts
+    """,
+)
+def trace_variance_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-way ANOVA decomposition of query runtimes by run — the
+    between-run vs within-run split behind the paper's variance question
+    ("how much of runtime variance is the platform's day-to-day noise?").
+    Reports sums of squares, degrees of freedom, the F statistic, and the
+    variance fraction explained by run identity (eta-squared).
+
+    Scale: one groupBy(run) over the log (map-side partial mean/var), one
+    scalar grand-mean aggregate, and a |runs|-row reduction — shuffle
+    volume is |runs| rows regardless of log size.
+    """
+    log = _event_log(spark, sf_dir)
+    grand = log.agg(
+        F.avg("runtime_s").alias("gm"), F.count("*").alias("n")
+    )
+    per_run = log.groupBy("run").agg(
+        F.count("*").alias("n_g"),
+        F.avg("runtime_s").alias("mean_g"),
+        F.var_samp("runtime_s").alias("var_g"),
+    )
+    dev = F.col("mean_g") - F.col("gm")
+    parts = per_run.crossJoin(F.broadcast(grand)).agg(
+        F.sum(F.col("n_g") * dev * dev).alias("ss_between"),
+        F.sum((F.col("n_g") - 1) * F.col("var_g")).alias("ss_within"),
+        F.count("*").alias("k"),
+        F.max("n").alias("n"),
+    )
+    ssb, ssw = F.col("ss_between"), F.col("ss_within")
+    k, n = F.col("k"), F.col("n")
+    return parts.select(
+        F.round(ssb, 4).alias("ss_between"),
+        F.round(ssw, 4).alias("ss_within"),
+        F.round(ssb + ssw, 4).alias("ss_total"),
+        (k - 1).cast("bigint").alias("df_between"),
+        (n - k).cast("bigint").alias("df_within"),
+        F.round((ssb / (k - 1)) / (ssw / (n - k)), 4).alias("f_stat"),
+        F.round(ssb / (ssb + ssw), 6).alias("eta_sq"),
+    )
+
+
+@register(
     "trace_config_delta",
     oracle=f"""
     WITH base_log AS (
