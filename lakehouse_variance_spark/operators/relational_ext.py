@@ -769,3 +769,219 @@ def scalar_counts_crossjoin(spark: SparkSession, sf_dir: str) -> DataFrame:
         for i, lo in enumerate(range(0, 24, 3))
     ]
     return ev.agg(*aggs)
+
+
+@register(
+    "join_growth_comparison",
+    oracle="""
+    WITH agg AS (
+        SELECT c.c_nationkey AS nationkey,
+               CAST(sum(CASE WHEN year(CAST(o.o_orderdate AS DATE)) = 1996
+                              AND o.o_orderpriority < '3'
+                             THEN CAST(round(o.o_totalprice * 100) AS BIGINT)
+                             ELSE 0 END) AS BIGINT) AS urgent_1996_cents,
+               CAST(sum(CASE WHEN year(CAST(o.o_orderdate AS DATE)) = 1997
+                              AND o.o_orderpriority < '3'
+                             THEN CAST(round(o.o_totalprice * 100) AS BIGINT)
+                             ELSE 0 END) AS BIGINT) AS urgent_1997_cents,
+               CAST(sum(CASE WHEN year(CAST(o.o_orderdate AS DATE)) = 1996
+                              AND o.o_orderpriority > '3'
+                             THEN CAST(round(o.o_totalprice * 100) AS BIGINT)
+                             ELSE 0 END) AS BIGINT) AS low_1996_cents,
+               CAST(sum(CASE WHEN year(CAST(o.o_orderdate AS DATE)) = 1997
+                              AND o.o_orderpriority > '3'
+                             THEN CAST(round(o.o_totalprice * 100) AS BIGINT)
+                             ELSE 0 END) AS BIGINT) AS low_1997_cents
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        WHERE year(CAST(o.o_orderdate AS DATE)) IN (1996, 1997)
+        GROUP BY c.c_nationkey)
+    SELECT nationkey, urgent_1996_cents, urgent_1997_cents,
+           low_1996_cents, low_1997_cents
+    FROM agg
+    WHERE urgent_1996_cents > 0 AND low_1996_cents > 0
+      AND CAST(urgent_1997_cents AS DOUBLE) / urgent_1996_cents
+          > CAST(low_1997_cents AS DOUBLE) / low_1996_cents
+    """,
+)
+def join_growth_comparison(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q31 shape (queries/q31.sql): nations where one channel's
+    year-over-year revenue growth outpaces the other's (urgent vs low
+    priorities standing in for web vs store). The reference builds six
+    aggregated CTEs and joins them; the Spark-first rewrite is ONE
+    conditional-aggregation pass over the joined fact.
+
+    Determinism: the cent sums are exact int64 (< 2^53, so the
+    int64->double conversion is exact) and the growth comparison divides
+    those exact values — one correctly-rounded IEEE division per side in
+    BOTH engines, so the inequality is engine-stable. (Cross-multiplying
+    the sums instead overflows int64 at sf>=0.1 — Spark's ANSI mode throws
+    where DuckDB silently widens to HUGEINT.)
+
+    Scale: one fact scan, one broadcast customer join, one |nations|-group
+    aggregate — versus six scans + five joins in the literal CTE plan.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey"
+    )
+    year = F.year(F.col("o_orderdate").cast("date"))
+    cents = F.round(F.col("o_totalprice") * 100).cast("bigint")
+
+    def bucket(y: int, urgent: bool):
+        pri = (
+            F.col("o_orderpriority") < "3"
+            if urgent
+            else F.col("o_orderpriority") > "3"
+        )
+        return F.sum(F.when((year == y) & pri, cents).otherwise(0)).cast(
+            "bigint"
+        )
+
+    joined = orders.filter(year.isin(1996, 1997)).join(
+        F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey")
+    )
+    agg = joined.groupBy(F.col("c_nationkey").alias("nationkey")).agg(
+        bucket(1996, True).alias("urgent_1996_cents"),
+        bucket(1997, True).alias("urgent_1997_cents"),
+        bucket(1996, False).alias("low_1996_cents"),
+        bucket(1997, False).alias("low_1997_cents"),
+    )
+    u96, u97 = F.col("urgent_1996_cents"), F.col("urgent_1997_cents")
+    l96, l97 = F.col("low_1996_cents"), F.col("low_1997_cents")
+    return agg.filter(
+        (u96 > 0)
+        & (l96 > 0)
+        & (u97.cast("double") / u96 > l97.cast("double") / l96)
+    )
+
+
+@register(
+    "join_equal_revenue_bands",
+    oracle="""
+    WITH per AS (
+        SELECT l_partkey,
+               CAST(sum(CASE WHEN l_returnflag = 'A'
+                             THEN CAST(l_quantity AS BIGINT) ELSE 0 END)
+                    AS BIGINT) AS q_a,
+               CAST(sum(CASE WHEN l_returnflag = 'N'
+                             THEN CAST(l_quantity AS BIGINT) ELSE 0 END)
+                    AS BIGINT) AS q_n,
+               CAST(sum(CASE WHEN l_returnflag = 'R'
+                             THEN CAST(l_quantity AS BIGINT) ELSE 0 END)
+                    AS BIGINT) AS q_r
+        FROM lineitem
+        GROUP BY l_partkey)
+    SELECT l_partkey, q_a, q_n, q_r
+    FROM per
+    WHERE q_a + q_n + q_r > 0
+      AND 30 * q_a BETWEEN 9 * (q_a + q_n + q_r) AND 11 * (q_a + q_n + q_r)
+      AND 30 * q_n BETWEEN 9 * (q_a + q_n + q_r) AND 11 * (q_a + q_n + q_r)
+      AND 30 * q_r BETWEEN 9 * (q_a + q_n + q_r) AND 11 * (q_a + q_n + q_r)
+    """,
+)
+def join_equal_revenue_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q58 shape (queries/q58.sql): items whose per-channel volume is
+    within ±10% of the all-channel average (return-flag classes standing in
+    for store/catalog/web). The reference joins three per-channel CTEs; the
+    rewrite is one conditional-aggregation scan, with the ±10%-of-average
+    bands expressed as cross-multiplied integer inequalities
+    (30·q_c ∈ [9·Σq, 11·Σq] ⇔ q_c ∈ [0.9, 1.1]·Σq/3) — exact, no floats.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    qty = F.col("l_quantity").cast("bigint")
+
+    def chan(flag: str):
+        return F.sum(
+            F.when(F.col("l_returnflag") == flag, qty).otherwise(0)
+        ).cast("bigint")
+
+    per = li.groupBy("l_partkey").agg(
+        chan("A").alias("q_a"), chan("N").alias("q_n"), chan("R").alias("q_r")
+    )
+    total = F.col("q_a") + F.col("q_n") + F.col("q_r")
+
+    def band(c):
+        return (30 * c >= 9 * total) & (30 * c <= 11 * total)
+
+    return per.filter(
+        (total > 0) & band(F.col("q_a")) & band(F.col("q_n")) & band(F.col("q_r"))
+    )
+
+
+@register(
+    "window_percent_rank_cume",
+    oracle="""
+    SELECT event_id,
+           event_type,
+           round(percent_rank() OVER w, 6) AS pct_rank,
+           round(cume_dist() OVER w, 6)    AS cume,
+           dense_rank() OVER w             AS drank
+    FROM events
+    WINDOW w AS (PARTITION BY event_type ORDER BY value, event_id)
+    """,
+)
+def window_percent_rank_cume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """percent_rank / cume_dist / dense_rank — the distribution-position
+    window family (complements ntile/first_value/lead in
+    window_ntile_first_last). Values are small exact rationals
+    ((rank−1)/(n−1), rank/n), so rounding is engine-stable. Partitioned by
+    event_type; ties broken on event_id for full determinism."""
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("event_type").orderBy("value", "event_id")
+    return ev.select(
+        "event_id",
+        "event_type",
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+        F.dense_rank().over(w).alias("drank"),
+    )
+
+
+@register(
+    "agg_winsorized_mean",
+    oracle="""
+    WITH cents AS (
+        SELECT o_orderpriority,
+               CAST(round(o_totalprice * 100) AS BIGINT) AS c
+        FROM orders),
+    bounds AS (
+        SELECT o_orderpriority,
+               quantile_cont(c, 0.10) AS p10,
+               quantile_cont(c, 0.90) AS p90
+        FROM cents GROUP BY o_orderpriority)
+    SELECT c.o_orderpriority,
+           count(*) AS n_orders,
+           round(avg(greatest(least(CAST(c.c AS DOUBLE), b.p90), b.p10))
+                 / 100.0, 4) AS winsorized_mean
+    FROM cents c JOIN bounds b USING (o_orderpriority)
+    GROUP BY c.o_orderpriority
+    """,
+)
+def agg_winsorized_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """10/90 winsorized mean of order value per priority — the
+    outlier-robust location statistic a quality pipeline reports instead of
+    the raw mean. Two-pass: per-group exact quantile bounds (broadcast back)
+    then clamp-and-average, all in integer cents until the final divide.
+
+    Scale: the bounds table is |groups| rows (broadcast); at 100 TB swap
+    `percentile` for `percentile_approx` — identical call shape."""
+    orders = load_table(spark, sf_dir, "orders")
+    cents = orders.select(
+        "o_orderpriority",
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("c"),
+    )
+    bounds = cents.groupBy("o_orderpriority").agg(
+        F.percentile("c", F.lit(0.10)).alias("p10"),
+        F.percentile("c", F.lit(0.90)).alias("p90"),
+    )
+    clamped = F.greatest(
+        F.least(F.col("c").cast("double"), F.col("p90")), F.col("p10")
+    )
+    return (
+        cents.join(F.broadcast(bounds), "o_orderpriority")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.avg(clamped) / 100.0, 4).alias("winsorized_mean"),
+        )
+    )

@@ -168,3 +168,30 @@ def test_pack_offsets_single_scan_single_window_exchange(spark):
     plan = _plan(spark, "pack_token_offsets")
     assert plan.count("FileScan parquet") == 1
     assert plan.count("Exchange hashpartitioning") == 1  # by source, for the window
+
+
+def test_growth_comparison_one_scan_broadcast(spark):
+    """q31 shape: one fact scan + broadcast customer join — never the
+    six-CTE/five-join literal plan."""
+    plan = _plan(spark, "join_growth_comparison")
+    assert plan.count("FileScan parquet") == 2  # orders + customer only
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_equal_revenue_bands_single_scan_no_join(spark):
+    """q58 shape: three channels from ONE conditional-aggregation scan."""
+    plan = _plan(spark, "join_equal_revenue_bands")
+    assert plan.count("FileScan parquet") == 1
+    assert "Join" not in plan
+
+
+def test_percent_rank_single_exchange(spark):
+    plan = _plan(spark, "window_percent_rank_cume")
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_winsorized_mean_broadcasts_bounds(spark):
+    plan = _plan(spark, "agg_winsorized_mean")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
