@@ -1,0 +1,302 @@
+"""Corpus-cleaning operators: the C4/Gopher-style filter battery.
+
+Per-document text *scoring* lives in textops.py; this module adds the
+corpus-level cleaning decisions a pretraining pipeline chains in front of
+dedup (per Raffel et al. 2020 (C4) and Rae et al. 2021 (Gopher rules),
+both public):
+
+* repetition ratio — fraction of duplicated word n-grams inside a doc
+  (high = boilerplate / spam, the Gopher "repetition" signal);
+* filter pipeline — a rule battery (length bounds, mean-word-length
+  bounds, repetition cap) folded into per-(lang, source) keep/drop
+  accounting, the shape of a C4 cleaning report;
+* n-gram containment — asymmetric near-dup (how much of doc A lives
+  inside doc B), which Jaccard misses when sizes differ a lot;
+* corpus vocabulary stats — per-language type/token counts, the
+  sanity dashboard run after every cleaning pass.
+
+Everything is built-in DataFrame expressions (explode / higher-order
+array functions); no Python in the hot path, so each op carries a DuckDB
+oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from lakehouse_variance_spark.registry import register
+from lakehouse_variance_spark.tables import load_table, spread
+
+# Word n-gram width for the repetition signal. 3 is the classic dup-trigram
+# rule; the synthetic corpus's small vocabulary makes it fire often enough
+# to exercise both branches of the filter.
+REP_NGRAM = 3
+
+# Filter thresholds (Gopher-flavored, tuned to the synthetic corpus's
+# 48-553-char documents so every rule fires on some split).
+MIN_TOKENS = 15
+MAX_TOKENS = 95
+MIN_MEAN_WORD_LEN = 3.0
+MAX_MEAN_WORD_LEN = 10.0
+MAX_REP_RATIO = 0.30
+
+# Containment: same shingle width as the Jaccard dedup, threshold higher
+# because containment is directional.
+CONTAIN_NGRAM = 3
+CONTAIN_THRESHOLD = 0.8
+CONTAIN_DOC_MOD = 5  # probe subset: every 5th doc checked against the corpus
+
+
+def _grams_sql(n: int) -> str:
+    """DuckDB list expression: word n-grams of `text` (non-distinct)."""
+    return (
+        f"list_transform(generate_series(1, len(string_split(text, ' ')) - {n - 1}),"
+        f" i -> array_to_string(list_slice(string_split(text, ' '), i, i + {n - 1}), ' '))"
+    )
+
+
+def _grams_col(n: int):
+    tokens = F.split(F.col("text"), " ")
+    return F.transform(
+        F.sequence(F.lit(1), F.size(tokens) - (n - 1)),
+        lambda i: F.array_join(F.slice(tokens, i, n), " "),
+    )
+
+
+@register(
+    "text_repetition_ratio",
+    oracle=f"""
+    WITH g AS (
+        SELECT doc_id, lang, {_grams_sql(REP_NGRAM)} AS grams
+        FROM documents)
+    SELECT doc_id, lang,
+           CAST(len(grams) AS BIGINT)                AS n_grams,
+           CAST(len(list_distinct(grams)) AS BIGINT) AS n_distinct_grams,
+           CAST(len(grams) - len(list_distinct(grams)) AS BIGINT)
+               AS n_repeated
+    FROM g
+    WHERE len(grams) - len(list_distinct(grams)) > 0
+    """,
+)
+def text_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-document duplicate-{REP_NGRAM}-gram counts — the Gopher
+    repetition signal. Emits only docs with at least one repeated n-gram
+    (the flagging set). Counts, not the float ratio, cross the gate so the
+    hash is engine-exact; the ratio is n_repeated / n_grams downstream.
+
+    Scale: per-row array math only — no shuffle at all; the filter prunes
+    the output before any exchange.
+    """
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    grams = _grams_col(REP_NGRAM)
+    out = docs.select(
+        "doc_id",
+        "lang",
+        F.size(grams).cast("bigint").alias("n_grams"),
+        F.size(F.array_distinct(grams)).cast("bigint").alias("n_distinct_grams"),
+    ).withColumn("n_repeated", F.col("n_grams") - F.col("n_distinct_grams"))
+    return out.filter(F.col("n_repeated") > 0)
+
+
+@register(
+    "text_filter_pipeline",
+    oracle=f"""
+    WITH scored AS (
+        SELECT lang, source,
+               len(string_split(text, ' ')) AS n_tokens,
+               (len(replace(text, ' ', '')) * 1.0)
+                   / len(string_split(text, ' ')) AS mean_word_len,
+               len({_grams_sql(REP_NGRAM)})
+                   - len(list_distinct({_grams_sql(REP_NGRAM)})) AS n_rep,
+               len({_grams_sql(REP_NGRAM)}) AS n_grams
+        FROM documents),
+    flagged AS (
+        SELECT lang, source,
+               CASE WHEN n_tokens < {MIN_TOKENS} THEN 1 ELSE 0 END AS f_short,
+               CASE WHEN n_tokens > {MAX_TOKENS} THEN 1 ELSE 0 END AS f_long,
+               CASE WHEN mean_word_len < {MIN_MEAN_WORD_LEN}
+                         OR mean_word_len > {MAX_MEAN_WORD_LEN}
+                    THEN 1 ELSE 0 END AS f_wordlen,
+               CASE WHEN n_grams > 0
+                         AND n_rep * 1.0 / n_grams > {MAX_REP_RATIO}
+                    THEN 1 ELSE 0 END AS f_repeat
+        FROM scored)
+    SELECT lang, source,
+           count(*)                    AS n_docs,
+           CAST(sum(f_short) AS BIGINT)   AS n_too_short,
+           CAST(sum(f_long) AS BIGINT)    AS n_too_long,
+           CAST(sum(f_wordlen) AS BIGINT) AS n_bad_wordlen,
+           CAST(sum(f_repeat) AS BIGINT)  AS n_repetitive,
+           CAST(sum(CASE WHEN f_short + f_long + f_wordlen + f_repeat = 0
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+    FROM flagged
+    GROUP BY lang, source
+    """,
+)
+def text_filter_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style cleaning report: apply the rule battery (token-count
+    bounds, mean-word-length bounds, repetition cap) to every document and
+    roll keep/drop counts up per (lang, source) — the acceptance dashboard
+    of a cleaning pass.
+
+    The repetition rule compares n_rep/n_grams as one IEEE division per
+    engine (exact int64→double inputs), which is stable; only integer
+    counts cross the gate.
+
+    Scale: scoring is a single pass of per-row expressions; the rollup is
+    one partial-aggregated shuffle on a low-cardinality key pair.
+    """
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    tokens = F.split(F.col("text"), " ")
+    grams = _grams_col(REP_NGRAM)
+    scored = docs.select(
+        "lang",
+        "source",
+        F.size(tokens).alias("n_tokens"),
+        (
+            F.length(F.regexp_replace(F.col("text"), " ", "")).cast("double")
+            / F.size(tokens)
+        ).alias("mean_word_len"),
+        (F.size(grams) - F.size(F.array_distinct(grams))).alias("n_rep"),
+        F.size(grams).alias("n_grams"),
+    )
+    flagged = scored.select(
+        "lang",
+        "source",
+        F.when(F.col("n_tokens") < MIN_TOKENS, 1).otherwise(0).alias("f_short"),
+        F.when(F.col("n_tokens") > MAX_TOKENS, 1).otherwise(0).alias("f_long"),
+        F.when(
+            (F.col("mean_word_len") < MIN_MEAN_WORD_LEN)
+            | (F.col("mean_word_len") > MAX_MEAN_WORD_LEN),
+            1,
+        )
+        .otherwise(0)
+        .alias("f_wordlen"),
+        F.when(
+            (F.col("n_grams") > 0)
+            & (F.col("n_rep").cast("double") / F.col("n_grams") > MAX_REP_RATIO),
+            1,
+        )
+        .otherwise(0)
+        .alias("f_repeat"),
+    )
+    keep = (
+        F.col("f_short") + F.col("f_long") + F.col("f_wordlen") + F.col("f_repeat")
+        == 0
+    )
+    return flagged.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("f_short").cast("bigint").alias("n_too_short"),
+        F.sum("f_long").cast("bigint").alias("n_too_long"),
+        F.sum("f_wordlen").cast("bigint").alias("n_bad_wordlen"),
+        F.sum("f_repeat").cast("bigint").alias("n_repetitive"),
+        F.sum(F.when(keep, 1).otherwise(0)).cast("bigint").alias("n_kept"),
+    )
+
+
+@register(
+    "dedup_ngram_containment",
+    oracle=f"""
+    WITH sh AS (
+        SELECT doc_id,
+               unnest(list_distinct({_grams_sql(CONTAIN_NGRAM)})) AS shingle
+        FROM documents),
+    sizes AS (
+        SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+    probe AS (
+        SELECT * FROM sh WHERE doc_id % {CONTAIN_DOC_MOD} = 0),
+    overlap AS (
+        SELECT p.doc_id AS probe_id, c.doc_id AS host_id,
+               count(*) AS n_common
+        FROM probe p JOIN sh c USING (shingle)
+        WHERE p.doc_id <> c.doc_id
+        GROUP BY p.doc_id, c.doc_id)
+    SELECT o.probe_id, o.host_id, o.n_common,
+           s.n_sh AS probe_sh
+    FROM overlap o JOIN sizes s ON s.doc_id = o.probe_id
+    WHERE o.n_common * 1.0 / s.n_sh >= {CONTAIN_THRESHOLD}
+    """,
+)
+def dedup_ngram_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric near-dup: flag probe documents whose distinct
+    {CONTAIN_NGRAM}-gram set is ≥{CONTAIN_THRESHOLD:.0%} contained in
+    another document — catches quote/excerpt duplication where Jaccard
+    stays low because the host is much longer. Probe set = every
+    {CONTAIN_DOC_MOD}th doc (a containment *audit* samples; an exhaustive
+    run sets the mod to 1).
+
+    Scale: one shuffle on the shingle key joins probe shingles to corpus
+    shingles; the probe side is a fixed fraction, and the threshold
+    division is a single IEEE op per pair (engine-stable on exact int64
+    inputs).
+    """
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    sh = docs.select(
+        "doc_id", F.explode(F.array_distinct(_grams_col(CONTAIN_NGRAM))).alias("shingle")
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    probe = sh.filter(F.col("doc_id") % CONTAIN_DOC_MOD == 0).withColumnRenamed(
+        "doc_id", "probe_id"
+    )
+    overlap = (
+        probe.join(sh.withColumnRenamed("doc_id", "host_id"), "shingle")
+        .filter(F.col("probe_id") != F.col("host_id"))
+        .groupBy("probe_id", "host_id")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    return (
+        overlap.join(
+            sizes.withColumnRenamed("doc_id", "probe_id").withColumnRenamed(
+                "n_sh", "probe_sh"
+            ),
+            "probe_id",
+        )
+        .filter(
+            F.col("n_common").cast("double") / F.col("probe_sh")
+            >= F.lit(CONTAIN_THRESHOLD)
+        )
+        .select("probe_id", "host_id", "n_common", "probe_sh")
+    )
+
+
+@register(
+    "corpus_vocab_stats",
+    oracle="""
+    WITH tok AS (
+        SELECT lang, unnest(string_split(text, ' ')) AS token
+        FROM documents)
+    SELECT lang,
+           count(*)              AS total_tokens,
+           count(DISTINCT token) AS distinct_tokens,
+           min(len(token))       AS min_token_len,
+           max(len(token))       AS max_token_len
+    FROM tok
+    GROUP BY lang
+    """,
+)
+def corpus_vocab_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language vocabulary dashboard after a cleaning pass: token
+    volume, distinct-type count, token-length extremes. The type/token
+    ratio is distinct_tokens/total_tokens downstream.
+
+    Scale: count(DISTINCT) over an exploded column — Spark plans it as a
+    two-stage partial-then-final aggregate on (lang, token); no driver-side
+    set materializes.
+    """
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    tok = docs.select("lang", F.explode(F.split(F.col("text"), " ")).alias("token"))
+    return tok.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("total_tokens"),
+        F.count_distinct("token").alias("distinct_tokens"),
+        F.min(F.length("token")).alias("min_token_len"),
+        F.max(F.length("token")).alias("max_token_len"),
+    )
+
+
+__all__ = [
+    "text_repetition_ratio",
+    "text_filter_pipeline",
+    "dedup_ngram_containment",
+    "corpus_vocab_stats",
+]

@@ -37,8 +37,10 @@ def load_all() -> None:
     from lakehouse_variance_spark.analytics import traces  # noqa: F401
     from lakehouse_variance_spark.functions import durations  # noqa: F401
     from lakehouse_variance_spark.operators import (  # noqa: F401
+        cleaning,
         dedup,
         multimodal,
+        mutation,
         pipeline,
         relational,
         relational_ext,
