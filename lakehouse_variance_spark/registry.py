@@ -43,6 +43,7 @@ def load_all() -> None:
         mutation,
         pipeline,
         relational,
+        relational_ds,
         relational_ext,
         similarity,
         temporal,
