@@ -41,6 +41,10 @@ HEADLINE_QUERIES = (
     "stream_stream_join",
     "union_return_ratio_ranked",
     "scalar_counts_crossjoin",
+    "merge_upsert_orders",
+    "cdc_apply_latest",
+    "join_stats_spread",
+    "text_filter_pipeline",
     "dedup_exact",
     "dedup_shingle_jaccard",
     "dedup_minhash_lsh",
@@ -60,6 +64,10 @@ def main() -> None:
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1])
     registry.load_all()
     spark = build_session(app_name="lvs-bench")
+    # Keep stderr to the per-query timing lines: the scheduling sim's
+    # driver-side small-N windows legitimately run single-partition (see
+    # scheduling/carbon.py:103) and would otherwise spam WindowExec warnings.
+    spark.sparkContext.setLogLevel("ERROR")
 
     # Warm-up pass: the first execution of each query pays Janino codegen +
     # JVM JIT compilation of its generated classes (several seconds for the

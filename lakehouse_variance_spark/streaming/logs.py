@@ -33,6 +33,18 @@ from lakehouse_variance_spark.tables import load_table
 
 _MEMORY_SINK_IDS = itertools.count()
 
+# File-stream sources need a user-supplied schema; reading the footer once
+# per (session, path) instead of per source saves a full batch-scan setup
+# every time a query builds a second source over the same table.
+_SCHEMA_CACHE: dict[tuple[int, str], object] = {}
+
+
+def _events_schema(spark: SparkSession, path: str):
+    key = (id(spark), path)
+    if key not in _SCHEMA_CACHE:
+        _SCHEMA_CACHE[key] = spark.read.parquet(path).schema
+    return _SCHEMA_CACHE[key]
+
 
 def streaming_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """File-source streaming read of the events table with the same
@@ -41,7 +53,7 @@ def streaming_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Zero-offset NTZ<->TZ casts; see load_table for the rationale.
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     path = os.path.join(sf_dir, "events.parquet")
-    schema = spark.read.parquet(path).schema
+    schema = _events_schema(spark, path)
     # The file stream source tails a directory; glob-filter it down to the
     # events table (on a cluster this is the log-landing prefix instead).
     stream = (
@@ -415,9 +427,12 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregate after a stream-stream join would need its own watermark pass).
     availableNow drains the bounded source, so the result equals the batch
     interval-join oracle."""
+    # One file source, self-joined: Spark supports stream-stream self-joins,
+    # and sharing the source halves the per-query source machinery (schema,
+    # file index, admission control) versus two independent readers.
+    events = streaming_events(spark, sf_dir)
     clicks = (
-        streaming_events(spark, sf_dir)
-        .filter(F.col("event_type") == "click")
+        events.filter(F.col("event_type") == "click")
         .select(
             F.col("user_id").alias("c_user"),
             F.col("ts").alias("click_ts"),
@@ -426,8 +441,7 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withWatermark("click_ts", "1 hour")
     )
     errors = (
-        streaming_events(spark, sf_dir)
-        .filter(F.col("event_type") == "error")
+        events.filter(F.col("event_type") == "error")
         .select(
             F.col("user_id").alias("e_user"), F.col("ts").alias("err_ts")
         )
