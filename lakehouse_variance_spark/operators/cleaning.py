@@ -294,9 +294,85 @@ def corpus_vocab_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "text_tfidf_top_term",
+    oracle="""
+    WITH tok AS (
+        SELECT doc_id, lang, unnest(string_split(text, ' ')) AS token
+        FROM documents),
+    tf AS (
+        SELECT doc_id, lang, token, count(*) AS tf
+        FROM tok GROUP BY doc_id, lang, token),
+    df AS (
+        SELECT lang, token, count(DISTINCT doc_id) AS df
+        FROM tok GROUP BY lang, token),
+    n AS (
+        SELECT lang, count(DISTINCT doc_id) AS n_docs
+        FROM documents GROUP BY lang),
+    scored AS (
+        SELECT tf.doc_id, tf.token, tf.tf, df.df, n.n_docs,
+               CAST(tf.tf AS DOUBLE) * CAST(n.n_docs AS DOUBLE)
+                   / CAST(df.df AS DOUBLE) AS score,
+               row_number() OVER (PARTITION BY tf.doc_id
+                                  ORDER BY CAST(tf.tf AS DOUBLE)
+                                           * CAST(n.n_docs AS DOUBLE)
+                                           / CAST(df.df AS DOUBLE) DESC,
+                                           tf.token) AS rn
+        FROM tf
+        JOIN df ON df.lang = tf.lang AND df.token = tf.token
+        JOIN n ON n.lang = tf.lang)
+    SELECT doc_id, token AS top_term, tf, df, n_docs, score
+    FROM scored WHERE rn = 1
+    """,
+)
+def text_tfidf_top_term(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus term weighting: each document's most distinctive term by
+    tf·N/df within its language (the idf kept as an exact rational rather
+    than a log so both engines produce bit-identical doubles — one int64→
+    double multiply and one divide; log/ln tables differ across libm
+    builds). The standard keyword-extraction pass over a cleaned corpus.
+
+    Scale: tf and df aggregate the same exploded token stream — Spark
+    computes both from one scan with partial aggregation; the df join
+    shuffles on (lang, token) and the per-language doc count broadcasts.
+    """
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    tok = docs.select(
+        "doc_id", "lang", F.explode(F.split(F.col("text"), " ")).alias("token")
+    )
+    tf = tok.groupBy("doc_id", "lang", "token").agg(F.count(F.lit(1)).alias("tf"))
+    df = tok.groupBy("lang", "token").agg(
+        F.count_distinct("doc_id").alias("df")
+    )
+    n = docs.groupBy("lang").agg(F.count_distinct("doc_id").alias("n_docs"))
+    score = (
+        F.col("tf").cast("double")
+        * F.col("n_docs").cast("double")
+        / F.col("df").cast("double")
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_id").orderBy(score.desc(), F.col("token"))
+    scored = (
+        tf.join(df, ["lang", "token"])
+        .join(F.broadcast(n), "lang")
+        .select(
+            "doc_id",
+            F.col("token").alias("top_term"),
+            "tf",
+            "df",
+            "n_docs",
+            score.alias("score"),
+            F.row_number().over(w).alias("rn"),
+        )
+    )
+    return scored.filter(F.col("rn") == 1).drop("rn")
+
+
 __all__ = [
     "text_repetition_ratio",
     "text_filter_pipeline",
     "dedup_ngram_containment",
     "corpus_vocab_stats",
+    "text_tfidf_top_term",
 ]

@@ -42,6 +42,7 @@ def load_all() -> None:
         multimodal,
         mutation,
         pipeline,
+        ranges,
         relational,
         relational_ds,
         relational_ext,

@@ -238,3 +238,17 @@ def test_filter_pipeline_is_single_scan_single_exchange(spark):
     plan = _plan(spark, "text_filter_pipeline")
     assert plan.count("FileScan parquet") == 1
     assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_range_join_is_hash_join_not_nested_loop(spark):
+    """Key-less interval join: bucketing must keep it a hash equi-join —
+    a BroadcastNestedLoopJoin here is O(points × intervals) at scale."""
+    plan = _plan(spark, "range_join_maintenance")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_sessionize_single_exchange(spark):
+    """Both session windows and the rollup share the user_id shuffle."""
+    plan = _plan(spark, "batch_sessionize")
+    assert plan.count("Exchange hashpartitioning") == 1
