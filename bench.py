@@ -44,12 +44,16 @@ HEADLINE_QUERIES = (
     "merge_upsert_orders",
     "cdc_apply_latest",
     "join_stats_spread",
+    "yoy_channel_growth_compare",
+    "cross_channel_items_rollup",
+    "argmax_struct_top_type",
     "text_filter_pipeline",
     "dedup_exact",
     "dedup_shingle_jaccard",
     "dedup_minhash_lsh",
     "embed_cosine_topk",
     "ann_lsh_topk",
+    "embed_centroid_per_label",
     "text_token_stats",
     "text_fingerprint",
     "pack_token_offsets",

@@ -214,28 +214,37 @@ def contamination_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: the eval split's n-gram set is tiny relative to the corpus, so
     it is explicitly ``broadcast()`` — the training-side scan never
     shuffles; contamination checking at 100 TB is a broadcast-hash-join
-    over a one-pass scan.
+    over a one-pass scan. The join and the distinct-aggregation run on
+    ``xxhash64`` of the shingle (8-byte longs), not the ~100-byte n-gram
+    strings — same 16-bytes-per-row discipline as the dedup family, with
+    the same accepted n²·2⁻⁶⁴ collision odds; the counted values are
+    hash-distinct, which equals string-distinct barring a collision.
     """
     docs = spread(load_table(spark, sf_dir, "documents"))
     tokens = F.split(F.col("text"), " ")
+    # Hash INSIDE the transform: the n-gram string exists only transiently
+    # per element; the materialized array, the explode, and everything
+    # downstream carry 8-byte longs.
     grams = F.array_distinct(
         F.transform(
             F.sequence(F.lit(1), F.size(tokens) - (CONTAM_NGRAM - 1)),
-            lambda i: F.array_join(F.slice(tokens, i, CONTAM_NGRAM), " "),
+            lambda i: F.xxhash64(
+                F.array_join(F.slice(tokens, i, CONTAM_NGRAM), " ")
+            ),
         )
     )
-    sh = docs.select("doc_id", F.explode(grams).alias("shingle"))
+    sh = docs.select("doc_id", F.explode(grams).alias("shingle_h"))
     eval_sh = (
         sh.filter(F.col("doc_id") % EVAL_MOD == 0)
-        .select(F.col("shingle"), F.col("doc_id").alias("eval_doc"))
+        .select(F.col("shingle_h"), F.col("doc_id").alias("eval_doc"))
         .distinct()
     )
     train_sh = sh.filter(F.col("doc_id") % EVAL_MOD != 0)
     return (
-        train_sh.join(F.broadcast(eval_sh), "shingle")
+        train_sh.join(F.broadcast(eval_sh), "shingle_h")
         .groupBy("doc_id")
         .agg(
-            F.count_distinct("shingle").alias("n_overlap_shingles"),
+            F.count_distinct("shingle_h").alias("n_overlap_shingles"),
             F.count_distinct("eval_doc").alias("n_eval_docs_hit"),
         )
     )

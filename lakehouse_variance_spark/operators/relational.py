@@ -1039,6 +1039,44 @@ def agg_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("agg_hll_sketch_union")
+def agg_hll_sketch_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Re-aggregatable distinct-count sketches (Apache DataSketches HLL,
+    Spark 4 ``hll_sketch_agg``/``hll_union_agg``): per-returnflag part
+    sketches PLUS their union estimate, without touching raw rows twice.
+
+    This is the property ``approx_count_distinct`` alone lacks: its HLL++
+    state is internal, so a rolled-up grain must rescan the facts. Sketch
+    columns are first-class binary values — persist per-partition/day
+    sketches once, then answer ANY coarser distinct-count grain by merging
+    kilobyte-sized states (the same partial-then-merge contract as the
+    integer-cents sums, applied to cardinality). Registered rows-only (the
+    estimate is engine-specific); the accuracy envelope vs exact distinct
+    counts is asserted in tests/test_registry_oracle.py.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    per_flag = li.groupBy("l_returnflag").agg(
+        F.hll_sketch_agg("l_partkey", F.lit(12)).alias("sketch"),
+        F.count("*").alias("n_rows"),
+    )
+    per_flag = per_flag.select(
+        "l_returnflag",
+        "n_rows",
+        F.hll_sketch_estimate("sketch").alias("approx_parts"),
+        F.lit(0).cast("int").alias("is_union"),
+        "sketch",
+    )
+    union = per_flag.agg(
+        F.lit("ALL").alias("l_returnflag"),
+        F.sum("n_rows").alias("n_rows"),
+        F.hll_sketch_estimate(F.hll_union_agg("sketch", F.lit(False))).alias(
+            "approx_parts"
+        ),
+        F.lit(1).cast("int").alias("is_union"),
+    )
+    return per_flag.drop("sketch").unionByName(union)
+
+
 @register(
     "rollup_rank_within_parent",
     oracle="""

@@ -349,3 +349,60 @@ def embed_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
             codes, F.lit(0).cast("bigint"), lambda acc, x: acc + x
         ).alias("code_sum"),
     )
+
+
+@register(
+    "embed_centroid_per_label",
+    oracle="""
+    WITH ex AS (
+        SELECT label,
+               unnest(generate_series(1, len(embedding))) AS i,
+               unnest(list_transform(embedding, x -> CAST(x AS DOUBLE))) AS x
+        FROM embeddings)
+    SELECT label,
+           i - 1 AS dim,
+           count(*) AS n,
+           CAST(sum(CAST(floor(x * 1000000) AS BIGINT)) AS BIGINT)
+               AS sum_micro,
+           (CAST(sum(CAST(floor(x * 1000000) AS BIGINT)) AS DOUBLE)
+            / 1000000) / CAST(count(*) AS DOUBLE) AS centroid
+    FROM ex
+    GROUP BY label, i
+    """,
+)
+def embed_centroid_per_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid of the embedding column, dimension-wise — the
+    class-prototype / cluster-update step of every distributed KMeans-style
+    or retrieval pipeline (the coarse-quantizer refresh for ``ann_ivf_topk``).
+
+    Distributed float reduction is NOT order-stable (partial sums
+    re-associate differently per partitioning), so the mean accumulates
+    exact micro-units — ``floor(x·10⁶)`` as BIGINT, an exact operation on
+    every engine — and converts to double ONCE at the end: one int→double
+    cast, one division by 10⁶, one division by n. Bit-identical across
+    engines and partition counts; the 1e-6 quantization is far below
+    float32 input noise.
+
+    Scale: posexplode fans each vector into (dim, value) rows BEFORE the
+    single shuffle on (label, dim), so partial aggregation compresses each
+    map partition to |labels|×|dims| rows regardless of vector count.
+    """
+    emb = spread(load_table(spark, sf_dir, "embeddings"))
+    ex = emb.select(
+        "label", F.posexplode(_as_double("embedding")).alias("dim", "x")
+    )
+    micro = F.floor(F.col("x") * 1_000_000).cast("bigint")
+    agg = ex.groupBy("label", "dim").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(micro).alias("sum_micro"),
+    )
+    return agg.select(
+        "label",
+        "dim",
+        "n",
+        "sum_micro",
+        (
+            (F.col("sum_micro").cast("double") / 1_000_000)
+            / F.col("n").cast("double")
+        ).alias("centroid"),
+    )

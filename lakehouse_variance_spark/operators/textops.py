@@ -220,3 +220,77 @@ def text_bpe_pretokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda acc, x: acc + x,
         ).alias("n_covered_chars"),
     )
+
+
+@register(
+    "text_doc_rarity_score",
+    oracle="""
+    WITH exploded AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS token
+        FROM documents
+        WHERE length(text) > 0),
+    doc_tokens AS (
+        SELECT DISTINCT doc_id, token FROM exploded),
+    docfreq AS (
+        SELECT token, count(*) AS df FROM doc_tokens GROUP BY token),
+    n_total AS (SELECT count(*) AS n_docs FROM documents
+                WHERE length(text) > 0)
+    SELECT t.doc_id,
+           count(*) AS n_distinct_tokens,
+           CAST(sum(f.df) AS BIGINT) AS df_sum,
+           (CAST(sum(f.df) AS DOUBLE) / CAST(count(*) AS DOUBLE))
+               / CAST(n.n_docs AS DOUBLE) AS commonness
+    FROM doc_tokens t
+    JOIN docfreq f ON f.token = t.token
+    CROSS JOIN n_total n
+    GROUP BY t.doc_id, n.n_docs
+    """,
+)
+def text_doc_rarity_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-relative rarity scoring: each document's mean document
+    frequency over its distinct tokens, normalized by corpus size — the
+    log-free analogue of a unigram-LM perplexity proxy (CCNet-style
+    quality bucketing ranks docs by how 'common' their vocabulary is).
+    ``commonness`` near 1 means every token appears in every document;
+    rare-vocabulary docs score near 1/N.
+
+    The score is a rational of exact integers — Σdf / n_tokens / N — with
+    two IEEE divisions at the end, so it is partition-order-independent and
+    engine-exact (no log(), whose libm rounding differs across engines).
+
+    Scale: ONE explode → distinct per (doc, token), one token-keyed
+    groupBy for document frequencies, one join back on token, one doc
+    groupBy. The df table is vocabulary-sized (Zipf: millions, not
+    billions) and AQE broadcasts it when small; ultra-common tokens are
+    the skew risk, mitigated the same way as stop-shingles in dedup
+    (frequency-cap the vocab before the join at 100 TB).
+    """
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.length("text") > 0
+    )
+    doc_tokens = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("token")
+    ).distinct()
+    docfreq = doc_tokens.groupBy("token").agg(F.count("*").alias("df"))
+    n_total = docs.agg(F.count("*").alias("n_docs"))
+    joined = doc_tokens.join(docfreq, "token")
+    return (
+        joined.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_distinct_tokens"),
+            F.sum("df").alias("df_sum"),
+        )
+        .crossJoin(F.broadcast(n_total))
+        .select(
+            "doc_id",
+            "n_distinct_tokens",
+            "df_sum",
+            (
+                (
+                    F.col("df_sum").cast("double")
+                    / F.col("n_distinct_tokens").cast("double")
+                )
+                / F.col("n_docs").cast("double")
+            ).alias("commonness"),
+        )
+    )

@@ -254,6 +254,45 @@ GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
 """
 
 
+# Dialect-portable text #9: the verbatim q11/q4 year_total CTE self-join —
+# one CTE instantiated twice per channel (4 logical instances), customers
+# whose 'N'-channel growth beats their 'A'-channel growth
+# (docker/trino-client/queries/q11.sql:1-60 down-scoped to our schema).
+# The optimized single-scan rewrite of the same semantics is
+# operators/relational_ds2.py:yoy_channel_growth_compare — this text proves
+# the engine also executes the un-rewritten form the reference ships.
+_SQL_TEXT_YEAR_TOTAL_SELFJOIN = """
+WITH year_total AS (
+    SELECT o.o_custkey AS custkey,
+           year(o.o_orderdate) AS dyear,
+           l.l_returnflag AS sale_type,
+           CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT))
+                AS BIGINT) AS total_cents
+    FROM lineitem l
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    WHERE year(o.o_orderdate) IN (1996, 1997)
+      AND l.l_returnflag IN ('N', 'A')
+    GROUP BY o.o_custkey, year(o.o_orderdate), l.l_returnflag)
+SELECT t_n_1.custkey AS o_custkey,
+       t_n_1.total_cents AS n_first_cents,
+       t_n_2.total_cents AS n_second_cents,
+       t_a_1.total_cents AS a_first_cents,
+       t_a_2.total_cents AS a_second_cents
+FROM year_total t_n_1
+JOIN year_total t_n_2 ON t_n_2.custkey = t_n_1.custkey
+JOIN year_total t_a_1 ON t_a_1.custkey = t_n_1.custkey
+JOIN year_total t_a_2 ON t_a_2.custkey = t_n_1.custkey
+WHERE t_n_1.sale_type = 'N' AND t_n_1.dyear = 1996
+  AND t_n_2.sale_type = 'N' AND t_n_2.dyear = 1997
+  AND t_a_1.sale_type = 'A' AND t_a_1.dyear = 1996
+  AND t_a_2.sale_type = 'A' AND t_a_2.dyear = 1997
+  AND t_n_1.total_cents > 0
+  AND t_a_1.total_cents > 0
+  AND CAST(t_n_2.total_cents AS DOUBLE) * CAST(t_a_1.total_cents AS DOUBLE)
+    > CAST(t_a_2.total_cents AS DOUBLE) * CAST(t_n_1.total_cents AS DOUBLE)
+"""
+
+
 def register_sf_views(spark: SparkSession, sf_dir: str) -> None:
     """Expose the scale-factor tables as temp views so verbatim SQL texts
     (the reference executes its 99 queries as raw strings,
@@ -362,6 +401,18 @@ def _register_sql_text_query() -> None:
         no per-grain rescans."""
         register_sf_views(spark, sf_dir)
         return spark.sql(_SQL_TEXT_GROUPING_SETS)
+
+    @register(
+        "sql_text_year_total_selfjoin", oracle=_SQL_TEXT_YEAR_TOTAL_SELFJOIN
+    )
+    def sql_text_year_total_selfjoin(spark: SparkSession, sf_dir: str):
+        """Verbatim q11/q4 year_total CTE four-instance self-join —
+        identical string on both engines. Spark plans the CTE once and
+        reuses the exchange across the four instances; the semantically
+        equal single-scan conditional-agg rewrite is
+        ``yoy_channel_growth_compare`` (results must agree — tested)."""
+        register_sf_views(spark, sf_dir)
+        return spark.sql(_SQL_TEXT_YEAR_TOTAL_SELFJOIN)
 
 
 _register_sql_text_query()

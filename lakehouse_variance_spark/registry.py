@@ -45,6 +45,7 @@ def load_all() -> None:
         ranges,
         relational,
         relational_ds,
+        relational_ds2,
         relational_ext,
         similarity,
         temporal,

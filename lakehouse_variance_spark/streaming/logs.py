@@ -500,3 +500,52 @@ def run_to_idempotent_sink(
         .start()
     )
     query.awaitTermination()
+
+
+@register(
+    "stream_sliding_window",
+    oracle="""
+    WITH slid AS (
+        SELECT time_bucket(INTERVAL '30 minutes', ts)
+                 - to_minutes(30 * k.k) AS window_start,
+               event_type, value, ts
+        FROM events
+        CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS k) k)
+    SELECT window_start, event_type,
+           count(*) AS n,
+           sum(CAST(round(value * 100) AS BIGINT)) / 100.0 AS sum_value
+    FROM slid
+    WHERE ts < window_start + INTERVAL '2 hours'
+    GROUP BY 1, 2
+    """,
+)
+def stream_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window aggregation over the event stream: 2-hour windows
+    every 30 minutes, so each event contributes to 4 overlapping windows
+    (the hopping-window companion to ``stream_event_window``'s tumbling
+    form and ``session_window_agg``'s gap form — together the three window
+    shapes Structured Streaming offers).
+
+    Spark's ``window(ts, '2 hours', '30 minutes')`` expands each row into
+    its 4 member windows BEFORE the shuffle, so partial aggregation still
+    compresses map-side and state is |windows|×|types|, not |events|. The
+    oracle replays the same expansion relationally: every event joins the
+    k∈0..3 slide offsets of its 30-minute bucket. Sums accumulate integer
+    cents (see stream_event_window's determinism note).
+    """
+    events = streaming_events(spark, sf_dir)
+    cents = F.round(F.col("value") * 100).cast("long")
+    agg = (
+        events.withWatermark("ts", "1 hour")
+        .groupBy(
+            F.window("ts", "2 hours", "30 minutes").alias("w"), "event_type"
+        )
+        .agg(F.count("*").alias("n"), F.sum(cents).alias("sum_cents"))
+        .select(
+            F.col("w.start").cast("timestamp_ntz").alias("window_start"),
+            "event_type",
+            "n",
+            (F.col("sum_cents") / 100.0).alias("sum_value"),
+        )
+    )
+    return run_to_memory(agg)

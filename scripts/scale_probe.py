@@ -56,6 +56,16 @@ PROBE_QUERIES = [
     "frequent_items_revenue",
     "union_return_ratio_ranked",
     "scalar_counts_crossjoin",
+    # round-3 fourth TPC-DS batch
+    "yoy_channel_growth_compare",
+    "cross_channel_items_rollup",
+    "stddev_pair_months",
+    "revenue_segment_histogram",
+    "monthly_dow_pivot_ratio",
+    "low_share_brand_per_nation",
+    "window_class_revenue_share",
+    "argmax_struct_top_type",
+    "agg_unpivot_long",
 ]
 
 

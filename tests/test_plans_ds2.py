@@ -1,0 +1,181 @@
+"""Plan-shape gates + result invariants for the fourth TPC-DS batch
+(operators/relational_ds2.py) and the round-3 vector/streaming additions."""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import functions as F
+
+from lakehouse_variance_spark import registry
+from tests.conftest import SF_DIR
+
+registry.load_all()
+
+
+def _plan(spark, name: str) -> str:
+    df = registry.QUERIES[name](spark, SF_DIR)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_yoy_growth_is_one_scan_per_table_no_self_join(spark):
+    # The q11 shape is a 4-way self-join of year totals in the original;
+    # our conditional-aggregation rewrite must touch lineitem and orders
+    # ONCE each and contain exactly one join.
+    plan = _plan(spark, "yoy_channel_growth_compare")
+    assert plan.count("FileScan parquet") == 2
+    assert plan.count("Join") <= 1 + plan.count("BroadcastNestedLoopJoin")
+    assert "HashAggregate" in plan
+
+
+def test_cross_items_single_fact_pattern(spark):
+    # cross_items via count(DISTINCT flag)=3: lineitem is scanned for the
+    # key set, the semi join, and the scalar average — 3 scans max (the
+    # verbatim INTERSECT form would take 4+ plus two distinct-shuffles).
+    plan = _plan(spark, "cross_channel_items_rollup")
+    assert plan.count("FileScan parquet") <= 4  # 3x lineitem + part
+    assert "LeftSemi" in plan
+    assert "BroadcastNestedLoopJoin" in plan  # 1-row scalar cross join
+    assert "Expand" in plan  # the ROLLUP
+
+
+def test_stddev_pair_joins_aggregates_not_fact(spark):
+    # The month-pair self-join must run on the (suppkey, month) aggregate;
+    # the fact table is scanned twice (once per CTE instance) but each
+    # branch partial-aggregates before its shuffle.
+    plan = _plan(spark, "stddev_pair_months")
+    assert "SortMergeJoin" in plan or "BroadcastHashJoin" in plan
+    pushed = re.findall(r"PushedFilters: \[([^\]]*)\]", plan)
+    assert any("1996" in p or "IsNotNull" in p for p in pushed)
+
+
+def test_revenue_histogram_integer_only(spark):
+    df = registry.QUERIES["revenue_segment_histogram"](spark, SF_DIR)
+    kinds = dict(df.dtypes)
+    assert kinds == {
+        "segment": "bigint",
+        "segment_base_cents": "bigint",
+        "num_customers": "bigint",
+    }
+
+
+def test_dow_pivot_joins_tiny_aggregate(spark):
+    plan = _plan(spark, "monthly_dow_pivot_ratio")
+    # Year filter must reach the scan; the self-join input is |months| rows.
+    pushed = re.findall(r"PushedFilters: \[([^\]]*)\]", plan)
+    assert any(p.strip() for p in pushed)
+    assert "BroadcastHashJoin" in plan  # AQE broadcasts the 12-row side
+
+
+def test_low_share_windows_over_aggregate(spark):
+    plan = _plan(spark, "low_share_brand_per_nation")
+    # All three dimensions broadcast; exactly one fact shuffle (groupBy),
+    # then the window re-partitions the aggregate only.
+    assert plan.count("BroadcastHashJoin") >= 3
+    assert "SortMergeJoin" not in plan
+
+
+def test_revenue_share_window_reuses_aggregate(spark):
+    plan = _plan(spark, "window_class_revenue_share")
+    assert plan.count("FileScan parquet") == 2  # lineitem + part
+    assert "Window" in plan
+
+
+def test_argmax_struct_has_no_window(spark):
+    # The whole point: top-1-per-group WITHOUT a rank() window sort.
+    plan = _plan(spark, "argmax_struct_top_type")
+    assert "Window" not in plan
+    assert "HashAggregate" in plan or "SortAggregate" in plan
+
+
+def test_argmax_matches_window_rank(spark):
+    # Semantic cross-check inside Spark: max(struct) == row_number()=1.
+    from pyspark.sql import Window
+
+    df = registry.QUERIES["argmax_struct_top_type"](spark, SF_DIR)
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    part = spark.read.parquet(f"{SF_DIR}/part.parquet")
+    rev = (
+        li.join(part, part.p_partkey == li.l_partkey)
+        .groupBy("p_brand", "p_type")
+        .agg(
+            F.sum(F.round(F.col("l_extendedprice") * 100).cast("bigint")).alias(
+                "sales_cents"
+            )
+        )
+    )
+    w = Window.partitionBy("p_brand").orderBy(
+        F.col("sales_cents").desc(), F.col("p_type").desc()
+    )
+    expected = (
+        rev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "p_brand",
+            F.col("p_type").alias("top_type"),
+            F.col("sales_cents").alias("top_sales_cents"),
+        )
+    )
+    assert sorted(map(tuple, df.collect())) == sorted(
+        map(tuple, expected.collect())
+    )
+
+
+def test_unpivot_roundtrips_wide_totals(spark):
+    # Long-form sums per brand must equal the wide row's column sum.
+    long = registry.QUERIES["agg_unpivot_long"](spark, SF_DIR)
+    total_long = long.groupBy("p_brand").agg(
+        F.sum("sales_cents").alias("t")
+    )
+    assert long.count() == total_long.count() * 3  # 3 months per brand
+    assert long.filter(F.col("month_name").isin("jan", "feb", "mar")).count() == long.count()
+
+
+def test_centroid_matches_numpy(spark):
+    import numpy as np
+
+    df = (
+        registry.QUERIES["embed_centroid_per_label"](spark, SF_DIR)
+        .toPandas()
+        .sort_values(["label", "dim"])
+    )
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").toPandas()
+    for label, grp in emb.groupby("label"):
+        mat = np.stack(grp["embedding"].to_numpy()).astype(np.float64)
+        exact = mat.mean(axis=0)
+        got = df[df["label"] == label]["centroid"].to_numpy()
+        # Micro-unit quantization error bound: floor() loses < 1e-6 per
+        # element, so the mean is within 1e-6 of exact.
+        assert np.allclose(got, exact, atol=1.5e-6)
+
+
+def test_centroid_stable_across_partitionings(spark):
+    a = registry.QUERIES["embed_centroid_per_label"](spark, SF_DIR).toPandas()
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "3")
+        b = registry.QUERIES["embed_centroid_per_label"](spark, SF_DIR).toPandas()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    a = a.sort_values(["label", "dim"]).reset_index(drop=True)
+    b = b.sort_values(["label", "dim"]).reset_index(drop=True)
+    # Bit-identical, not approximately equal — the micro-unit accumulation
+    # makes the reduction order-invariant.
+    assert (a["centroid"] == b["centroid"]).all()
+
+
+def test_sliding_window_covers_each_event_four_times(spark):
+    agg = registry.QUERIES["stream_sliding_window"](spark, SF_DIR)
+    n_events = spark.read.parquet(f"{SF_DIR}/events.parquet").count()
+    total = agg.agg(F.sum("n")).collect()[0][0]
+    assert total == 4 * n_events
+
+
+def test_yoy_rewrite_matches_verbatim_selfjoin(spark):
+    # The conditional-agg rewrite must be row-identical to the verbatim
+    # q11 four-instance CTE self-join text executed via spark.sql.
+    a = registry.QUERIES["yoy_channel_growth_compare"](spark, SF_DIR)
+    b = registry.QUERIES["sql_text_year_total_selfjoin"](spark, SF_DIR)
+    assert sorted(map(tuple, a.select(sorted(a.columns)).collect())) == sorted(
+        map(tuple, b.select(sorted(b.columns)).collect())
+    )

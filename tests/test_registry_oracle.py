@@ -86,3 +86,29 @@ def test_approx_percentiles_envelope(spark, duck):
         # small relative band of the exact discrete quantile.
         assert abs(r["p50_approx"] - p50) <= max(0.05 * abs(p50), 0.5)
         assert abs(r["p99_approx"] - p99) <= max(0.05 * abs(p99), 0.5)
+
+
+def test_hll_sketch_union_envelope(spark, duck):
+    """DataSketches HLL (lgK=12, ~1.6% rsd): every per-flag estimate AND
+    the merged-union estimate must land near the exact distinct counts —
+    the union must come from merging sketches, never rescanning rows."""
+    rows = registry.QUERIES["agg_hll_sketch_union"](spark, SF_DIR).collect()
+    got = {r["l_returnflag"]: r["approx_parts"] for r in rows}
+    exact = dict(
+        duck.sql(
+            f"SELECT l_returnflag, count(DISTINCT l_partkey) "
+            f"FROM read_parquet('{SF_DIR}/lineitem.parquet') GROUP BY 1"
+        ).fetchall()
+    )
+    exact["ALL"] = duck.sql(
+        f"SELECT count(DISTINCT l_partkey) "
+        f"FROM read_parquet('{SF_DIR}/lineitem.parquet')"
+    ).fetchall()[0][0]
+    assert set(got) == set(exact)
+    for flag, est in got.items():
+        assert abs(est - exact[flag]) <= max(0.05 * exact[flag], 2)
+    union_rows = [r for r in rows if r["is_union"] == 1]
+    assert len(union_rows) == 1
+    assert union_rows[0]["n_rows"] == sum(
+        r["n_rows"] for r in rows if r["is_union"] == 0
+    )
