@@ -36,6 +36,8 @@ HEADLINE_QUERIES = (
     "set_union_all",
     "trace_workload_summary",
     "trace_variance_decomposition",
+    "cohort_retention_matrix",
+    "funnel_3step_users",
     "fifo_schedule_carbon",
     "session_window_agg",
     "stream_stream_join",

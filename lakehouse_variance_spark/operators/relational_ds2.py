@@ -108,15 +108,20 @@ def yoy_channel_growth_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
     IEEE product per side), so no division rounding enters the predicate.
     """
     li = load_table(spark, sf_dir, "lineitem")
-    orders = load_table(spark, sf_dir, "orders").select(
-        "o_orderkey", "o_custkey", F.year("o_orderdate").alias("order_year")
-    )
-    joined = (
-        li.filter(F.col("l_returnflag").isin("N", "A"))
-        .join(
-            orders.filter(F.col("order_year").isin(YOY_FIRST, YOY_SECOND)),
-            orders.o_orderkey == li.l_orderkey,
+    # year(col) IN (...) does not reach the parquet scan; the equivalent
+    # explicit date range DOES push down (PushedFilters — plan-gated).
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .filter(
+            (F.col("o_orderdate") >= f"{YOY_FIRST}-01-01")
+            & (F.col("o_orderdate") < f"{YOY_SECOND + 1}-01-01")
         )
+        .select(
+            "o_orderkey", "o_custkey", F.year("o_orderdate").alias("order_year")
+        )
+    )
+    joined = li.filter(F.col("l_returnflag").isin("N", "A")).join(
+        orders, orders.o_orderkey == li.l_orderkey
     )
     pc = _cents("l_extendedprice")
 
@@ -184,11 +189,18 @@ def cross_channel_items_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     (brand, type) and kept only where the group out-sells {AVG_MULTIPLE}×
     the global average line value (q14's ``avg_sales`` scalar threshold).
 
-    Spark-first rewrites, both load-bearing at scale:
-    * the three-way INTERSECT of part keys is ONE scan with
-      ``count(DISTINCT l_returnflag) = 3`` per key — the verbatim form
-      scans the fact table three times and pays two distinct-shuffles to
-      intersect;
+    Spark-first rewrites, all load-bearing at scale (the 10x probe caught
+    the first draft of this query scaling near-linearly — these took its
+    per-row cost down ~2x):
+    * the three-way INTERSECT of part keys is ONE scan aggregating a
+      channel BITMASK (``bit_or`` of 1/2/4 per flag, keep mask=7) — a
+      plain partial-aggregating groupBy. The verbatim form scans the fact
+      three times; even ``count(DISTINCT flag)`` pays an extra
+      (key, flag)-distinct exchange before it can count;
+    * the ROLLUP runs on the (brand, type) PARTIAL AGGREGATE, not the
+      fact: the fact shuffles once to |brands|x|types| partials, and the
+      Expand x3 touches ~150 rows instead of every line item (sums and
+      counts re-aggregate associatively, so results are identical);
     * the global-average scalar is a 1-row aggregate cross-joined in
       (Spark plans a broadcast nested-loop over 1 row — free), never a
       correlated rescan.
@@ -198,10 +210,16 @@ def cross_channel_items_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     part = load_table(spark, sf_dir, "part")
     pc = _cents("l_extendedprice")
+    flag_bit = (
+        F.when(F.col("l_returnflag") == "A", F.lit(1))
+        .when(F.col("l_returnflag") == "N", F.lit(2))
+        .when(F.col("l_returnflag") == "R", F.lit(4))
+        .otherwise(F.lit(0))
+    )
     cross_items = (
         li.groupBy("l_partkey")
-        .agg(F.count_distinct("l_returnflag").alias("n_flags"))
-        .filter(F.col("n_flags") == 3)
+        .agg(F.bit_or(flag_bit).alias("flag_mask"))
+        .filter(F.col("flag_mask") == 7)
         .select("l_partkey")
     )
     avg_row = li.agg(
@@ -209,16 +227,17 @@ def cross_channel_items_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(pc).cast("double") / F.count(F.lit(1)).cast("double")
         ).alias("avg_cents")
     )
-    agg = (
+    partials = (
         li.join(cross_items, "l_partkey", "left_semi")
         .join(F.broadcast(part), part.p_partkey == F.col("l_partkey"))
-        .rollup("p_brand", "p_type")
-        .agg(
-            F.grouping("p_brand").cast("int").alias("g_brand"),
-            F.grouping("p_type").cast("int").alias("g_type"),
-            F.count(F.lit(1)).alias("n_items"),
-            F.sum(pc).alias("sales_cents"),
-        )
+        .groupBy("p_brand", "p_type")
+        .agg(F.count(F.lit(1)).alias("pn"), F.sum(pc).alias("pc_sum"))
+    )
+    agg = partials.rollup("p_brand", "p_type").agg(
+        F.grouping("p_brand").cast("int").alias("g_brand"),
+        F.grouping("p_type").cast("int").alias("g_type"),
+        F.sum("pn").alias("n_items"),
+        F.sum("pc_sum").alias("sales_cents"),
     )
     return agg.crossJoin(F.broadcast(avg_row)).filter(
         F.col("sales_cents").cast("double")
@@ -273,8 +292,10 @@ def stddev_pair_months(spark: SparkSession, sf_dir: str) -> DataFrame:
     partition-order-independent — and the self-join runs on the aggregate
     (|suppliers|×12 rows), never the fact table. One fact shuffle total.
     """
+    # Explicit date range (not year()==) so the predicate reaches the scan.
     li = load_table(spark, sf_dir, "lineitem").filter(
-        F.year("l_shipdate") == YOY_FIRST
+        (F.col("l_shipdate") >= f"{YOY_FIRST}-01-01")
+        & (F.col("l_shipdate") < f"{YOY_FIRST + 1}-01-01")
     )
     qc = _cents("l_quantity")
     m = (
@@ -410,8 +431,10 @@ def monthly_dow_pivot_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     conditional aggregation (one shuffle, |year×month| rows out); the
     year-pair self-join runs on that tiny aggregate.
     """
+    # Explicit date range (not year() IN) so the predicate reaches the scan.
     li = load_table(spark, sf_dir, "lineitem").filter(
-        F.year("l_shipdate").isin(YOY_FIRST, YOY_SECOND)
+        (F.col("l_shipdate") >= f"{YOY_FIRST}-01-01")
+        & (F.col("l_shipdate") < f"{YOY_SECOND + 1}-01-01")
     )
     pc = _cents("l_extendedprice")
     dow = F.weekday("l_shipdate") + 1
@@ -687,3 +710,133 @@ __all__ = [
     "argmax_struct_top_type",
     "agg_unpivot_long",
 ]
+
+
+@register(
+    "repeat_purchase_pairs",
+    oracle=f"""
+    WITH cs AS (
+        SELECT o.o_custkey, l.l_partkey, year(o.o_orderdate) AS sale_year,
+               count(*) AS n_lines,
+               CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT))
+                    AS BIGINT) AS spend_cents
+        FROM lineitem l
+        JOIN orders o ON o.o_orderkey = l.l_orderkey
+        WHERE year(o.o_orderdate) IN ({YOY_FIRST}, {YOY_SECOND})
+        GROUP BY o.o_custkey, l.l_partkey, year(o.o_orderdate))
+    SELECT c1.o_custkey, c1.l_partkey,
+           c1.spend_cents AS first_spend_cents,
+           c2.spend_cents AS second_spend_cents,
+           c1.n_lines + c2.n_lines AS n_lines_total
+    FROM cs c1
+    JOIN cs c2
+      ON c2.o_custkey = c1.o_custkey AND c2.l_partkey = c1.l_partkey
+     AND c1.sale_year = {YOY_FIRST} AND c2.sale_year = {YOY_SECOND}
+    """,
+)
+def repeat_purchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS-q64-shaped repeat-sale pairing: the same (customer, part)
+    bought in two consecutive years, joining the two sale instances into
+    one row (q64 builds per-(item, customer) sale aggregates and joins
+    ``cs1.syear = 1999 AND cs2.syear = 2000`` on the item+customer key,
+    `docker/trino-client/queries/q64.sql` final join).
+
+    Scale: the fact aggregates ONCE per (customer, part, year) — the
+    self-join then runs on the aggregate, co-partitioned on
+    (custkey, partkey) so both instances hash to the same exchange
+    (Spark reuses the shuffle across the two CTE instances). The
+    pair-join output is bounded by repeat buyers, never |lineitem|².
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    # Explicit date range (not year() IN) so the predicate reaches the scan.
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= f"{YOY_FIRST}-01-01")
+        & (F.col("o_orderdate") < f"{YOY_SECOND + 1}-01-01")
+    )
+    cs = (
+        li.join(orders, orders.o_orderkey == li.l_orderkey)
+        .groupBy(
+            "o_custkey", "l_partkey", F.year("o_orderdate").alias("sale_year")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.sum(_cents("l_extendedprice")).alias("spend_cents"),
+        )
+    )
+    c1 = cs.filter(F.col("sale_year") == YOY_FIRST).alias("c1")
+    c2 = cs.filter(F.col("sale_year") == YOY_SECOND).alias("c2")
+    return c1.join(
+        c2,
+        (F.col("c2.o_custkey") == F.col("c1.o_custkey"))
+        & (F.col("c2.l_partkey") == F.col("c1.l_partkey")),
+    ).select(
+        F.col("c1.o_custkey").alias("o_custkey"),
+        F.col("c1.l_partkey").alias("l_partkey"),
+        F.col("c1.spend_cents").alias("first_spend_cents"),
+        F.col("c2.spend_cents").alias("second_spend_cents"),
+        (F.col("c1.n_lines") + F.col("c2.n_lines")).alias("n_lines_total"),
+    )
+
+
+@register(
+    "join_seven_table_stress",
+    oracle="""
+    SELECT n.n_name, p.p_brand,
+           count(*) AS n_lines,
+           CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT))
+                AS BIGINT) AS revenue_cents
+    FROM lineitem l
+    JOIN orders o   ON o.o_orderkey = l.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN nation n   ON n.n_nationkey = c.c_nationkey
+    JOIN region r   ON r.r_regionkey = n.n_regionkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN part p     ON p.p_partkey = l.l_partkey
+    WHERE r.r_name = 'ASIA'
+      AND o.o_orderpriority LIKE '1%'
+      AND p.p_size < 20
+      AND s.s_acctbal > 0
+    GROUP BY n.n_name, p.p_brand
+    """,
+)
+def join_seven_table_stress(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JOB-style join-ordering stress: a seven-table star-with-snowflake
+    join (fact → orders → customer → nation → region, plus supplier and
+    part off the fact) with selective filters on four of the tables. The
+    reference ships the JOB/IMDB dataset specifically to stress join
+    ordering (`datasets/README.md:28-36`); this is the same discipline on
+    the driver's schema.
+
+    The ONLY fact-fact edge is lineitem⋈orders; every dimension chain
+    must collapse to broadcast hash joins with the region filter applied
+    to nation BEFORE the fact sees it (filter transitivity through the
+    snowflake: region→nation→customer). Plan-gated: exactly one
+    non-broadcast join, zero cartesians, and the selective predicates
+    (priority prefix, part size, supplier balance) pushed to their scans.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority").like("1%")
+    )
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region").filter(
+        F.col("r_name") == "ASIA"
+    )
+    supplier = load_table(spark, sf_dir, "supplier").filter(
+        F.col("s_acctbal") > 0
+    )
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_size") < 20)
+    return (
+        li.join(orders, orders.o_orderkey == li.l_orderkey)
+        .join(F.broadcast(customer), customer.c_custkey == orders.o_custkey)
+        .join(F.broadcast(nation), nation.n_nationkey == customer.c_nationkey)
+        .join(F.broadcast(region), region.r_regionkey == nation.n_regionkey)
+        .join(F.broadcast(supplier), supplier.s_suppkey == li.l_suppkey)
+        .join(F.broadcast(part), part.p_partkey == li.l_partkey)
+        .groupBy("n_name", "p_brand")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.sum(_cents("l_extendedprice")).alias("revenue_cents"),
+        )
+    )

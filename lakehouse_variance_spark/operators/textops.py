@@ -294,3 +294,106 @@ def text_doc_rarity_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("commonness"),
         )
     )
+
+
+@register(
+    "text_quality_quartiles",
+    oracle="""
+    WITH scored AS (
+        SELECT doc_id, lang,
+               len(list_distinct(string_split(text, ' '))) AS n_distinct
+        FROM documents),
+    bucketed AS (
+        SELECT lang,
+               ntile(4) OVER (PARTITION BY lang
+                              ORDER BY n_distinct, doc_id) AS quartile,
+               n_distinct
+        FROM scored)
+    SELECT lang, quartile,
+           count(*) AS n_docs,
+           min(n_distinct) AS min_distinct,
+           max(n_distinct) AS max_distinct
+    FROM bucketed
+    GROUP BY lang, quartile
+    """,
+)
+def text_quality_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-tier bucketing for data mixing: rank documents within each
+    language by a quality signal (distinct-token count) and cut into
+    quartiles — the CCNet-style head/middle/tail split that decides how
+    much of each tier enters the training mix. Per (lang, quartile):
+    volume and the signal's range.
+
+    ``ntile`` is exact and, with doc_id as the tiebreak, fully
+    deterministic — unlike approximate-quantile cuts, identical buckets on
+    every engine and partitioning. Scale: the window partitions by lang
+    (one exchange); at 100 TB with few giant languages, split the signal
+    range per lang first (the distributed_prefix_sum bucketing in
+    scheduling/carbon.py is the template) or swap the exact cut for
+    percentile_approx thresholds — the tier semantics tolerate it.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    from pyspark.sql import Window
+
+    scored = docs.select(
+        "doc_id",
+        "lang",
+        F.size(F.array_distinct(F.split("text", " "))).alias("n_distinct"),
+    )
+    w = Window.partitionBy("lang").orderBy("n_distinct", "doc_id")
+    bucketed = scored.select(
+        "lang", F.ntile(4).over(w).alias("quartile"), "n_distinct"
+    )
+    return bucketed.groupBy("lang", "quartile").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.min("n_distinct").alias("min_distinct"),
+        F.max("n_distinct").alias("max_distinct"),
+    )
+
+
+@register(
+    "vocab_zipf_histogram",
+    oracle="""
+    WITH exploded AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS token
+        FROM documents WHERE length(text) > 0),
+    df AS (
+        SELECT token, count(DISTINCT doc_id) AS doc_freq
+        FROM exploded GROUP BY token)
+    SELECT length(printf('%b', doc_freq)) AS freq_bucket,
+           count(*) AS n_tokens,
+           min(doc_freq) AS min_df,
+           max(doc_freq) AS max_df
+    FROM df
+    GROUP BY 1
+    """,
+)
+def vocab_zipf_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf-profile of the corpus vocabulary: document frequency per token,
+    bucketed by power of two — the sanity dashboard every corpus build
+    checks (a healthy crawl shows the straight-line log-log decay; a
+    collapsed head means boilerplate, a fat tail means OCR noise).
+
+    The log₂ bucket is the BIT LENGTH of the integer frequency —
+    ``length(bin(df))`` — exact integer arithmetic on both engines,
+    immune to the ulp-at-the-boundary problem of ``floor(log2(x))``
+    (libm log differs across engines at exact powers of two). One explode
+    → distinct pair aggregate, one token groupBy, one |buckets| rollup:
+    the same two shrinking shuffles as the rarity score.
+    """
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.length("text") > 0
+    )
+    pairs = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("token")
+    ).distinct()
+    dfreq = pairs.groupBy("token").agg(
+        F.count(F.lit(1)).alias("doc_freq")
+    )
+    return dfreq.groupBy(
+        F.length(F.bin("doc_freq")).cast("bigint").alias("freq_bucket")
+    ).agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.min("doc_freq").alias("min_df"),
+        F.max("doc_freq").alias("max_df"),
+    )

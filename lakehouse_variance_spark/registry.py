@@ -37,6 +37,7 @@ def load_all() -> None:
     from lakehouse_variance_spark.analytics import traces  # noqa: F401
     from lakehouse_variance_spark.functions import durations  # noqa: F401
     from lakehouse_variance_spark.operators import (  # noqa: F401
+        behavior,
         cleaning,
         dedup,
         multimodal,

@@ -26,6 +26,10 @@ def test_yoy_growth_is_one_scan_per_table_no_self_join(spark):
     assert plan.count("FileScan parquet") == 2
     assert plan.count("Join") <= 1 + plan.count("BroadcastNestedLoopJoin")
     assert "HashAggregate" in plan
+    # The year range reaches the orders scan as explicit date bounds.
+    # (match on the raw plan text: Spark truncates long PushedFilters
+    # lists with "...", which defeats a bracket-delimited regex)
+    assert "GreaterThanOrEqual(o_orderdate" in plan
 
 
 def test_cross_items_single_fact_pattern(spark):
@@ -179,3 +183,84 @@ def test_yoy_rewrite_matches_verbatim_selfjoin(spark):
     assert sorted(map(tuple, a.select(sorted(a.columns)).collect())) == sorted(
         map(tuple, b.select(sorted(b.columns)).collect())
     )
+
+
+def test_funnel_monotone_and_single_exchange(spark):
+    row = registry.QUERIES["funnel_3step_users"](spark, SF_DIR).collect()[0]
+    assert (
+        row["n_users"]
+        >= row["n_view"]
+        >= row["n_view_click"]
+        >= row["n_full_funnel"]
+        >= 0
+    )
+    # First-touch funnel: one fact scan, no window, no self-join.
+    plan = _plan(spark, "funnel_3step_users")
+    assert plan.count("FileScan parquet") == 1
+    assert "Window" not in plan
+    assert "Join" not in plan
+
+
+def test_cohort_offset_zero_covers_every_user(spark):
+    df = registry.QUERIES["cohort_retention_matrix"](spark, SF_DIR)
+    n_users = (
+        spark.read.parquet(f"{SF_DIR}/events.parquet")
+        .select("user_id")
+        .distinct()
+        .count()
+    )
+    day0 = (
+        df.filter(F.col("day_offset") == 0)
+        .agg(F.sum("n_active_users"))
+        .collect()[0][0]
+    )
+    # Every user is active on their own first-seen day.
+    assert day0 == n_users
+    assert df.filter(F.col("day_offset") < 0).count() == 0
+
+
+def test_repeat_pairs_selfjoin_on_aggregate(spark):
+    # The pair join must consume the (cust, part, year) AGGREGATE —
+    # no fact-fact join of raw lineitem rows.
+    plan = _plan(spark, "repeat_purchase_pairs")
+    assert "HashAggregate" in plan
+    # Year range pushes to the orders scans as explicit date bounds.
+    assert "GreaterThanOrEqual(o_orderdate" in plan
+
+
+def test_time_weighted_avg_matches_numpy(spark):
+    import numpy as np
+
+    got = {
+        r["user_id"]: r["twa_value"]
+        for r in registry.QUERIES["window_time_weighted_avg"](
+            spark, SF_DIR
+        ).collect()
+    }
+    ev = (
+        spark.read.parquet(f"{SF_DIR}/events.parquet")
+        .toPandas()
+        .sort_values(["user_id", "ts", "event_id"])
+    )
+    for uid, grp in ev.groupby("user_id"):
+        t = grp["ts"].astype("int64").to_numpy() // 1000  # ns -> us
+        v = np.round(grp["value"].to_numpy() * 100)  # exact cents
+        if len(t) < 2 or t[-1] == t[0]:
+            assert uid not in got
+            continue
+        gaps = np.diff(t).astype(float)
+        expect = float((v[:-1] * gaps).sum() / gaps.sum() / 100)
+        assert abs(got[uid] - expect) < 1e-9 * max(1.0, abs(expect))
+
+
+def test_seven_table_stress_broadcasts_every_dimension(spark):
+    plan = _plan(spark, "join_seven_table_stress")
+    # 5 broadcast dimension joins; the only shuffle join is fact-fact.
+    assert plan.count("BroadcastHashJoin") >= 5
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert plan.count("SortMergeJoin") <= 1
+    # Selective predicates reach their scans.
+    assert "StringStartsWith(o_orderpriority,1)" in plan
+    assert "LessThan(p_size,20)" in plan
+    assert "GreaterThan(s_acctbal,0.0)" in plan
