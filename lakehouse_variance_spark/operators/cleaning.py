@@ -376,3 +376,102 @@ __all__ = [
     "corpus_vocab_stats",
     "text_tfidf_top_term",
 ]
+
+
+@register(
+    "vocab_fuzzy_pairs",
+    oracle="""
+    WITH vocab AS (
+        SELECT DISTINCT unnest(string_split(text, ' ')) AS token
+        FROM documents WHERE length(text) > 0),
+    v AS (SELECT token FROM vocab WHERE length(token) > 0)
+    SELECT a.token AS token_a, b.token AS token_b,
+           levenshtein(a.token, b.token) AS dist
+    FROM v a
+    JOIN v b ON a.token < b.token
+    WHERE levenshtein(a.token, b.token) <= 2
+    """,
+)
+def vocab_fuzzy_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy vocabulary matching — token pairs within edit distance 2 —
+    via the SymSpell deletion-neighborhood trick: tokens within edit
+    distance d share a member of their depth-d deletion neighborhoods
+    (the token plus every way of deleting up to d characters), so
+    candidate generation is an EQUI-join on the deletion variant and the
+    exact ``levenshtein`` check runs only on candidates. This is the
+    OCR-noise / typo-collapse primitive of corpus cleaning.
+
+    Scale: the naive formulation (the oracle's form) is an O(|V|²) theta
+    join — fine for DuckDB on a test vocabulary, fatal at a real
+    vocabulary of 10⁷. The deletion-neighborhood join explodes each token
+    to O(len²) short strings equi-joined on a string key, then verifies
+    candidates only: output tracks true near-match structure. Same
+    candidates-then-verify discipline as the MinHash and SimHash dedup
+    paths.
+
+    Guard rail: Spark's ``sequence(a, b)`` yields a DESCENDING range when
+    b < a (it does not return empty), so every sequence over a length
+    expression is wrapped in a when()-guard for short tokens.
+    """
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.length("text") > 0
+    )
+    vocab = (
+        docs.select(F.explode(F.split("text", " ")).alias("token"))
+        .filter(F.length("token") > 0)
+        .distinct()
+    )
+    tok = F.col("token")
+    ln = F.length(tok)
+    empty_arr = F.array().cast("array<string>")
+
+    def del_one(t, i):
+        # delete character i (1-based) from t
+        return F.concat(t.substr(F.lit(1), i - 1), t.substr(i + 1, ln))
+
+    d1 = F.when(
+        ln >= 1,
+        F.transform(F.sequence(F.lit(1), ln), lambda i: del_one(tok, i)),
+    ).otherwise(empty_arr)
+    # delete characters i < j: three splice segments
+    d2 = F.when(
+        ln >= 2,
+        F.flatten(
+            F.transform(
+                F.sequence(F.lit(1), ln - 1),
+                lambda i: F.transform(
+                    F.sequence(i + 1, ln),
+                    lambda j: F.concat(
+                        tok.substr(F.lit(1), i - 1),
+                        tok.substr(i + 1, j - i - 1),
+                        tok.substr(j + 1, ln),
+                    ),
+                ),
+            )
+        ),
+    ).otherwise(empty_arr)
+    variants = vocab.select(
+        "token",
+        F.explode(
+            F.array_distinct(F.concat(F.array(tok), d1, d2))
+        ).alias("variant"),
+    )
+    a = variants.alias("a")
+    b = variants.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.variant") == F.col("b.variant"))
+            & (F.col("a.token") < F.col("b.token")),
+        )
+        .select(
+            F.col("a.token").alias("token_a"),
+            F.col("b.token").alias("token_b"),
+        )
+        .distinct()
+    )
+    return cand.select(
+        "token_a",
+        "token_b",
+        F.levenshtein("token_a", "token_b").alias("dist"),
+    ).filter(F.col("dist") <= 2)

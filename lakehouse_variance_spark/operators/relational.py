@@ -1516,6 +1516,40 @@ def json_struct_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "json_variant_extract",
+    oracle="""
+    SELECT event_type,
+           CAST(json_extract(props, '$.k') AS INT) % 10 AS k_mod,
+           count(*) AS n,
+           CAST(sum(CAST(json_extract(props, '$.k') AS INT)) AS BIGINT)
+               AS sum_k
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def json_variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured access through Spark 4's VARIANT type:
+    ``parse_json`` ingests the raw JSON once into the binary variant
+    encoding, ``variant_get`` extracts typed paths. Versus per-field
+    ``get_json_object`` string re-parsing, the variant parses each
+    document ONCE and path access is a binary probe — the engine-native
+    answer for schema-on-read columns whose shape drifts (the trace
+    documents of the reference's EP3 pipeline are exactly this shape).
+    Grouped here by k mod 10 to force the extracted value through
+    arithmetic, proving it lands as a real INT, not a string.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    v = ev.withColumn("pv", F.parse_json("props"))
+    k = F.variant_get("pv", "$.k", "int")
+    return v.groupBy(
+        "event_type", (k % 10).alias("k_mod")
+    ).agg(
+        F.count("*").alias("n"),
+        F.sum(k).cast("bigint").alias("sum_k"),
+    )
+
+
 # Keep all of src0, half of src1, a quarter of src2, a tenth of src3;
 # every other source drops out of the mixture entirely.
 SAMPLE_FRACTIONS = {"src0": 1.0, "src1": 0.5, "src2": 0.25, "src3": 0.1}
