@@ -840,3 +840,58 @@ def join_seven_table_stress(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(_cents("l_extendedprice")).alias("revenue_cents"),
         )
     )
+
+
+@register(
+    "or_membership_existence_join",
+    oracle="""
+    SELECT c.c_mktsegment,
+           count(*) AS n_customers,
+           CAST(sum(CAST(round(c.c_acctbal * 100) AS BIGINT)) AS BIGINT)
+               AS acctbal_cents
+    FROM customer c
+    WHERE c.c_mktsegment IN ('BUILDING', 'AUTOMOBILE')
+       OR c.c_custkey IN (SELECT o_custkey FROM orders
+                          WHERE o_totalprice > 400000)
+    GROUP BY c.c_mktsegment
+    """,
+)
+def or_membership_existence_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS-q45-shaped disjunctive membership: keep a row when a LOCAL
+    predicate holds OR the key appears in a subquery (q45's
+    ``substr(zip) IN (...) OR i_item_id IN (SELECT ...)``,
+    `docker/trino-client/queries/q45.sql:20-30`).
+
+    The OR defeats the plain semi-join rewrite (a semi join would also
+    drop rows that pass only the local arm), so Catalyst plans an
+    EXISTENCE JOIN: a left join variant that emits a boolean ``exists``
+    column consumed by the disjunction — one hash join, no fact
+    duplication, no union-of-two-branches double scan (DuckDB's
+    equivalent is its mark join). Plan-gated for ExistenceJoin.
+
+    Scale: same cost envelope as a semi join — the subquery side reduces
+    to distinct keys before the join, and the disjunction stays a row
+    predicate. The UNION rewrite some engines fall back to would scan the
+    customer table twice and pay a distinct to merge arms.
+    """
+    spark_sql_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT c.c_mktsegment,
+               count(*) AS n_customers,
+               CAST(sum(CAST(round(c.c_acctbal * 100) AS BIGINT)) AS BIGINT)
+                   AS acctbal_cents
+        FROM customer c
+        WHERE c.c_mktsegment IN ('BUILDING', 'AUTOMOBILE')
+           OR c.c_custkey IN (SELECT o_custkey FROM orders
+                              WHERE o_totalprice > 400000)
+        GROUP BY c.c_mktsegment
+        """
+    )
+
+
+def spark_sql_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register the SF tables as temp views (delegates to plans.runner)."""
+    from lakehouse_variance_spark.plans.runner import register_sf_views
+
+    register_sf_views(spark, sf_dir)

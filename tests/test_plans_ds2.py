@@ -264,3 +264,12 @@ def test_seven_table_stress_broadcasts_every_dimension(spark):
     assert "StringStartsWith(o_orderpriority,1)" in plan
     assert "LessThan(p_size,20)" in plan
     assert "GreaterThan(s_acctbal,0.0)" in plan
+
+
+def test_or_membership_plans_existence_join(spark):
+    # The OR between a local predicate and subquery membership must plan
+    # as ONE ExistenceJoin (boolean-emitting hash join), never a
+    # union-of-branches double scan of customer.
+    plan = _plan(spark, "or_membership_existence_join")
+    assert "ExistenceJoin" in plan
+    assert plan.count("FileScan parquet") == 2  # customer + orders once each
