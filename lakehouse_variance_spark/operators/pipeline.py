@@ -248,3 +248,84 @@ def contamination_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count_distinct("eval_doc").alias("n_eval_docs_hit"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Python UDTF: arbitrary one-row -> many-rows logic as a SQL-callable table
+# function (Spark 3.5+/4 API). Chunking is the demonstrative case; the hot
+# path for THIS particular logic would be expression-only (see
+# text_chunk_dedup) — a UDTF earns its Python cost when the per-row logic
+# stops mapping onto built-ins (stateful parsers, tokenizers, format
+# decoders).
+# ---------------------------------------------------------------------------
+
+
+CHUNK_WORDS = 16
+
+
+def _chunk_udtf_class():
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="chunk_idx int, n_words int, first_word string")
+    class ChunkWords:
+        def eval(self, text: str, size: int):
+            if not text:
+                return
+            words = text.split(" ")
+            for i in range(0, len(words), size):
+                chunk = words[i : i + size]
+                yield (i // size, len(chunk), chunk[0])
+
+    return ChunkWords
+
+
+@register(
+    "udtf_chunk_documents",
+    oracle=f"""
+    WITH words AS (
+        SELECT doc_id, string_split(text, ' ') AS w
+        FROM documents WHERE length(text) > 0),
+    chunks AS (
+        SELECT doc_id,
+               g.i AS chunk_idx,
+               len(list_slice(w, g.i * {CHUNK_WORDS} + 1,
+                              g.i * {CHUNK_WORDS} + {CHUNK_WORDS}))
+                   AS n_words,
+               w[g.i * {CHUNK_WORDS} + 1] AS first_word
+        FROM words,
+             LATERAL (SELECT unnest(generate_series(
+                 0, CAST(ceil(len(w) * 1.0 / {CHUNK_WORDS}) AS BIGINT) - 1))
+                 AS i) g)
+    SELECT doc_id, CAST(chunk_idx AS INT) AS chunk_idx,
+           CAST(n_words AS INT) AS n_words, first_word
+    FROM chunks
+    """,
+)
+def udtf_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document chunking through a Python UDTF (user-defined TABLE
+    function): each document row fans out to fixed-{CHUNK_WORDS}-word
+    chunk rows via a SQL-callable ``LATERAL`` table function — the
+    chunk-for-packing primitive written as arbitrary Python, not
+    expression combinators.
+
+    Scale: a UDTF executes Python per input row — keep it OFF the hot
+    path when built-ins express the logic (text_chunk_dedup is this same
+    fan-out as pure expressions). Its place is logic that does not map to
+    built-ins; the plumbing (lateral join, schema declaration, pipelined
+    fan-out without materializing the whole expansion) is what this
+    registers. The UDTF is stateless per row, so it parallelizes exactly
+    like explode.
+    """
+    docs = spread(load_table(spark, sf_dir, "documents")).filter(
+        F.length("text") > 0
+    )
+    chunker = _chunk_udtf_class()
+    spark.udtf.register("chunk_words", chunker)
+    docs.createOrReplaceTempView("_udtf_docs")
+    return spark.sql(
+        f"""
+        SELECT d.doc_id, c.chunk_idx, c.n_words, c.first_word
+        FROM _udtf_docs d,
+             LATERAL chunk_words(d.text, {CHUNK_WORDS}) c
+        """
+    )

@@ -406,3 +406,69 @@ def embed_centroid_per_label(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.col("n").cast("double")
         ).alias("centroid"),
     )
+
+
+@register(
+    "arrow_vector_norms",
+    oracle="""
+    SELECT vec_id,
+           CAST(list_aggregate(
+               list_transform(embedding,
+                   x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)
+                        * CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)),
+               'sum') AS BIGINT) AS sumsq_micro,
+           sqrt(CAST(list_aggregate(
+               list_transform(embedding,
+                   x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)
+                        * CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)),
+               'sum') AS DOUBLE)) / 1000000 AS l2_norm
+    FROM embeddings
+    """,
+)
+def arrow_vector_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vector L2 norms through ``mapInArrow`` — the zero-copy Python
+    path: whole Arrow RecordBatches cross the boundary (no pandas object
+    conversion, no per-row marshalling), NumPy operates on the buffers,
+    and an Arrow batch comes back. The norm-precompute is the standard
+    prelude to cosine retrieval (store ‖v‖ once, dot/‖a‖‖b‖ thereafter).
+
+    Determinism: values quantize to exact micro-units (floor(x·10⁶) as
+    int64) and the sum of squares accumulates in int64 (≤ 64·(10⁶·x)² —
+    far under 2⁶³ for unit-scale embeddings), so the reduction order
+    NumPy picks is irrelevant; one int→double conversion, one sqrt, one
+    division produce the final double. Identical discipline to
+    embed_centroid_per_label, applied inside the Arrow batch.
+
+    Scale: a narrow stateless map — no shuffle, batch-at-a-time memory,
+    parallelism = input partitions. The quantized-int trick is what makes
+    a *distributed, engine-checked* float pipeline reproducible.
+    """
+    import pyarrow as pa
+
+    emb = spread(load_table(spark, sf_dir, "embeddings"))
+
+    def batch_norms(batches):
+        for batch in batches:
+            vec_ids = batch.column("vec_id").to_numpy(zero_copy_only=False)
+            embs = batch.column("embedding")
+            # FixedSizeList/List<float> -> (n, dim) float64 matrix
+            mat = np.asarray(embs.values.to_numpy(zero_copy_only=False),
+                             dtype=np.float64)
+            n = len(vec_ids)
+            mat = mat.reshape(n, -1)
+            q = np.floor(mat * 1_000_000).astype(np.int64)
+            sumsq = (q * q).sum(axis=1)
+            norms = np.sqrt(sumsq.astype(np.float64)) / 1_000_000
+            yield pa.record_batch(
+                [
+                    pa.array(vec_ids, type=pa.int64()),
+                    pa.array(sumsq, type=pa.int64()),
+                    pa.array(norms, type=pa.float64()),
+                ],
+                names=["vec_id", "sumsq_micro", "l2_norm"],
+            )
+
+    return emb.select("vec_id", "embedding").mapInArrow(
+        batch_norms,
+        "vec_id bigint, sumsq_micro bigint, l2_norm double",
+    )
