@@ -500,3 +500,29 @@ def run_query_with_info(
         info_dir.mkdir(parents=True, exist_ok=True)
         (info_dir / f"{name}.json").write_text(json.dumps(info), "utf-8")
     return record, info
+
+
+def run_with_observation(
+    df, metrics: dict[str, "Column"], name: str = "lvs_obs"
+) -> tuple[int, dict[str, Any]]:
+    """Drain a DataFrame while collecting aggregate metrics IN the same
+    pass via ``Observation`` — zero extra jobs, zero extra scans.
+
+    The reference scrapes per-query stats from the engine's UI API after
+    each run (``run_workload.py:49-56``); ``df.observe`` is Spark's
+    native, single-pass version of that telemetry: named aggregate
+    expressions piggyback on the query's own execution and surface on the
+    driver when the action completes. At 100 TB the alternative — a
+    second ``df.agg(...)`` pass for row counts / null rates / value
+    bounds — doubles the scan; observation is free.
+
+    Returns ``(row_count, {metric: value})``.
+    """
+    from pyspark.sql import Observation
+
+    obs = Observation(name)
+    keys = list(metrics)
+    observed = df.observe(obs, *[metrics[k].alias(k) for k in keys])
+    n = observed.count()
+    got = obs.get
+    return n, {k: got[k] for k in keys}

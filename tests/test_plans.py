@@ -78,3 +78,32 @@ def test_capture_query_info_roundtrips_through_flattener(spark, tmp_path):
     assert row["query_id"] == 42
     assert row["elapsed_s"] == pytest.approx(record["elapsed_s"], abs=0.01)
     assert row["planning_s"] >= 0.0
+
+
+def test_observation_metrics_piggyback_on_single_pass(spark):
+    from pyspark.sql import functions as F
+
+    from lakehouse_variance_spark.plans.runner import run_with_observation
+    from lakehouse_variance_spark.tables import load_table
+    from tests.conftest import SF_DIR
+
+    li = load_table(spark, SF_DIR, "lineitem")
+    n, got = run_with_observation(
+        li.filter(F.col("l_quantity") > 10),
+        {
+            "n_rows": F.count(F.lit(1)),
+            "sum_qty_cents": F.sum(
+                F.round(F.col("l_quantity") * 100).cast("bigint")
+            ),
+            "n_null_ship": F.sum(
+                F.when(F.col("l_shipdate").isNull(), 1).otherwise(0)
+            ),
+        },
+    )
+    expect = li.filter(F.col("l_quantity") > 10).agg(
+        F.count(F.lit(1)),
+        F.sum(F.round(F.col("l_quantity") * 100).cast("bigint")),
+    ).collect()[0]
+    assert n == got["n_rows"] == expect[0]
+    assert got["sum_qty_cents"] == expect[1]
+    assert got["n_null_ship"] == 0
