@@ -224,15 +224,22 @@ def contamination_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     tokens = F.split(F.col("text"), " ")
     # Hash INSIDE the transform: the n-gram string exists only transiently
     # per element; the materialized array, the explode, and everything
-    # downstream carry 8-byte longs.
-    grams = F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(1), F.size(tokens) - (CONTAM_NGRAM - 1)),
-            lambda i: F.xxhash64(
-                F.array_join(F.slice(tokens, i, CONTAM_NGRAM), " ")
-            ),
-        )
-    )
+    # downstream carry 8-byte longs. The when()-guard matters: Spark's
+    # sequence(1, n) yields a DESCENDING range when n < 1 (documents
+    # shorter than the n-gram width), which would crash slice() — short
+    # docs simply contribute no shingles, like the oracle's empty
+    # generate_series.
+    grams = F.when(
+        F.size(tokens) >= CONTAM_NGRAM,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.size(tokens) - (CONTAM_NGRAM - 1)),
+                lambda i: F.xxhash64(
+                    F.array_join(F.slice(tokens, i, CONTAM_NGRAM), " ")
+                ),
+            )
+        ),
+    ).otherwise(F.array().cast("array<bigint>"))
     sh = docs.select("doc_id", F.explode(grams).alias("shingle_h"))
     eval_sh = (
         sh.filter(F.col("doc_id") % EVAL_MOD == 0)

@@ -699,17 +699,6 @@ def agg_unpivot_long(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-__all__ = [
-    "yoy_channel_growth_compare",
-    "cross_channel_items_rollup",
-    "stddev_pair_months",
-    "revenue_segment_histogram",
-    "monthly_dow_pivot_ratio",
-    "low_share_brand_per_nation",
-    "window_class_revenue_share",
-    "argmax_struct_top_type",
-    "agg_unpivot_long",
-]
 
 
 @register(
@@ -895,3 +884,19 @@ def spark_sql_views(spark: SparkSession, sf_dir: str) -> None:
     from lakehouse_variance_spark.plans.runner import register_sf_views
 
     register_sf_views(spark, sf_dir)
+
+
+__all__ = [
+    "yoy_channel_growth_compare",
+    "cross_channel_items_rollup",
+    "stddev_pair_months",
+    "revenue_segment_histogram",
+    "monthly_dow_pivot_ratio",
+    "low_share_brand_per_nation",
+    "window_class_revenue_share",
+    "argmax_struct_top_type",
+    "agg_unpivot_long",
+    "repeat_purchase_pairs",
+    "join_seven_table_stress",
+    "or_membership_existence_join",
+]

@@ -450,11 +450,16 @@ def arrow_vector_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
     def batch_norms(batches):
         for batch in batches:
             vec_ids = batch.column("vec_id").to_numpy(zero_copy_only=False)
-            embs = batch.column("embedding")
-            # FixedSizeList/List<float> -> (n, dim) float64 matrix
-            mat = np.asarray(embs.values.to_numpy(zero_copy_only=False),
-                             dtype=np.float64)
             n = len(vec_ids)
+            if n == 0:
+                continue  # reshape(0, -1) is ambiguous; emit nothing
+            embs = batch.column("embedding")
+            # flatten() honors the list array's offset (a sliced batch's
+            # .values would misalign vectors with their ids).
+            mat = np.asarray(
+                embs.flatten().to_numpy(zero_copy_only=False),
+                dtype=np.float64,
+            )
             mat = mat.reshape(n, -1)
             q = np.floor(mat * 1_000_000).astype(np.int64)
             sumsq = (q * q).sum(axis=1)

@@ -23,6 +23,7 @@ Spark has no separate queueing stage locally, so ``resource_waiting_s`` is 0.
 
 from __future__ import annotations
 
+import itertools
 import json
 import time
 from datetime import datetime, timezone
@@ -502,8 +503,11 @@ def run_query_with_info(
     return record, info
 
 
+_OBS_IDS = itertools.count()
+
+
 def run_with_observation(
-    df, metrics: dict[str, "Column"], name: str = "lvs_obs"
+    df, metrics: dict[str, "Column"], name: str | None = None
 ) -> tuple[int, dict[str, Any]]:
     """Drain a DataFrame while collecting aggregate metrics IN the same
     pass via ``Observation`` — zero extra jobs, zero extra scans.
@@ -520,7 +524,10 @@ def run_with_observation(
     """
     from pyspark.sql import Observation
 
-    obs = Observation(name)
+    # Unique name per call: observation names must be unique among active
+    # queries in a session (same counter pattern as the memory-sink names
+    # in streaming/logs.py).
+    obs = Observation(name or f"lvs_obs_{next(_OBS_IDS)}")
     keys = list(metrics)
     observed = df.observe(obs, *[metrics[k].alias(k) for k in keys])
     n = observed.count()

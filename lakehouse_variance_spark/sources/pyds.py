@@ -63,11 +63,14 @@ class _SlotRange(InputPartition):
 
 class _CarbonGridReader(DataSourceReader):
     def __init__(self, options):
-        self.slots = int(options.get("slots", 3600))
+        self.slots = max(0, int(options.get("slots", 3600)))
         self.base = int(options.get("base", 100))
         self.parts = max(1, int(options.get("parts", 8)))
 
     def partitions(self):
+        if self.slots == 0:
+            # An empty grid is a valid (empty) table, not a planning error.
+            return [_SlotRange(0, 0, self.base)]
         step = -(-self.slots // self.parts)  # ceil division
         return [
             _SlotRange(lo, min(lo + step, self.slots), self.base)

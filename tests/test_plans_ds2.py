@@ -33,9 +33,11 @@ def test_yoy_growth_is_one_scan_per_table_no_self_join(spark):
 
 
 def test_cross_items_single_fact_pattern(spark):
-    # cross_items via count(DISTINCT flag)=3: lineitem is scanned for the
-    # key set, the semi join, and the scalar average — 3 scans max (the
-    # verbatim INTERSECT form would take 4+ plus two distinct-shuffles).
+    # cross_items via the bit_or channel bitmask (mask==7): lineitem is
+    # scanned for the key set, the semi join, and the scalar average —
+    # 3 scans max (the verbatim INTERSECT form would take 4+ plus two
+    # distinct-shuffles; even count(DISTINCT flag) adds a
+    # (key, flag)-distinct exchange).
     plan = _plan(spark, "cross_channel_items_rollup")
     assert plan.count("FileScan parquet") <= 4  # 3x lineitem + part
     assert "LeftSemi" in plan
@@ -128,11 +130,38 @@ def test_argmax_matches_window_rank(spark):
 def test_unpivot_roundtrips_wide_totals(spark):
     # Long-form sums per brand must equal the wide row's column sum.
     long = registry.QUERIES["agg_unpivot_long"](spark, SF_DIR)
-    total_long = long.groupBy("p_brand").agg(
-        F.sum("sales_cents").alias("t")
+    total_long = {
+        r["p_brand"]: r["t"]
+        for r in long.groupBy("p_brand")
+        .agg(F.sum("sales_cents").alias("t"))
+        .collect()
+    }
+    assert long.count() == len(total_long) * 3  # 3 months per brand
+    assert (
+        long.filter(F.col("month_name").isin("jan", "feb", "mar")).count()
+        == long.count()
     )
-    assert long.count() == total_long.count() * 3  # 3 months per brand
-    assert long.filter(F.col("month_name").isin("jan", "feb", "mar")).count() == long.count()
+    # Rebuild the wide frame independently and compare VALUES, not counts.
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    orders = spark.read.parquet(f"{SF_DIR}/orders.parquet").filter(
+        F.year("o_orderdate") == 1996
+    )
+    part = spark.read.parquet(f"{SF_DIR}/part.parquet")
+    expect = {
+        r["p_brand"]: r["t"]
+        for r in li.join(orders, orders.o_orderkey == li.l_orderkey)
+        .join(part, part.p_partkey == li.l_partkey)
+        .filter(F.month("o_orderdate") <= 3)
+        .groupBy("p_brand")
+        .agg(
+            F.sum(
+                F.round(F.col("l_extendedprice") * 100).cast("bigint")
+            ).alias("t")
+        )
+        .collect()
+    }
+    for brand, t in expect.items():
+        assert total_long[brand] == t
 
 
 def test_centroid_matches_numpy(spark):
@@ -244,7 +273,9 @@ def test_time_weighted_avg_matches_numpy(spark):
     )
     for uid, grp in ev.groupby("user_id"):
         t = grp["ts"].astype("int64").to_numpy() // 1000  # ns -> us
-        v = np.round(grp["value"].to_numpy() * 100)  # exact cents
+        # np.round is half-to-even; the operator and oracle round half
+        # AWAY from zero — floor(x+0.5) matches them on positive cents.
+        v = np.floor(grp["value"].to_numpy() * 100 + 0.5)
         if len(t) < 2 or t[-1] == t[0]:
             assert uid not in got
             continue
