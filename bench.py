@@ -49,6 +49,8 @@ HEADLINE_QUERIES = (
     "yoy_channel_growth_compare",
     "cross_channel_items_rollup",
     "argmax_struct_top_type",
+    "join_seven_table_stress",
+    "window_time_weighted_avg",
     "text_filter_pipeline",
     "dedup_exact",
     "dedup_shingle_jaccard",

@@ -730,11 +730,16 @@ def repeat_purchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``cs1.syear = 1999 AND cs2.syear = 2000`` on the item+customer key,
     `docker/trino-client/queries/q64.sql` final join).
 
-    Scale: the fact aggregates ONCE per (customer, part, year) — the
-    self-join then runs on the aggregate, co-partitioned on
-    (custkey, partkey) so both instances hash to the same exchange
-    (Spark reuses the shuffle across the two CTE instances). The
-    pair-join output is bounded by repeat buyers, never |lineitem|².
+    Spark-first rewrite (the 10x probe caught the literal
+    aggregate-then-self-join form at 7.6x for 10x data): a per-(customer,
+    part, year) aggregate barely shrinks the fact — almost every pair is
+    unique — so Spark built that near-fact-sized aggregate TWICE and
+    sort-merge-joined the copies. The conditional-aggregation form pays
+    ONE shuffle on (custkey, partkey) and no join at all: each year's
+    spend is a conditional sum, presence in both years is a pair of
+    conditional counts (every sale row has positive cents, so presence ⟺
+    count > 0 — the same argument as the q11 rewrite). Results are
+    row-identical to the verbatim pair join the oracle runs.
     """
     li = load_table(spark, sf_dir, "lineitem")
     # Explicit date range (not year() IN) so the predicate reaches the scan.
@@ -742,28 +747,27 @@ def repeat_purchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("o_orderdate") >= f"{YOY_FIRST}-01-01")
         & (F.col("o_orderdate") < f"{YOY_SECOND + 1}-01-01")
     )
+    pc = _cents("l_extendedprice")
+    yr = F.year("o_orderdate")
+    in_year = lambda y, col: F.sum(  # noqa: E731
+        F.when(yr == y, col).otherwise(F.lit(0))
+    )
     cs = (
         li.join(orders, orders.o_orderkey == li.l_orderkey)
-        .groupBy(
-            "o_custkey", "l_partkey", F.year("o_orderdate").alias("sale_year")
-        )
+        .groupBy("o_custkey", "l_partkey")
         .agg(
-            F.count(F.lit(1)).alias("n_lines"),
-            F.sum(_cents("l_extendedprice")).alias("spend_cents"),
+            in_year(YOY_FIRST, F.lit(1)).alias("n1"),
+            in_year(YOY_SECOND, F.lit(1)).alias("n2"),
+            in_year(YOY_FIRST, pc).alias("first_spend_cents"),
+            in_year(YOY_SECOND, pc).alias("second_spend_cents"),
         )
     )
-    c1 = cs.filter(F.col("sale_year") == YOY_FIRST).alias("c1")
-    c2 = cs.filter(F.col("sale_year") == YOY_SECOND).alias("c2")
-    return c1.join(
-        c2,
-        (F.col("c2.o_custkey") == F.col("c1.o_custkey"))
-        & (F.col("c2.l_partkey") == F.col("c1.l_partkey")),
-    ).select(
-        F.col("c1.o_custkey").alias("o_custkey"),
-        F.col("c1.l_partkey").alias("l_partkey"),
-        F.col("c1.spend_cents").alias("first_spend_cents"),
-        F.col("c2.spend_cents").alias("second_spend_cents"),
-        (F.col("c1.n_lines") + F.col("c2.n_lines")).alias("n_lines_total"),
+    return cs.filter((F.col("n1") > 0) & (F.col("n2") > 0)).select(
+        "o_custkey",
+        "l_partkey",
+        "first_spend_cents",
+        "second_spend_cents",
+        (F.col("n1") + F.col("n2")).alias("n_lines_total"),
     )
 
 
@@ -863,7 +867,11 @@ def or_membership_existence_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     predicate. The UNION rewrite some engines fall back to would scan the
     customer table twice and pay a distinct to merge arms.
     """
-    spark_sql_views(spark, sf_dir)
+    # Register only the two tables the text reads (register_sf_views loads
+    # every table — it would fail on partial datasets like the 10x probe's
+    # relational-only replica set).
+    for t in ("customer", "orders"):
+        load_table(spark, sf_dir, t).createOrReplaceTempView(t)
     return spark.sql(
         """
         SELECT c.c_mktsegment,
@@ -877,13 +885,6 @@ def or_membership_existence_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY c.c_mktsegment
         """
     )
-
-
-def spark_sql_views(spark: SparkSession, sf_dir: str) -> None:
-    """Register the SF tables as temp views (delegates to plans.runner)."""
-    from lakehouse_variance_spark.plans.runner import register_sf_views
-
-    register_sf_views(spark, sf_dir)
 
 
 __all__ = [

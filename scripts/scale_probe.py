@@ -66,6 +66,12 @@ PROBE_QUERIES = [
     "window_class_revenue_share",
     "argmax_struct_top_type",
     "agg_unpivot_long",
+    "repeat_purchase_pairs",
+    "join_seven_table_stress",
+    "or_membership_existence_join",
+    "cohort_retention_matrix",
+    "funnel_3step_users",
+    "window_time_weighted_avg",
 ]
 
 
