@@ -88,3 +88,31 @@ def test_scd2_intervals_chain(spark):
         nxt = g["valid_from_us"].shift(-1)
         chained = g["valid_to_us"].iloc[:-1] == nxt.iloc[:-1]
         assert chained.all()
+
+
+def test_mv_refresh_equals_full_recompute(spark):
+    """The merged (base + delta) partials must be row-identical to a full
+    recompute over all events — the decomposability invariant incremental
+    refresh rests on."""
+    from pyspark.sql import functions as F
+
+    from lakehouse_variance_spark import registry
+    from tests.conftest import SF_DIR
+
+    refreshed = registry.QUERIES["mv_incremental_refresh"](spark, SF_DIR)
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    cents = F.round(F.col("value") * 100).cast("bigint")
+    full = (
+        ev.groupBy(
+            "event_type",
+            F.col("ts").cast("date").cast("timestamp").alias("event_day"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(cents).alias("sum_cents"),
+            F.max(cents).alias("max_cents"),
+        )
+    )
+    assert sorted(map(tuple, refreshed.collect())) == sorted(
+        map(tuple, full.collect())
+    )
