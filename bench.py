@@ -45,6 +45,7 @@ HEADLINE_QUERIES = (
     "scalar_counts_crossjoin",
     "merge_upsert_orders",
     "cdc_apply_latest",
+    "mv_incremental_refresh",
     "join_stats_spread",
     "yoy_channel_growth_compare",
     "cross_channel_items_rollup",
