@@ -295,16 +295,6 @@ def read_partitioned(spark: SparkSession, table_path: str) -> DataFrame:
     return spark.read.parquet(table_path)
 
 
-__all__ = [
-    "merge_upsert",
-    "merge_upsert_orders",
-    "cdc_apply_latest",
-    "scd2_user_versions",
-    "merge_write_dynamic",
-    "read_partitioned",
-]
-
-
 # Incremental-refresh cutoff: events before this day form the "stored"
 # materialized aggregate; the rest arrive as the delta batch.
 MV_CUTOFF = "2024-01-21"
@@ -360,7 +350,10 @@ def mv_incremental_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     base = partial(ev.filter(day < F.lit(MV_CUTOFF))).localCheckpoint()
-    delta = partial(ev.filter(day >= F.lit(MV_CUTOFF)))
+    # NULL-timestamp rows fail BOTH day<cutoff and day>=cutoff (three-valued
+    # logic) and would silently vanish from the refresh while the full
+    # recompute keeps a NULL-day group — route them to the delta side.
+    delta = partial(ev.filter((day >= F.lit(MV_CUTOFF)) | day.isNull()))
     refreshed = (
         base.unionByName(delta)
         .groupBy("event_type", "event_day")
@@ -377,3 +370,14 @@ def mv_incremental_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
         "sum_cents",
         "max_cents",
     )
+
+
+__all__ = [
+    "merge_upsert",
+    "merge_upsert_orders",
+    "cdc_apply_latest",
+    "scd2_user_versions",
+    "merge_write_dynamic",
+    "read_partitioned",
+    "mv_incremental_refresh",
+]

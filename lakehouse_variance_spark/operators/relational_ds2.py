@@ -869,7 +869,7 @@ def or_membership_existence_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     # Register only the two tables the text reads (register_sf_views loads
     # every table — it would fail on partial datasets like the 10x probe's
-    # relational-only replica set).
+    # replica set, which excludes documents/embeddings).
     for t in ("customer", "orders"):
         load_table(spark, sf_dir, t).createOrReplaceTempView(t)
     return spark.sql(
