@@ -189,21 +189,25 @@ def cross_channel_items_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     (brand, type) and kept only where the group out-sells {AVG_MULTIPLE}×
     the global average line value (q14's ``avg_sales`` scalar threshold).
 
-    Spark-first rewrites, all load-bearing at scale (the 10x probe caught
-    the first draft of this query scaling near-linearly — these took its
-    per-row cost down ~2x):
-    * the three-way INTERSECT of part keys is ONE scan aggregating a
-      channel BITMASK (``bit_or`` of 1/2/4 per flag, keep mask=7) — a
-      plain partial-aggregating groupBy. The verbatim form scans the fact
-      three times; even ``count(DISTINCT flag)`` pays an extra
-      (key, flag)-distinct exchange before it can count;
+    Spark-first rewrites, all load-bearing at scale (two rounds of 10x
+    probing: the first draft scaled near-linearly; the second still paid
+    6x because the fact shuffled TWICE — once to build the bitmask key
+    set, once more for the semi-join back. This version shuffles the
+    fact exactly ONCE):
+    * everything the query needs from the fact — the three-way INTERSECT
+      of part keys (q14's ``cross_items``), the per-part sales partials,
+      AND the global-average numerator/denominator — comes out of a
+      SINGLE groupBy(l_partkey) aggregating a channel BITMASK (``bit_or``
+      of 1/2/4 per flag, keep mask=7) alongside count and cents sums.
+      The verbatim form scans the fact four times (3 INTERSECT branches +
+      the avg scalar) and the previous draft still re-shuffled it for a
+      semi-join against the qualifying key set;
+    * the global-average scalar re-aggregates the SAME per-part partials
+      (sums of exact integer cents and counts are associative, so the
+      avg is bit-identical to a direct fact scan), then cross-joins in
+      as a 1-row broadcast — never a correlated rescan;
     * the ROLLUP runs on the (brand, type) PARTIAL AGGREGATE, not the
-      fact: the fact shuffles once to |brands|x|types| partials, and the
-      Expand x3 touches ~150 rows instead of every line item (sums and
-      counts re-aggregate associatively, so results are identical);
-    * the global-average scalar is a 1-row aggregate cross-joined in
-      (Spark plans a broadcast nested-loop over 1 row — free), never a
-      correlated rescan.
+      fact: the Expand x3 touches ~150 rows instead of every line item.
     The threshold compare converts exact integers to DOUBLE with one
     division and one product — deterministic on both engines.
     """
@@ -216,22 +220,21 @@ def cross_channel_items_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(F.col("l_returnflag") == "R", F.lit(4))
         .otherwise(F.lit(0))
     )
-    cross_items = (
-        li.groupBy("l_partkey")
-        .agg(F.bit_or(flag_bit).alias("flag_mask"))
-        .filter(F.col("flag_mask") == 7)
-        .select("l_partkey")
+    per_part = li.groupBy("l_partkey").agg(
+        F.bit_or(flag_bit).alias("flag_mask"),
+        F.count(F.lit(1)).alias("pn"),
+        F.sum(pc).alias("pc_sum"),
     )
-    avg_row = li.agg(
+    avg_row = per_part.agg(
         (
-            F.sum(pc).cast("double") / F.count(F.lit(1)).cast("double")
+            F.sum("pc_sum").cast("double") / F.sum("pn").cast("double")
         ).alias("avg_cents")
     )
     partials = (
-        li.join(cross_items, "l_partkey", "left_semi")
+        per_part.filter(F.col("flag_mask") == 7)
         .join(F.broadcast(part), part.p_partkey == F.col("l_partkey"))
         .groupBy("p_brand", "p_type")
-        .agg(F.count(F.lit(1)).alias("pn"), F.sum(pc).alias("pc_sum"))
+        .agg(F.sum("pn").alias("pn"), F.sum("pc_sum").alias("pc_sum"))
     )
     agg = partials.rollup("p_brand", "p_type").agg(
         F.grouping("p_brand").cast("int").alias("g_brand"),

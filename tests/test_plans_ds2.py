@@ -33,14 +33,16 @@ def test_yoy_growth_is_one_scan_per_table_no_self_join(spark):
 
 
 def test_cross_items_single_fact_pattern(spark):
-    # cross_items via the bit_or channel bitmask (mask==7): lineitem is
-    # scanned for the key set, the semi join, and the scalar average —
-    # 3 scans max (the verbatim INTERSECT form would take 4+ plus two
-    # distinct-shuffles; even count(DISTINCT flag) adds a
-    # (key, flag)-distinct exchange).
+    # cross_items via the bit_or channel bitmask (mask==7): the key set,
+    # the per-part sales partials, AND the global-average scalar all come
+    # out of one groupBy(l_partkey), so the fact appears in at most two
+    # scan subtrees (avg branch + partials branch) and the identical
+    # partkey exchanges dedupe to a single shuffle via ReusedExchange
+    # (the verbatim INTERSECT form scans the fact 4+ times; the previous
+    # draft re-shuffled it for a semi join and probed 6x at 10x data).
     plan = _plan(spark, "cross_channel_items_rollup")
-    assert plan.count("FileScan parquet") <= 4  # 3x lineitem + part
-    assert "LeftSemi" in plan
+    assert plan.count("FileScan parquet") <= 3  # <=2x lineitem + part
+    assert "LeftSemi" not in plan  # bitmask filter replaced the semi join
     assert "BroadcastNestedLoopJoin" in plan  # 1-row scalar cross join
     assert "Expand" in plan  # the ROLLUP
 
