@@ -65,6 +65,13 @@ HEADLINE_QUERIES = (
     "text_chunk_dedup",
     "contamination_ngram",
     "media_frame_sample",
+    # round-3 additions: fifth TPC-DS batch + corpus-mixture layer
+    "excess_discount_by_month",
+    "returned_rebuy_quantities",
+    "yoy_decline_with_returns",
+    "data_mixture_weights",
+    "token_budget_select",
+    "pack_bins_ffd",
 )
 
 

@@ -1,0 +1,250 @@
+"""Corpus-mixture operators — the sampling/packing layer of an LLM
+pretraining pipeline, over the ``documents`` table.
+
+Where textops.py scores individual documents and pipeline.py reshapes
+them into training sequences, this module decides HOW MUCH of each slice
+of the corpus to train on:
+
+* mixture weights — temperature-scaled source sampling (the
+  ``p_i ∝ n_i^alpha`` reweighting every multilingual/multi-source recipe
+  uses to up-sample small sources; alpha = 0.5 here so the power is an
+  IEEE-exact ``sqrt``);
+* token-budget selection — the highest-quality documents per source until
+  a per-source token budget is exhausted (quality-filtered corpus capping);
+* FFD bin packing — first-fit-decreasing assignment of documents into
+  fixed-capacity context windows, the waste-minimizing alternative to
+  pipeline.py's concat-and-chop packing.
+
+The first two are pure DataFrame ops with DuckDB oracles. FFD is
+inherently sequential WITHIN a source (each placement depends on all
+previous ones) so it runs as a grouped ``applyInPandas`` — one pandas
+call per source, sources packed independently and in parallel, which is
+exactly how a production packer shards: the corpus is huge but any one
+shard fits one task. Registered rows-only; invariants are pytest-gated.
+
+Determinism: token counts are exact integers; quality scores are exact
+integer divisions (``div``/``//``); sqrt is correctly rounded by IEEE-754
+on both engines and its result is floor-quantized to int64 BEFORE the
+cross-source sum, so no float accumulates across rows anywhere.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from lakehouse_variance_spark.registry import register
+from lakehouse_variance_spark.tables import load_table
+
+# Temperature-sampling exponent alpha = 1/2 (sqrt) — IEEE-exact on both
+# engines, unlike an arbitrary pow().
+SQRT_QUANT = 1_000_000  # sqrt quantization: floor(sqrt(tokens)*1e6) -> int64
+
+# Training-run token budget the per-source epoch counts are quoted at.
+MIX_BUDGET_TOKENS = 10_000_000
+
+# Per-source token budget for quality-capped selection.
+SELECT_BUDGET_TOKENS = 800
+
+# Context-window capacity (tokens) for FFD packing.
+FFD_CAPACITY = 512
+
+# Quality-score scale: score_m = (distinct_tokens * SCORE_SCALE) div tokens.
+SCORE_SCALE = 1_000_000
+
+
+@register(
+    "data_mixture_weights",
+    oracle=f"""
+    WITH per_doc AS (
+        SELECT source,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        FROM documents),
+    per_src AS (
+        SELECT source,
+               count(*) AS n_docs,
+               CAST(sum(n_tokens) AS BIGINT) AS tokens,
+               CAST(floor(sqrt(CAST(sum(n_tokens) AS DOUBLE))
+                          * {SQRT_QUANT}) AS BIGINT) AS q
+        FROM per_doc GROUP BY source),
+    tot AS (
+        SELECT CAST(sum(tokens) AS BIGINT) AS total_tokens,
+               CAST(sum(q) AS BIGINT) AS total_q
+        FROM per_src)
+    SELECT s.source, s.n_docs, s.tokens,
+           CAST(s.tokens AS DOUBLE) / CAST(t.total_tokens AS DOUBLE)
+               AS raw_share,
+           CAST(s.q AS DOUBLE) / CAST(t.total_q AS DOUBLE) AS alpha_share,
+           (CAST(s.q AS DOUBLE) / CAST(t.total_q AS DOUBLE))
+               * (CAST({MIX_BUDGET_TOKENS} AS DOUBLE)
+                  / CAST(s.tokens AS DOUBLE)) AS epochs_at_budget
+    FROM per_src s, tot t
+    """,
+)
+def data_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled source mixture: each source's sampling share is
+    ``sqrt(tokens_i) / sum_j sqrt(tokens_j)`` (alpha = 0.5 temperature
+    sampling), plus the epoch count that share implies at a fixed
+    training budget — the up-sample-small-sources recipe used by
+    multilingual and multi-source pretraining corpora.
+
+    Spark-first / determinism: per-source token totals are one partial
+    aggregation; sqrt(total) is a single correctly-rounded IEEE op and is
+    floor-quantized to int64 BEFORE the cross-source normalizer sum, so
+    the normalizer is an exact integer (order-free) rather than a float
+    reduction. The epoch count multiplies two exact-int64→double
+    divisions (each operand < 2^53) — a fixed two-op IEEE chain,
+    bit-identical on both engines. The final normalize step joins a
+    1-row aggregate (broadcast nested-loop over 1 row).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    per_src = (
+        docs.select(
+            "source",
+            F.size(F.split("text", " ")).cast("bigint").alias("n_tokens"),
+        )
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("tokens"),
+        )
+        .withColumn(
+            "q",
+            F.floor(
+                F.sqrt(F.col("tokens").cast("double")) * SQRT_QUANT
+            ).cast("bigint"),
+        )
+    )
+    tot = per_src.agg(
+        F.sum("tokens").alias("total_tokens"), F.sum("q").alias("total_q")
+    )
+    return per_src.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_docs",
+        "tokens",
+        (F.col("tokens").cast("double") / F.col("total_tokens").cast("double"))
+        .alias("raw_share"),
+        (F.col("q").cast("double") / F.col("total_q").cast("double"))
+        .alias("alpha_share"),
+        (
+            (F.col("q").cast("double") / F.col("total_q").cast("double"))
+            * (
+                F.lit(float(MIX_BUDGET_TOKENS))
+                / F.col("tokens").cast("double")
+            )
+        ).alias("epochs_at_budget"),
+    )
+
+
+@register(
+    "token_budget_select",
+    oracle=f"""
+    WITH scored AS (
+        SELECT doc_id, source,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+               (CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT)
+                * {SCORE_SCALE})
+                   // CAST(len(string_split(text, ' ')) AS BIGINT)
+                   AS score_m
+        FROM documents),
+    ranked AS (
+        SELECT doc_id, source, n_tokens, score_m,
+               CAST(sum(n_tokens) OVER (
+                   PARTITION BY source
+                   ORDER BY score_m DESC, doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS BIGINT) AS cum_tokens
+        FROM scored)
+    SELECT doc_id, source, n_tokens, score_m, cum_tokens
+    FROM ranked WHERE cum_tokens <= {SELECT_BUDGET_TOKENS}
+    """,
+)
+def token_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-capped corpus selection: within each source, keep the
+    highest-quality documents (distinct-token ratio) until a per-source
+    token budget is exhausted — the greedy quality-filter used to cap
+    over-represented domains in a pretraining mix.
+
+    Spark-first: the running token total is a window partitioned BY
+    SOURCE, so the sort is per-source (parallel across sources, no
+    single-partition global window; a global budget would instead use
+    per-partition partial sums + a broadcast offset join). The quality
+    score is an exact integer division (``div`` / DuckDB ``//``), and the
+    tie-break on doc_id makes the greedy prefix unique, so the kept set
+    is deterministic on both engines.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    tokens = F.split("text", " ")
+    scored = docs.select(
+        "doc_id",
+        "source",
+        F.size(tokens).cast("bigint").alias("n_tokens"),
+        F.expr(
+            f"(CAST(size(array_distinct(split(text, ' '))) AS BIGINT)"
+            f" * {SCORE_SCALE})"
+            f" div CAST(size(split(text, ' ')) AS BIGINT)"
+        ).alias("score_m"),
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy(F.col("score_m").desc(), F.col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return scored.withColumn("cum_tokens", F.sum("n_tokens").over(w)).filter(
+        F.col("cum_tokens") <= SELECT_BUDGET_TOKENS
+    )
+
+
+def pack_ffd(docs: DataFrame, capacity: int = FFD_CAPACITY) -> DataFrame:
+    """First-fit-decreasing bin packing of documents into fixed-capacity
+    context windows, grouped by source.
+
+    FFD is sequential within a group (every placement depends on the bins
+    so far), so each source packs inside ONE ``applyInPandas`` call —
+    sources are distributed and the per-source doc list is the unit of
+    parallelism, mirroring how a production packer shards a corpus. An
+    oversized document (> capacity) gets a bin of its own rather than
+    being dropped, so the output always partitions the input exactly.
+    """
+    spark = docs.sparkSession
+    schema = "doc_id bigint, source string, n_tokens bigint, bin_id bigint"
+
+    def pack_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(
+            ["n_tokens", "doc_id"], ascending=[False, True]
+        ).reset_index(drop=True)
+        bins: list[int] = []  # remaining capacity per bin
+        assigned: list[int] = []
+        for tok in pdf["n_tokens"]:
+            placed = -1
+            for i, rem in enumerate(bins):
+                if tok <= rem:
+                    placed = i
+                    break
+            if placed < 0:
+                bins.append(max(capacity - tok, 0))
+                placed = len(bins) - 1
+            else:
+                bins[placed] -= tok
+            assigned.append(placed)
+        pdf["bin_id"] = pd.Series(assigned, dtype="int64")
+        return pdf[["doc_id", "source", "n_tokens", "bin_id"]]
+
+    sized = docs.select(
+        "doc_id",
+        "source",
+        F.size(F.split("text", " ")).cast("bigint").alias("n_tokens"),
+    )
+    return sized.groupBy("source").applyInPandas(pack_group, schema)
+
+
+@register("pack_bins_ffd")
+def pack_bins_ffd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-fit-decreasing context-window packing (see :func:`pack_ffd`).
+    Rows-only: FFD's placement recurrence is not SQL-expressible; the
+    capacity/partition/waste invariants are asserted in
+    tests/test_mixture.py."""
+    docs = load_table(spark, sf_dir, "documents")
+    return pack_ffd(docs)

@@ -40,6 +40,7 @@ def load_all() -> None:
         behavior,
         cleaning,
         dedup,
+        mixture,
         multimodal,
         mutation,
         pipeline,
@@ -47,6 +48,7 @@ def load_all() -> None:
         relational,
         relational_ds,
         relational_ds2,
+        relational_ds3,
         relational_ext,
         similarity,
         temporal,

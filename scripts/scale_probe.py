@@ -58,6 +58,13 @@ PROBE_QUERIES = [
     "scalar_counts_crossjoin",
     # round-3 fourth TPC-DS batch
     "yoy_channel_growth_compare",
+    # round-3 fifth TPC-DS batch
+    "excess_discount_by_month",
+    "returned_rebuy_quantities",
+    "qty_before_after_pivot",
+    "late_ship_priority_counts",
+    "yoy_decline_with_returns",
+    "price_band_active_items",
     "cross_channel_items_rollup",
     "stddev_pair_months",
     "revenue_segment_histogram",

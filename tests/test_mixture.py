@@ -1,0 +1,84 @@
+"""Invariants for the corpus-mixture operators (operators/mixture.py):
+mixture-weight algebra, budget-selection greediness, FFD packing laws."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from lakehouse_variance_spark import registry
+from lakehouse_variance_spark.operators.mixture import (
+    FFD_CAPACITY,
+    SELECT_BUDGET_TOKENS,
+)
+from tests.conftest import SF_DIR
+
+registry.load_all()
+
+
+def test_mixture_weights_algebra(spark):
+    rows = registry.QUERIES["data_mixture_weights"](spark, SF_DIR).collect()
+    assert len(rows) >= 2
+    assert abs(sum(r.raw_share for r in rows) - 1.0) < 1e-9
+    assert abs(sum(r.alpha_share for r in rows) - 1.0) < 1e-9
+    # Temperature flattening: sqrt sampling moves every share toward the
+    # mean — smaller sources gain share, bigger sources lose it.
+    mean_tokens = sum(r.tokens for r in rows) / len(rows)
+    for r in rows:
+        if r.tokens < mean_tokens * 0.9:
+            assert r.alpha_share > r.raw_share
+        if r.tokens > mean_tokens * 1.1:
+            assert r.alpha_share < r.raw_share
+        assert r.epochs_at_budget > 0
+
+
+def test_token_budget_select_is_greedy_prefix(spark):
+    df = registry.QUERIES["token_budget_select"](spark, SF_DIR)
+    rows = df.collect()
+    assert rows, "budget selection kept nothing"
+    by_src: dict[str, list] = {}
+    for r in rows:
+        by_src.setdefault(r.source, []).append(r)
+    for src, kept in by_src.items():
+        kept.sort(key=lambda r: (-r.score_m, r.doc_id))
+        cum = 0
+        for r in kept:
+            cum += r.n_tokens
+            assert r.cum_tokens == cum
+        assert cum <= SELECT_BUDGET_TOKENS
+
+
+def test_ffd_packs_every_doc_within_capacity(spark):
+    packed = registry.QUERIES["pack_bins_ffd"](spark, SF_DIR)
+    rows = packed.collect()
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    assert len(rows) == docs.count()  # exact partition of the input
+    assert len({r.doc_id for r in rows}) == len(rows)
+    fill: dict[tuple, int] = {}
+    for r in rows:
+        fill[(r.source, r.bin_id)] = fill.get((r.source, r.bin_id), 0) + r.n_tokens
+    for (src, b), tot in fill.items():
+        assert tot <= FFD_CAPACITY, f"bin {src}/{b} overfull: {tot}"
+    # FFD waste bound: bins never exceed what one-doc-per-bin would use,
+    # and meets the volume lower bound ceil(total/capacity) per source.
+    by_src: dict[str, list] = {}
+    for r in rows:
+        by_src.setdefault(r.source, []).append(r)
+    for src, srows in by_src.items():
+        n_bins = len({r.bin_id for r in srows})
+        total = sum(r.n_tokens for r in srows)
+        assert n_bins <= len(srows)
+        assert n_bins >= math.ceil(total / FFD_CAPACITY)
+
+
+def test_ffd_deterministic_across_runs(spark):
+    a = sorted(
+        (r.doc_id, r.bin_id)
+        for r in registry.QUERIES["pack_bins_ffd"](spark, SF_DIR).collect()
+    )
+    b = sorted(
+        (r.doc_id, r.bin_id)
+        for r in registry.QUERIES["pack_bins_ffd"](spark, SF_DIR).collect()
+    )
+    assert a == b
