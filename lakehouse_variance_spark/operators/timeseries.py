@@ -1,0 +1,175 @@
+"""Time-series gap filling — the hypertable-style ``time_bucket_gapfill``
+/ ``locf`` / ``interpolate`` surface, Spark-first.
+
+The reference's workload logs are regular time series consumed post-hoc
+(`traces/tools/helpers.py:10-90`); a lakehouse engine that serves them
+interactively needs the standard continuous-timeline operators: densify a
+sparse series onto a fixed grid, carry the last observation forward, and
+linearly interpolate between anchors. TimescaleDB exposes these as
+``time_bucket_gapfill(locf(...), interpolate(...))``; Spark has no
+built-in, so this is the composition-of-DataFrame-ops path (SURVEY §2's
+"custom operator: composition if semantics allow").
+
+Plan shape (one fact shuffle + one grid window):
+1. anchor per (user, day): the LAST event of the bucket via
+   ``max(struct(ts, event_id, value))`` — a single partial-aggregating
+   groupBy, no row_number window over the raw fact;
+2. per-user day grid: ``sequence(min_day, max_day)`` exploded — the grid
+   lives at bucket granularity, orders of magnitude smaller than the
+   fact, and inherits the user partitioning;
+3. LOCF + interpolation anchors from two ``ignoreNulls`` windows over the
+   grid (preceding for last-known, following for next-known), both inside
+   the SAME user-partitioned sort — Spark plans one window exchange.
+
+Determinism: LOCF copies doubles verbatim (no arithmetic). The
+interpolation is the fixed IEEE chain ``prev + (next - prev) * (dd1/dd2)``
+with dd1/dd2 exact int64 day counts — identical op order in the oracle
+SQL, so bit-identical results.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from lakehouse_variance_spark.registry import register
+from lakehouse_variance_spark.tables import load_table
+
+
+@register(
+    "ts_gap_fill_locf",
+    oracle="""
+    WITH ev AS (
+        SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, value
+        FROM events),
+    ranked AS (
+        SELECT user_id, date_trunc('day', ts) AS d, value,
+               row_number() OVER (
+                   PARTITION BY user_id, date_trunc('day', ts)
+                   ORDER BY ts DESC, event_id DESC) AS rn
+        FROM ev),
+    a AS (SELECT user_id, d, value FROM ranked WHERE rn = 1),
+    bounds AS (
+        SELECT user_id, min(d) AS lo, max(d) AS hi FROM a GROUP BY user_id),
+    grid AS (
+        SELECT b.user_id, CAST(gs.g AS TIMESTAMP) AS grid_day
+        FROM bounds b,
+             LATERAL unnest(generate_series(b.lo, b.hi, INTERVAL 1 DAY))
+                 AS gs(g)),
+    j AS (
+        SELECT g.user_id, g.grid_day, a.value AS v,
+               CASE WHEN a.value IS NOT NULL THEN g.grid_day END AS ad
+        FROM grid g
+        LEFT JOIN a ON a.user_id = g.user_id AND a.d = g.grid_day),
+    f AS (
+        SELECT user_id, grid_day, v,
+               last_value(v IGNORE NULLS) OVER w AS locf_value,
+               last_value(ad IGNORE NULLS) OVER w AS prev_day,
+               first_value(v IGNORE NULLS) OVER wf AS next_v,
+               first_value(ad IGNORE NULLS) OVER wf AS next_day
+        FROM j
+        WINDOW w AS (PARTITION BY user_id ORDER BY grid_day
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+               wf AS (PARTITION BY user_id ORDER BY grid_day
+                      ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING))
+    SELECT user_id, grid_day,
+           CAST(v IS NOT NULL AS INTEGER) AS is_anchor,
+           locf_value,
+           CASE WHEN next_day IS NULL OR prev_day = grid_day
+                THEN locf_value
+                ELSE locf_value
+                     + (next_v - locf_value)
+                       * (CAST(date_diff('day', prev_day, grid_day)
+                               AS DOUBLE)
+                          / CAST(date_diff('day', prev_day, next_day)
+                                 AS DOUBLE))
+           END AS interp_value
+    FROM f
+    """,
+)
+def ts_gap_fill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-fill each user's event series onto a dense daily grid with both
+    last-observation-carried-forward and linear interpolation — the
+    TimescaleDB ``time_bucket_gapfill(locf(), interpolate())`` surface as
+    a composition of sequence/explode + ignoreNulls windows (module
+    docstring has the plan-shape and determinism argument).
+
+    The daily anchor is the bucket's LAST event chosen by
+    ``max(struct(ts, event_id, value))`` — deterministic because
+    event_id is unique, and a plain aggregate rather than a row_number
+    window over the raw fact.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "ts", "value"
+    )
+    day = F.date_trunc("day", F.col("ts"))
+    a = (
+        ev.groupBy("user_id", day.alias("d"))
+        .agg(F.max(F.struct("ts", "event_id", "value")).alias("top"))
+        .select("user_id", "d", F.col("top.value").alias("value"))
+    )
+    grid = (
+        a.groupBy("user_id")
+        .agg(F.min("d").alias("lo"), F.max("d").alias("hi"))
+        .select(
+            "user_id",
+            F.explode(
+                F.sequence("lo", "hi", F.expr("INTERVAL 1 DAY"))
+            ).alias("grid_day"),
+        )
+    )
+    # grid derives from a — rename the anchor side so the left join back
+    # is not an ambiguous self-join lineage.
+    an = a.select(
+        F.col("user_id").alias("a_user"),
+        F.col("d").alias("a_day"),
+        F.col("value").alias("v"),
+    )
+    j = grid.join(
+        an,
+        (F.col("a_user") == F.col("user_id"))
+        & (F.col("a_day") == F.col("grid_day")),
+        "left",
+    ).select(
+        "user_id",
+        "grid_day",
+        "v",
+        F.when(F.col("v").isNotNull(), F.col("grid_day")).alias("ad"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("grid_day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wf = (
+        Window.partitionBy("user_id")
+        .orderBy("grid_day")
+        .rowsBetween(1, Window.unboundedFollowing)
+    )
+    f = j.select(
+        "user_id",
+        "grid_day",
+        "v",
+        F.last("v", ignorenulls=True).over(w).alias("locf_value"),
+        F.last("ad", ignorenulls=True).over(w).alias("prev_day"),
+        F.first("v", ignorenulls=True).over(wf).alias("next_v"),
+        F.first("ad", ignorenulls=True).over(wf).alias("next_day"),
+    )
+    frac = F.datediff("grid_day", "prev_day").cast("double") / F.datediff(
+        "next_day", "prev_day"
+    ).cast("double")
+    return f.select(
+        "user_id",
+        "grid_day",
+        F.col("v").isNotNull().cast("int").alias("is_anchor"),
+        "locf_value",
+        F.when(
+            F.col("next_day").isNull() | (F.col("prev_day") == F.col("grid_day")),
+            F.col("locf_value"),
+        )
+        .otherwise(
+            F.col("locf_value")
+            + (F.col("next_v") - F.col("locf_value")) * frac
+        )
+        .alias("interp_value"),
+    )

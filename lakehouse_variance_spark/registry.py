@@ -53,6 +53,7 @@ def load_all() -> None:
         similarity,
         temporal,
         textops,
+        timeseries,
     )
     from lakehouse_variance_spark.ml import predictor  # noqa: F401
     from lakehouse_variance_spark.plans import features, runner  # noqa: F401

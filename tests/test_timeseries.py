@@ -1,0 +1,63 @@
+"""Invariants + plan shape for the time-series gap-fill operator."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from lakehouse_variance_spark import registry
+from tests.conftest import SF_DIR
+
+registry.load_all()
+
+
+def _rows(spark):
+    return registry.QUERIES["ts_gap_fill_locf"](spark, SF_DIR).collect()
+
+
+def test_gapfill_grid_is_dense_per_user(spark):
+    rows = _rows(spark)
+    by_user: dict[int, list] = {}
+    for r in rows:
+        by_user.setdefault(r.user_id, []).append(r.grid_day)
+    for user, days in by_user.items():
+        days.sort()
+        span = (days[-1] - days[0]).days + 1
+        assert len(days) == span, f"user {user} grid has holes"
+        assert len(set(days)) == len(days)
+
+
+def test_gapfill_locf_and_interp_laws(spark):
+    rows = _rows(spark)
+    by_user: dict[int, list] = {}
+    for r in rows:
+        by_user.setdefault(r.user_id, []).append(r)
+    for user, urows in by_user.items():
+        urows.sort(key=lambda r: r.grid_day)
+        # first grid day is an anchor (grid spans anchor min..max)
+        assert urows[0].is_anchor == 1
+        assert urows[-1].is_anchor == 1
+        last_anchor_val = None
+        for r in urows:
+            if r.is_anchor:
+                last_anchor_val = r.locf_value
+                assert r.interp_value == r.locf_value
+            else:
+                assert r.locf_value == last_anchor_val
+        # interpolated values lie between their neighbouring anchors
+        anchors = [
+            (i, r.locf_value) for i, r in enumerate(urows) if r.is_anchor
+        ]
+        for (i0, v0), (i1, v1) in zip(anchors, anchors[1:]):
+            lo, hi = min(v0, v1), max(v0, v1)
+            for k in range(i0 + 1, i1):
+                assert lo - 1e-9 <= urows[k].interp_value <= hi + 1e-9
+
+
+def test_gapfill_single_window_exchange(spark):
+    df = registry.QUERIES["ts_gap_fill_locf"](spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # both ignoreNulls windows ride the same user-partitioned sort: the
+    # plan has Window nodes but only ONE exchange hashed on user_id alone
+    assert "CartesianProduct" not in plan
+    assert plan.count("Window") >= 1
+    assert plan.count("hashpartitioning(user_id") <= 2
