@@ -134,6 +134,65 @@ def plan_exchange_count(df: DataFrame) -> int:
     )
 
 
+def _spread_bits16(x: Column) -> Column:
+    """Spread the low 16 bits of ``x`` so bit i lands at position 2i —
+    the classic mask-shift interleave ladder, as pure JVM-side bitwise
+    column ops (no UDF)."""
+    x = x.bitwiseAND(F.lit(0xFFFF))
+    x = (x.bitwiseOR(F.shiftleft(x, 8))).bitwiseAND(F.lit(0x00FF00FF))
+    x = (x.bitwiseOR(F.shiftleft(x, 4))).bitwiseAND(F.lit(0x0F0F0F0F))
+    x = (x.bitwiseOR(F.shiftleft(x, 2))).bitwiseAND(F.lit(0x33333333))
+    x = (x.bitwiseOR(F.shiftleft(x, 1))).bitwiseAND(F.lit(0x55555555))
+    return x
+
+
+def zorder_value(
+    a: Column, a_min: int, a_max: int, b: Column, b_min: int, b_max: int
+) -> Column:
+    """Z-order (Morton) key over two integer columns: each value is
+    min/max-quantized to 16 bits, bit-spread, and interleaved. Rows close
+    in EITHER dimension get close z-values, so sorting by z clusters both
+    columns at once."""
+    qa = _quantize16(a, a_min, a_max)
+    qb = _quantize16(b, b_min, b_max)
+    return _spread_bits16(qa).bitwiseOR(F.shiftleft(_spread_bits16(qb), 1))
+
+
+def _quantize16(c: Column, mn: int, mx: int) -> Column:
+    span = max(mx - mn, 1)
+    q = ((c.cast("long") - F.lit(mn)) * F.lit(65535)) / F.lit(span)
+    return F.least(F.greatest(q.cast("long"), F.lit(0)), F.lit(65535))
+
+
+def zorder_write(
+    df: DataFrame, path: str, col_a: str, col_b: str, n_files: int = 8
+) -> None:
+    """Z-order-clustered parquet write (the OPTIMIZE ZORDER BY of
+    Delta/Iceberg): range-partition + sort the data by the Morton key of
+    (col_a, col_b), one file per range, then drop the key.
+
+    Why it matters at 100 TB: directory partitioning prunes on ONE key;
+    z-ordering makes parquet row-group/file min-max stats selective on TWO
+    (or more) keys simultaneously, so point/range predicates on either
+    column skip most files without a second physical copy. The min/max
+    bounds come from one tiny aggregate; the write is one range exchange.
+    """
+    lo_a, hi_a, lo_b, hi_b = df.agg(
+        F.min(col_a), F.max(col_a), F.min(col_b), F.max(col_b)
+    ).first()
+    z = zorder_value(
+        F.col(col_a), int(lo_a), int(hi_a), F.col(col_b), int(lo_b), int(hi_b)
+    )
+    (
+        df.withColumn("_z", z)
+        .repartitionByRange(n_files, F.col("_z"))
+        .sortWithinPartitions("_z")
+        .drop("_z")
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+
+
 def salted_join(
     fact: DataFrame,
     build: DataFrame,

@@ -3,6 +3,8 @@ actually skip the shuffle, and salting is semantically invisible."""
 
 from __future__ import annotations
 
+from pathlib import Path
+
 from pyspark.sql import functions as F
 
 from lakehouse_variance_spark.sources.layout import (
@@ -191,3 +193,97 @@ def test_dynamic_partition_pruning_from_dim_filter(spark, tmp_path):
     assert sorted(map(tuple, joined.collect())) == sorted(
         map(tuple, expected.collect())
     )
+
+
+def test_zorder_write_clusters_both_dimensions(spark, tmp_path):
+    # Z-order by (l_partkey, l_suppkey): every output file should cover a
+    # narrow slice of BOTH key ranges, so min-max skipping works on either
+    # predicate. An unordered write leaves each file spanning ~the full
+    # range of both.
+    import pyarrow.parquet as pq
+
+    from lakehouse_variance_spark.sources.layout import zorder_write
+
+    li = load_table(spark, SF_DIR, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey", "l_quantity"
+    )
+    dst = str(tmp_path / "zordered")
+    zorder_write(li, dst, "l_partkey", "l_suppkey", n_files=8)
+
+    out = spark.read.parquet(dst)
+    assert out.count() == li.count()  # lossless round-trip
+
+    def coverage(path_dir, col):
+        spans = []
+        lo_all, hi_all = None, None
+        for f in Path(path_dir).glob("*.parquet"):
+            md = pq.read_metadata(f)
+            mn = min(
+                md.row_group(i).column(
+                    next(
+                        j
+                        for j in range(md.num_columns)
+                        if md.row_group(i).column(j).path_in_schema == col
+                    )
+                ).statistics.min
+                for i in range(md.num_row_groups)
+            )
+            mx = max(
+                md.row_group(i).column(
+                    next(
+                        j
+                        for j in range(md.num_columns)
+                        if md.row_group(i).column(j).path_in_schema == col
+                    )
+                ).statistics.max
+                for i in range(md.num_row_groups)
+            )
+            spans.append((mn, mx))
+            lo_all = mn if lo_all is None else min(lo_all, mn)
+            hi_all = mx if hi_all is None else max(hi_all, mx)
+        full = hi_all - lo_all
+        return sum((mx - mn) / full for mn, mx in spans) / len(spans)
+
+    # average per-file share of the full key range, both dimensions:
+    # clustered files cover well under the ~100% an unordered layout gives
+    cov_part = coverage(dst, "l_partkey")
+    cov_supp = coverage(dst, "l_suppkey")
+    assert cov_part < 0.60, f"l_partkey per-file coverage {cov_part:.2f}"
+    assert cov_supp < 0.60, f"l_suppkey per-file coverage {cov_supp:.2f}"
+
+
+def test_runtime_bloom_filter_injected_on_selective_dim_join(spark):
+    # With broadcast disabled (the 100 TB big-big case), a selective filter
+    # on the dim side should inject a runtime bloom filter on the fact side
+    # (spark.sql.optimizer.runtime.bloomFilter.* — Catalyst's
+    # InjectRuntimeFilter), pre-filtering the shuffle.
+    li = load_table(spark, SF_DIR, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_extendedprice"
+    )
+    part = load_table(spark, SF_DIR, "part").filter(
+        F.col("p_brand") == "BRAND#13"
+    )
+    prev_bc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set(
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+        "0",
+    )
+    spark.conf.set(
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold",
+        "100MB",
+    )
+    try:
+        joined = li.join(part, part.p_partkey == li.l_partkey).groupBy(
+            "p_brand"
+        ).count()
+        optimized = joined._jdf.queryExecution().optimizedPlan().toString()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_bc)
+        spark.conf.unset(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold"
+        )
+        spark.conf.unset(
+            "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold"
+        )
+    assert "might_contain" in optimized.lower(), optimized[:2000]
