@@ -501,3 +501,72 @@ def pandas_mad_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.groupBy("event_type").applyInPandas(
         mad, "event_type string, n bigint, median_value double, mad_value double"
     )
+
+
+# Regression threshold: flag queries whose recent-run mean runtime exceeds
+# 1.2x the early-run mean (the drift signal a per-config variance monitor
+# raises before a full re-benchmark).
+REGRESSION_FACTOR = 1.2
+
+
+@register(
+    "trace_regression_flags",
+    oracle=f"""
+    WITH per_q AS (
+        SELECT user_id AS query_id,
+               CAST(sum(CASE WHEN (event_id % 5) + 1 <= 2
+                    THEN CAST(round(value * 100) AS BIGINT) END) AS BIGINT)
+                   AS base_runtime_c,
+               CAST(sum(CASE WHEN (event_id % 5) + 1 <= 2 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS base_n,
+               CAST(sum(CASE WHEN (event_id % 5) + 1 >= 4
+                    THEN CAST(round(value * 100) AS BIGINT) END) AS BIGINT)
+                   AS curr_runtime_c,
+               CAST(sum(CASE WHEN (event_id % 5) + 1 >= 4 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS curr_n
+        FROM events
+        GROUP BY user_id)
+    SELECT query_id, base_runtime_c, base_n, curr_runtime_c, curr_n,
+           CAST(CAST(curr_runtime_c AS DOUBLE) / CAST(curr_n AS DOUBLE)
+                > {REGRESSION_FACTOR}
+                  * (CAST(base_runtime_c AS DOUBLE) / CAST(base_n AS DOUBLE))
+                AS INTEGER) AS regressed
+    FROM per_q
+    WHERE base_n > 0 AND curr_n > 0
+    """,
+)
+def trace_regression_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-query runtime-regression detector over the synthetic trace log:
+    the pooled mean runtime of the two most recent runs compared against
+    the two earliest runs, flagged when it exceeds {REGRESSION_FACTOR}x —
+    the drift monitor a variance-tracking benchmark harness runs between
+    full re-benchmarks (the reference's Study-2 config deltas,
+    `traces/tools/helpers.py:198-228`, are the one-shot form of this).
+
+    Determinism: runtimes accumulate as exact integer cents with exact
+    counts; the threshold compare divides exact int64s to double (correctly
+    rounded, identical on both engines) — one pass, no per-(run, query)
+    intermediate."""
+    ev = load_table(spark, sf_dir, "events")
+    run = F.pmod("event_id", F.lit(5)) + 1
+    cents = F.round(F.col("value") * 100).cast("bigint")
+    per_q = ev.groupBy(F.col("user_id").alias("query_id")).agg(
+        F.sum(F.when(run <= 2, cents)).alias("base_runtime_c"),
+        F.sum(F.when(run <= 2, 1).otherwise(0)).cast("bigint").alias("base_n"),
+        F.sum(F.when(run >= 4, cents)).alias("curr_runtime_c"),
+        F.sum(F.when(run >= 4, 1).otherwise(0)).cast("bigint").alias("curr_n"),
+    )
+    mean = lambda s, n: F.col(s).cast("double") / F.col(n).cast("double")  # noqa: E731
+    return per_q.filter((F.col("base_n") > 0) & (F.col("curr_n") > 0)).select(
+        "query_id",
+        "base_runtime_c",
+        "base_n",
+        "curr_runtime_c",
+        "curr_n",
+        (
+            mean("curr_runtime_c", "curr_n")
+            > REGRESSION_FACTOR * mean("base_runtime_c", "base_n")
+        )
+        .cast("int")
+        .alias("regressed"),
+    )

@@ -477,3 +477,152 @@ def arrow_vector_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
         batch_norms,
         "vec_id bigint, sumsq_micro bigint, l2_norm double",
     )
+
+
+# ---------------------------------------------------------------------------
+# PQ (product quantization) ANN: per-subspace codebooks, byte codes, ADC
+# ---------------------------------------------------------------------------
+
+PQ_M = 8  # subspaces (64-dim vectors -> 8 dims per subspace)
+PQ_K = 16  # centroids per subspace (4-bit codes)
+PQ_RERANK = 4  # exact re-rank pool = PQ_RERANK * TOP_K ADC candidates
+
+
+def _pq_train_codebooks(vecs: np.ndarray) -> np.ndarray:
+    """Seeded Lloyd iterations per subspace -> (M, K, d/M) codebooks.
+
+    Runs driver-side on a SAMPLE of the corpus (training a 16-centroid
+    codebook needs thousands of vectors, not billions — at 100 TB you
+    train on spark.sample() collected to the driver, exactly as FAISS
+    trains on a slice). Deterministic: seeded init, fixed 10 iterations,
+    argmin ties resolve to the lowest centroid index."""
+    n, d = vecs.shape
+    dsub = d // PQ_M
+    rng = np.random.RandomState(0)
+    books = np.empty((PQ_M, PQ_K, dsub), dtype=np.float64)
+    for m in range(PQ_M):
+        sub = vecs[:, m * dsub : (m + 1) * dsub]
+        cent = sub[rng.choice(n, size=PQ_K, replace=False)].copy()
+        for _ in range(10):
+            d2 = ((sub[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+            assign = d2.argmin(axis=1)
+            for k in range(PQ_K):
+                mask = assign == k
+                if mask.any():
+                    cent[k] = sub[mask].mean(axis=0)
+        books[m] = cent
+    return books
+
+
+@register("ann_pq_topk")
+def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN: vectors compress to PQ_M byte codes
+    (16x memory compression at 64 dims), queries score the whole corpus
+    through per-subspace lookup tables (asymmetric distance computation),
+    and the ADC shortlist re-ranks exactly. Rows-only; recall vs brute
+    force is asserted in tests/test_similarity.py.
+
+    Spark-first split of the classic FAISS pipeline:
+    * TRAIN driver-side on a sample (tiny, same as FAISS);
+    * ENCODE distributed via ``mapInArrow`` — one Arrow batch at a time
+      against the broadcast codebooks, so the 100 TB corpus never
+      funnels through the driver and the output is 1/16th the footprint;
+    * SCORE distributed via ``mapInArrow`` over the code table with the
+      per-query LUTs broadcast (a 10-query LUT set is KBs); each batch
+      emits only its local (query, vec, adc) rows;
+    * exact re-rank joins the PQ_RERANK*TOP_K shortlist back to the full
+      vectors — the standard recall-restoring tail, touching only
+      candidates. Vectors are L2-normalized before encoding so ADC inner
+      product approximates cosine directly."""
+    import pyarrow as pa
+
+    emb = _prepped(load_table(spark, sf_dir, "embeddings"), "vec_id", "embedding")
+    unit = emb.select(
+        "vec_id",
+        F.zip_with("v", F.array_repeat("nrm", F.size("v")), lambda x, n: x / n)
+        .alias("u"),
+    )
+    # -- train on a (deterministic) sample collected to the driver
+    train = np.array(
+        [r.u for r in unit.filter(F.pmod("vec_id", F.lit(2)) == 0).collect()],
+        dtype=np.float64,
+    )
+    books = _pq_train_codebooks(train)
+    b_books = spark.sparkContext.broadcast(books)
+    dsub = books.shape[2]
+
+    def encode(batches):
+        bk = b_books.value
+        for batch in batches:
+            pdf = batch.to_pandas()
+            vecs = np.stack(pdf["u"].to_numpy())
+            codes = np.empty((len(pdf), PQ_M), dtype=np.int8)
+            for m in range(PQ_M):
+                sub = vecs[:, m * dsub : (m + 1) * dsub]
+                d2 = ((sub[:, None, :] - bk[m][None, :, :]) ** 2).sum(axis=2)
+                codes[:, m] = d2.argmin(axis=1).astype(np.int8)
+            yield pa.RecordBatch.from_pydict(
+                {
+                    "vec_id": pdf["vec_id"],
+                    "code": list(codes),
+                }
+            )
+
+    codes = unit.mapInArrow(encode, "vec_id bigint, code array<tinyint>")
+
+    # -- per-query LUTs: queries use their exact unit vectors
+    qrows = unit.filter(F.col("vec_id") < N_QUERY_VECS).collect()
+    q_ids = np.array([r.vec_id for r in qrows], dtype=np.int64)
+    q_vecs = np.stack([np.array(r.u, dtype=np.float64) for r in qrows])
+    # LUT[q, m, k] = <q_sub, centroid> — ADC inner product contributions
+    luts = np.einsum("qmd,mkd->qmk", q_vecs.reshape(len(qrows), PQ_M, dsub), books)
+    b_luts = spark.sparkContext.broadcast((q_ids, luts))
+
+    def adc_score(batches):
+        qids, lt = b_luts.value
+        for batch in batches:
+            pdf = batch.to_pandas()
+            c = np.stack(pdf["code"].to_numpy()).astype(np.int64)  # (n, M)
+            n = len(pdf)
+            # scores[q, i] = sum_m LUT[q, m, c[i, m]]
+            scores = np.zeros((len(qids), n), dtype=np.float64)
+            for m in range(PQ_M):
+                scores += lt[:, m, c[:, m]]
+            vec_ids = pdf["vec_id"].to_numpy()
+            yield pa.RecordBatch.from_pydict(
+                {
+                    "query_id": np.repeat(qids, n),
+                    "neighbor_id": np.tile(vec_ids, len(qids)),
+                    "adc": scores.reshape(-1),
+                }
+            )
+
+    adc = codes.mapInArrow(
+        adc_score, "query_id bigint, neighbor_id bigint, adc double"
+    ).filter(F.col("query_id") != F.col("neighbor_id"))
+
+    wr = W.partitionBy("query_id").orderBy(
+        F.col("adc").desc(), F.col("neighbor_id")
+    )
+    shortlist = (
+        adc.withColumn("rn", F.row_number().over(wr))
+        .filter(F.col("rn") <= PQ_RERANK * TOP_K)
+        .select("query_id", "neighbor_id")
+    )
+    # -- exact re-rank of the shortlist only
+    corpus = emb.withColumnsRenamed({"vec_id": "neighbor_id", "v": "nv", "nrm": "nn"})
+    queries = emb.filter(F.col("vec_id") < N_QUERY_VECS).withColumnsRenamed(
+        {"vec_id": "query_id", "v": "qv", "nrm": "qn"}
+    )
+    exact = dot(F.col("qv"), F.col("nv")) / (F.col("qn") * F.col("nn"))
+    we = W.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id")
+    )
+    return (
+        shortlist.join(corpus, "neighbor_id")
+        .join(F.broadcast(queries), "query_id")
+        .withColumn("cos", exact)
+        .withColumn("rn", F.row_number().over(we))
+        .filter(F.col("rn") <= TOP_K)
+        .select("query_id", "neighbor_id", F.round("cos", 4).alias("cosine"))
+    )

@@ -44,6 +44,7 @@ def load_all() -> None:
         multimodal,
         mutation,
         pipeline,
+        profiling,
         ranges,
         relational,
         relational_ds,

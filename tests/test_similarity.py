@@ -17,6 +17,7 @@ def test_ann_recall_vs_bruteforce(spark):
     exact = _topk_sets(similarity.embed_cosine_topk(spark, SF_DIR_MEDIUM))
     lsh = _topk_sets(similarity.ann_lsh_topk(spark, SF_DIR_MEDIUM))
     ivf = _topk_sets(similarity.ann_ivf_topk(spark, SF_DIR_MEDIUM))
+    pq = _topk_sets(similarity.ann_pq_topk(spark, SF_DIR_MEDIUM))
     assert set(exact) == set(range(similarity.N_QUERY_VECS))
 
     def recall(approx):
@@ -26,9 +27,24 @@ def test_ann_recall_vs_bruteforce(spark):
 
     # Approximate methods must find a meaningful share of the true top-k on
     # random synthetic embeddings (where ANN is hardest — no cluster
-    # structure). Both stay well above chance (3/500 ≈ 0.6%).
+    # structure). All stay well above chance (3/500 ≈ 0.6%).
     assert recall(lsh) >= 0.3, f"LSH recall too low: {recall(lsh)}"
     assert recall(ivf) >= 0.3, f"IVF recall too low: {recall(ivf)}"
+    assert recall(pq) >= 0.3, f"PQ recall too low: {recall(pq)}"
+
+
+def test_pq_deterministic_and_k_bounded(spark):
+    a = sorted(
+        map(tuple, similarity.ann_pq_topk(spark, SF_DIR_MEDIUM).collect())
+    )
+    b = sorted(
+        map(tuple, similarity.ann_pq_topk(spark, SF_DIR_MEDIUM).collect())
+    )
+    assert a == b  # seeded train, stable argmin, tie-broken rankings
+    per_q: dict[int, int] = {}
+    for q, _, _ in a:
+        per_q[q] = per_q.get(q, 0) + 1
+    assert all(v == similarity.TOP_K for v in per_q.values())
 
 
 def test_ivf_probes_bound_candidates(spark):
