@@ -18,7 +18,7 @@ remaining distinctive plan shapes on the driver's TPC-H-ish tables:
   ``d_date > d_date + 5 days`` cross-date condition);
 * q75     — year-over-year decline WITH returns netted out
   (`queries/q75.sql:1-40`, ``sales_cnt - coalesce(return_cnt, 0)``
-  unioned across channels, prev/curr self-join on >10% decline);
+  unioned across channels, prev/curr self-join on strict decline);
 * q37/q82 — items in a retail-price band with activity in a 60-day window,
   distinct-order counts (`queries/q82.sql:1-15`,
   ``i_current_price BETWEEN 62 AND 92`` + date range + count distinct).
@@ -52,8 +52,10 @@ PIVOT_DATE = "1998-01-01"
 # q72-shape fulfilment-lag threshold.
 LATE_DAYS = 60
 
-# q75-shape: the two years compared and the decline threshold (>10%,
-# compared as 10*curr < 9*prev).
+# q75-shape: the two years compared; any strict net decline qualifies
+# (a relative-decline threshold thins toward zero rows as per-brand volume
+# grows and YoY ratios concentrate at 1 — strict decline keeps the
+# selectivity scale-stable at ~half the brands).
 DECLINE_PREV, DECLINE_CURR = 1996, 1997
 
 # q37/q82-shape retail-price band (data range is [900, 999.9]).
@@ -334,22 +336,22 @@ def late_ship_priority_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY p.p_brand)
     SELECT p_brand, prev_net_c, curr_net_c
     FROM net
-    WHERE prev_net_c > 0 AND 10 * curr_net_c < 9 * prev_net_c
+    WHERE prev_net_c > 0 AND curr_net_c < prev_net_c
     """,
 )
 def yoy_decline_with_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-DS-q75-shaped year-over-year decline WITH returns netted out:
     per-brand net revenue (sales minus returned lines) for two adjacent
-    years, keeping brands that declined more than 10%
+    years, keeping brands whose net revenue declined
     (`docker/trino-client/queries/q75.sql:1-40` — ``sales_cnt -
     coalesce(return_cnt, 0)`` per channel, prev/curr self-join on
-    ``cd.sales_cnt < pd.sales_cnt``).
+    ``cd.sales_cnt < pd.sales_cnt`` — the same strict-decline predicate).
 
     Spark-first: q75's UNION-of-channels + self-join collapses to ONE
     fact scan with year-conditional signed integer sums (returns enter
     negatively — netting is associative over exact cents, so partial
-    aggregation is unharmed); the >10% decline is the integer
-    cross-product ``10*curr < 9*prev``. The year(...) IN predicate is a
+    aggregation is unharmed); the decline predicate is an exact integer
+    comparison. The year(...) IN predicate is a
     plain filter; at cluster scale a ship-year partition column turns it
     into partition pruning.
     """
@@ -373,7 +375,7 @@ def yoy_decline_with_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return net.filter(
         (F.col("prev_net_c") > 0)
-        & (10 * F.col("curr_net_c") < 9 * F.col("prev_net_c"))
+        & (F.col("curr_net_c") < F.col("prev_net_c"))
     ).select("p_brand", "prev_net_c", "curr_net_c")
 
 

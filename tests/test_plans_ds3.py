@@ -61,9 +61,11 @@ def test_yoy_decline_single_scan_and_year_filter(spark):
         "l_shipdate" in plan.split("PushedFilters", 1)[-1][:400]
     )
     df = registry.QUERIES["yoy_decline_with_returns"](spark, SF_DIR)
-    for r in df.collect():
+    rows = df.collect()
+    assert rows, "no declining brands at sf0.1 — predicate lost selectivity"
+    for r in rows:
         assert r.prev_net_c > 0
-        assert 10 * r.curr_net_c < 9 * r.prev_net_c
+        assert r.curr_net_c < r.prev_net_c
 
 
 def test_price_band_pushes_band_into_part_scan(spark):
