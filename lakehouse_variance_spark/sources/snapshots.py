@@ -1,0 +1,197 @@
+"""Versioned table snapshots — manifest-based time travel over parquet.
+
+The reference stores everything in Iceberg, whose core contract is:
+a table IS a chain of immutable snapshots, each listing its data files in
+a manifest; readers pin a snapshot, writers commit a new one atomically
+(`import_tables.py:14-19` registers tables by metadata file for exactly
+this reason). The Iceberg runtime jar is not available here, so this
+module provides the same contract natively on any Hadoop-visible
+filesystem:
+
+* data files are immutable — every commit writes NEW parquet files under
+  ``data/c{n}/`` and never touches existing ones;
+* a commit is one manifest file ``_versions/v{n}.json`` listing exactly
+  the files visible at that version (append = parent files + new files,
+  overwrite = new files only, rollback = an old version's file list under
+  a new version number — history is never rewritten);
+* the manifest write is atomic (temp file + ``os.replace``), and the
+  version number doubles as the optimistic-concurrency token: two racing
+  writers produce the same target name and the loser's replace is
+  detectable by re-reading — the multi-writer story a real deployment
+  delegates to a catalog's compare-and-swap, noted here, not faked.
+
+Readers never LIST the data directory (an object-store LIST over millions
+of files is the scalability killer manifests exist to avoid): they read
+one small JSON and pass the explicit file list to the parquet source.
+Schema evolution rides parquet's mergeSchema on read: each manifest also
+records the schema DDL at commit time, so readers of an old version see
+the old shape.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import uuid
+from pathlib import Path
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def _versions_dir(table_dir: str) -> Path:
+    return Path(table_dir) / "_versions"
+
+
+def _manifest_path(table_dir: str, version: int) -> Path:
+    return _versions_dir(table_dir) / f"v{version}.json"
+
+
+def current_version(table_dir: str) -> int:
+    """Latest committed version, or 0 when the table does not exist."""
+    vdir = _versions_dir(table_dir)
+    if not vdir.exists():
+        return 0
+    versions = [
+        int(p.stem[1:]) for p in vdir.glob("v*.json") if p.stem[1:].isdigit()
+    ]
+    return max(versions, default=0)
+
+
+def _read_manifest(table_dir: str, version: int) -> dict:
+    path = _manifest_path(table_dir, version)
+    if not path.exists():
+        raise FileNotFoundError(
+            f"snapshot v{version} does not exist at {table_dir}"
+        )
+    return json.loads(path.read_text())
+
+
+def _commit(table_dir: str, manifest: dict) -> int:
+    """Atomic manifest publish: temp file + os.replace, then verify the
+    committed content is OURS (optimistic-concurrency check — a racing
+    writer of the same version would have clobbered one of us)."""
+    vdir = _versions_dir(table_dir)
+    vdir.mkdir(parents=True, exist_ok=True)
+    target = _manifest_path(table_dir, manifest["version"])
+    if target.exists():
+        raise RuntimeError(
+            f"concurrent commit: v{manifest['version']} already exists"
+        )
+    tmp = vdir / f".tmp-{uuid.uuid4().hex}.json"
+    tmp.write_text(json.dumps(manifest, indent=1, sort_keys=True))
+    os.replace(tmp, target)
+    committed = json.loads(target.read_text())
+    if committed.get("commit_id") != manifest["commit_id"]:
+        raise RuntimeError(
+            f"lost commit race on v{manifest['version']}"
+        )
+    return manifest["version"]
+
+
+def write_snapshot(
+    df: DataFrame, table_dir: str, mode: str = "append"
+) -> int:
+    """Commit ``df`` as a new table version; returns the version number.
+
+    ``append`` makes the new files visible alongside the parent version's;
+    ``overwrite`` replaces the visible set (old files stay on disk for
+    time travel — physical removal is `expire_snapshots`' job, mirroring
+    Iceberg's separation of logical delete from physical cleanup).
+    """
+    if mode not in ("append", "overwrite"):
+        raise ValueError(f"mode must be append|overwrite, got {mode!r}")
+    parent = current_version(table_dir)
+    version = parent + 1
+    commit_id = uuid.uuid4().hex
+    data_dir = Path(table_dir) / "data" / f"c{version}-{commit_id[:8]}"
+    df.write.mode("error").parquet(str(data_dir))
+    new_files = sorted(
+        str(p) for p in data_dir.glob("*.parquet") if p.is_file()
+    )
+    files = new_files
+    if mode == "append" and parent > 0:
+        files = _read_manifest(table_dir, parent)["files"] + new_files
+    manifest = {
+        "version": version,
+        "parent": parent,
+        "operation": mode,
+        "commit_id": commit_id,
+        "schema_ddl": df.schema.simpleString(),
+        "files": files,
+    }
+    return _commit(table_dir, manifest)
+
+
+def read_snapshot(
+    spark: SparkSession, table_dir: str, version: int | None = None
+) -> DataFrame:
+    """Read the table as of ``version`` (latest when None) — one manifest
+    read plus an explicit-file-list parquet scan; the data directory is
+    never listed. ``mergeSchema`` unifies evolved schemas (columns added
+    in later commits read as NULL for older files)."""
+    v = version if version is not None else current_version(table_dir)
+    manifest = _read_manifest(table_dir, v)
+    if not manifest["files"]:
+        raise ValueError(f"snapshot v{v} has no data files")
+    return (
+        spark.read.option("mergeSchema", "true").parquet(*manifest["files"])
+    )
+
+
+def rollback(table_dir: str, to_version: int) -> int:
+    """Commit a NEW version whose visible file set is ``to_version``'s —
+    history stays intact (the rolled-back versions remain readable)."""
+    old = _read_manifest(table_dir, to_version)
+    parent = current_version(table_dir)
+    commit_id = uuid.uuid4().hex
+    return _commit(
+        table_dir,
+        {
+            "version": parent + 1,
+            "parent": parent,
+            "operation": f"rollback->{to_version}",
+            "commit_id": commit_id,
+            "schema_ddl": old["schema_ddl"],
+            "files": old["files"],
+        },
+    )
+
+
+def history(table_dir: str) -> list[dict]:
+    """Commit log, oldest first: (version, parent, operation, n_files)."""
+    out = []
+    for v in range(1, current_version(table_dir) + 1):
+        m = _read_manifest(table_dir, v)
+        out.append(
+            {
+                "version": m["version"],
+                "parent": m["parent"],
+                "operation": m["operation"],
+                "n_files": len(m["files"]),
+            }
+        )
+    return out
+
+
+def expire_snapshots(table_dir: str, keep_last: int = 2) -> list[str]:
+    """Physically delete data files referenced ONLY by expired versions
+    (all but the ``keep_last`` most recent); returns the deleted paths.
+    The manifests themselves stay as tombstones so the commit log remains
+    contiguous — reading an expired version raises on the missing files,
+    matching Iceberg's expire-snapshots semantics."""
+    latest = current_version(table_dir)
+    keep = set(range(max(1, latest - keep_last + 1), latest + 1))
+    live: set[str] = set()
+    for v in keep:
+        live.update(_read_manifest(table_dir, v)["files"])
+    doomed: set[str] = set()
+    for v in range(1, latest + 1):
+        if v not in keep:
+            doomed.update(_read_manifest(table_dir, v)["files"])
+    deleted = []
+    for f in sorted(doomed - live):
+        p = Path(f)
+        if p.exists():
+            p.unlink()
+            deleted.append(f)
+    return deleted
