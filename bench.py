@@ -72,6 +72,8 @@ HEADLINE_QUERIES = (
     "data_mixture_weights",
     "token_budget_select",
     "pack_bins_ffd",
+    "tpch_q5",
+    "tpch_q18",
 )
 
 

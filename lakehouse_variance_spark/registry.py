@@ -57,7 +57,11 @@ def load_all() -> None:
         timeseries,
     )
     from lakehouse_variance_spark.ml import predictor  # noqa: F401
-    from lakehouse_variance_spark.plans import features, runner  # noqa: F401
+    from lakehouse_variance_spark.plans import (  # noqa: F401
+        features,
+        runner,
+        tpch_texts,
+    )
     from lakehouse_variance_spark.scheduling import queries  # noqa: F401
     from lakehouse_variance_spark.sources import layout, scrub  # noqa: F401
     from lakehouse_variance_spark.streaming import logs  # noqa: F401
