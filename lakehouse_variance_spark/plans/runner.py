@@ -294,6 +294,30 @@ WHERE t_n_1.sale_type = 'N' AND t_n_1.dyear = 1996
 """
 
 
+# Dialect-portable text #11: WITH RECURSIVE — a month calendar spine
+# generated by recursion (Spark 4's recursive CTE support), left-joined to
+# the fact so empty months surface as zero rows. The recursion depth is
+# |months| (bounded by the data's date span), not data-sized; the join is
+# a broadcast of the tiny spine. DuckDB runs the identical text.
+_SQL_TEXT_RECURSIVE_CALENDAR = """
+WITH RECURSIVE months(m) AS (
+    SELECT TIMESTAMP '1995-01-01 00:00:00'
+    UNION ALL
+    SELECT m + INTERVAL 1 MONTH FROM months
+    WHERE m < TIMESTAMP '2001-07-01 00:00:00'
+)
+SELECT months.m AS month_start,
+       count(o_orderkey) AS n_orders,
+       CAST(coalesce(sum(CAST(round(o_totalprice * 100) AS BIGINT)), 0)
+            AS BIGINT) AS total_cents
+FROM months
+LEFT JOIN orders
+  ON o_orderdate >= months.m
+ AND o_orderdate < months.m + INTERVAL 1 MONTH
+GROUP BY months.m
+"""
+
+
 # Dialect-portable text #10: GROUP BY CUBE — the full 2^k-grain lattice
 # (the reference's query set stops at ROLLUP; CUBE completes the grouping
 # vocabulary). Spark plans ONE Expand x4 + one aggregate — no per-grain
@@ -419,6 +443,17 @@ def _register_sql_text_query() -> None:
         no per-grain rescans."""
         register_sf_views(spark, sf_dir)
         return spark.sql(_SQL_TEXT_GROUPING_SETS)
+
+    @register(
+        "sql_text_recursive_calendar", oracle=_SQL_TEXT_RECURSIVE_CALENDAR
+    )
+    def sql_text_recursive_calendar(spark: SparkSession, sf_dir: str):
+        """Verbatim WITH RECURSIVE month-spine text (Spark 4 recursive
+        CTE) left-joined to the fact — identical string on both engines.
+        Recursion depth is |months|, never data-sized; the spine
+        broadcasts."""
+        register_sf_views(spark, sf_dir)
+        return spark.sql(_SQL_TEXT_RECURSIVE_CALENDAR)
 
     @register("sql_text_cube", oracle=_SQL_TEXT_CUBE)
     def sql_text_cube(spark: SparkSession, sf_dir: str):

@@ -86,3 +86,14 @@ def test_late_ship_residual_on_equi_join(spark):
     for r in df.collect():
         assert 0 <= r.late_lines <= r.total_lines
         assert abs(r.late_ratio - r.late_lines / r.total_lines) == 0.0
+
+
+def test_tpch_text_plans(spark):
+    # q5's six-table snowflake must broadcast every dimension (no
+    # sort-merge anywhere); q18's IN-subquery must plan as a semi join.
+    p5 = _plan(spark, "tpch_q5")
+    assert p5.count("BroadcastHashJoin") >= 4
+    assert "SortMergeJoin" not in p5
+    p18 = _plan(spark, "tpch_q18")
+    assert "LeftSemi" in p18
+    assert "CartesianProduct" not in p18
