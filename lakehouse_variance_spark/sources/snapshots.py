@@ -195,3 +195,59 @@ def expire_snapshots(table_dir: str, keep_last: int = 2) -> list[str]:
             p.unlink()
             deleted.append(f)
     return deleted
+
+
+def committed_stream_batches(table_dir: str) -> set[int]:
+    """Stream batch_ids already committed to this table (for the
+    exactly-once streaming sink's replay check)."""
+    out = set()
+    for v in range(1, current_version(table_dir) + 1):
+        b = _read_manifest(table_dir, v).get("stream_batch_id")
+        if b is not None:
+            out.add(int(b))
+    return out
+
+
+def snapshot_batch_writer(table_dir: str):
+    """``foreachBatch`` function committing each micro-batch as ONE
+    appended snapshot version, exactly-once.
+
+    Structured Streaming guarantees at-least-once delivery to foreachBatch:
+    after a crash between sink write and checkpoint commit, the SAME
+    batch_id replays. The manifest records the stream batch_id, so a
+    replayed batch is recognized and skipped — the committed table never
+    double-counts, and every micro-batch is an atomic, time-travelable
+    version (the transactional-table streaming sink Iceberg/Delta provide,
+    on the native snapshot layer). A batch whose data files were written
+    but whose manifest never committed leaves only unreferenced files —
+    invisible to readers, reclaimed by expire_snapshots.
+    """
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if int(batch_id) in committed_stream_batches(table_dir):
+            return  # replayed batch — already visible, skip
+        parent = current_version(table_dir)
+        version = parent + 1
+        commit_id = uuid.uuid4().hex
+        data_dir = Path(table_dir) / "data" / f"c{version}-{commit_id[:8]}"
+        batch_df.write.mode("error").parquet(str(data_dir))
+        new_files = sorted(
+            str(p) for p in data_dir.glob("*.parquet") if p.is_file()
+        )
+        files = new_files
+        if parent > 0:
+            files = _read_manifest(table_dir, parent)["files"] + new_files
+        _commit(
+            table_dir,
+            {
+                "version": version,
+                "parent": parent,
+                "operation": "stream-append",
+                "stream_batch_id": int(batch_id),
+                "commit_id": commit_id,
+                "schema_ddl": batch_df.schema.simpleString(),
+                "files": files,
+            },
+        )
+
+    return write_batch

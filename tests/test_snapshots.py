@@ -117,3 +117,47 @@ def test_expire_snapshots_keeps_live_files(spark, tmp_path):
     # expired version now raises (tombstoned, not silently empty)
     with pytest.raises(Exception):
         read_snapshot(spark, tbl, 1).count()
+
+
+def test_streaming_snapshot_sink_exactly_once(spark, tmp_path):
+    # Each micro-batch commits one snapshot version; a replayed batch_id
+    # (Structured Streaming's at-least-once foreachBatch contract) is
+    # recognized and skipped, so totals never double-count.
+    from lakehouse_variance_spark.sources.snapshots import (
+        committed_stream_batches,
+        snapshot_batch_writer,
+    )
+    from lakehouse_variance_spark.streaming.logs import streaming_events
+
+    tbl = str(tmp_path / "tbl")
+    ckpt = str(tmp_path / "ckpt")
+    stream = streaming_events(spark, SF_DIR).select(
+        "event_id", "event_type", "value"
+    )
+    writer = snapshot_batch_writer(tbl)
+    q = (
+        stream.writeStream.foreachBatch(writer)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    total = spark.read.parquet(f"{SF_DIR}/events.parquet").count()
+    assert read_snapshot(spark, tbl).count() == total
+    batches = committed_stream_batches(tbl)
+    assert batches, "no stream batches committed"
+
+    # replay the LAST batch verbatim — must be a no-op
+    v_before = current_version(tbl)
+    replay_id = max(batches)
+    batch_df = spark.read.parquet(f"{SF_DIR}/events.parquet").select(
+        "event_id", "event_type", "value"
+    )
+    writer(batch_df, replay_id)
+    assert current_version(tbl) == v_before
+    assert read_snapshot(spark, tbl).count() == total
+
+    # a genuinely NEW batch still lands
+    writer(batch_df.limit(5), replay_id + 1)
+    assert read_snapshot(spark, tbl).count() == total + 5
