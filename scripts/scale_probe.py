@@ -37,7 +37,10 @@ KEY_SHIFTS = {
     "lineitem": ["l_orderkey", "l_partkey", "l_suppkey"],
     "events": ["event_id", "user_id"],
 }
-COPY_AS_IS = ["region", "nation"]
+# Fixed-size dims copy as-is; documents/embeddings have their own corpus
+# scaling semantics and are NOT replicated — they copy unchanged so queries
+# that register ALL tables as views (the verbatim SQL texts) still resolve.
+COPY_AS_IS = ["region", "nation", "documents", "embeddings"]
 
 PROBE_QUERIES = [
     "q1_pricing_summary",
@@ -65,6 +68,15 @@ PROBE_QUERIES = [
     "late_ship_priority_counts",
     "yoy_decline_with_returns",
     "price_band_active_items",
+    # verbatim TPC-H + recursive calendar
+    "tpch_q3",
+    "tpch_q5",
+    "tpch_q6",
+    "tpch_q7",
+    "tpch_q10",
+    "tpch_q18",
+    "tpch_q19",
+    "sql_text_recursive_calendar",
     "cross_channel_items_rollup",
     "stddev_pair_months",
     "revenue_segment_histogram",
