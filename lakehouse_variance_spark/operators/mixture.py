@@ -248,3 +248,65 @@ def pack_bins_ffd(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests/test_mixture.py."""
     docs = load_table(spark, sf_dir, "documents")
     return pack_ffd(docs)
+
+
+# Grouped split fractions: hash buckets 0-79 train / 80-89 val / 90-99 test.
+SPLIT_TRAIN_HI = 80
+SPLIT_VAL_HI = 90
+
+
+@register(
+    "split_by_group_hash",
+    oracle=f"""
+    WITH tagged AS (
+        SELECT CASE
+                 WHEN ((user_id % 1000003) * 2654435761) % 4294967296 % 100
+                      < {SPLIT_TRAIN_HI} THEN 'train'
+                 WHEN ((user_id % 1000003) * 2654435761) % 4294967296 % 100
+                      < {SPLIT_VAL_HI} THEN 'val'
+                 ELSE 'test'
+               END AS split,
+               user_id
+        FROM events)
+    SELECT split,
+           count(*) AS n_events,
+           count(DISTINCT user_id) AS n_users
+    FROM tagged GROUP BY split
+    """,
+)
+def split_by_group_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe train/val/test split: the split is a pure function of
+    the GROUP key's hash (every event of a user lands in exactly one
+    split), so entity leakage across splits is impossible by construction
+    — the grouped-split rule every user-level eval needs, where a plain
+    row-level random split silently leaks.
+
+    The hash is an EXPLICIT Knuth multiplicative hash over exact int64
+    arithmetic (``(id % 1000003) * 2654435761 mod 2^32 mod 100``) rather
+    than an engine builtin — Spark's Murmur3 ``hash()`` and DuckDB's
+    ``hash()`` disagree, and a split must be reproducible from the FORMULA
+    forever (re-runs, other engines, audits), not from one engine's
+    private hash. The pre-reduction keeps the product below 2^63 (ANSI
+    overflow-safe at any key scale).
+
+    Scale shape: a narrow map (two multiplies + case) and one
+    partial-aggregated groupBy — nothing shuffles but |splits| partials
+    plus the per-split distinct-user state.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    bucket = (
+        (F.col("user_id") % 1000003) * F.lit(2654435761)
+    ) % F.lit(4294967296) % 100
+    split = (
+        F.when(bucket < SPLIT_TRAIN_HI, F.lit("train"))
+        .when(bucket < SPLIT_VAL_HI, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    return (
+        ev.select(split.alias("split"), "user_id")
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+    )

@@ -93,3 +93,87 @@ def analyze_column_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return profile_columns(
         load_table(spark, sf_dir, "lineitem"), PROFILE_COLS
     )
+
+
+# Expectation rules for the quality report: (rule name, violation count).
+FK_RULE = "orders.o_custkey -> customer.c_custkey"
+PRICE_RULE = "orders.o_totalprice > 0"
+QTY_RULE = "lineitem.l_quantity in [1, 50]"
+UNIQ_RULE = "lineitem (l_orderkey, l_linenumber) unique"
+
+
+@register(
+    "data_quality_report",
+    oracle=f"""
+    SELECT '{FK_RULE}' AS rule,
+           CAST(count(*) AS BIGINT) AS n_violations
+    FROM orders o
+    WHERE NOT EXISTS (SELECT 1 FROM customer c
+                      WHERE c.c_custkey = o.o_custkey)
+    UNION ALL
+    SELECT '{PRICE_RULE}',
+           CAST(sum(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END)
+                AS BIGINT)
+    FROM orders
+    UNION ALL
+    SELECT '{QTY_RULE}',
+           CAST(sum(CASE WHEN l_quantity < 1 OR l_quantity > 50
+                    THEN 1 ELSE 0 END) AS BIGINT)
+    FROM lineitem
+    UNION ALL
+    SELECT '{UNIQ_RULE}',
+           CAST(count(*) - count(DISTINCT l_orderkey * 100 + l_linenumber)
+                AS BIGINT)
+    FROM lineitem
+    """,
+)
+def data_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Expectation battery over the warehouse — the Delta-constraints /
+    DLT-expectations surface as one queryable violations report:
+    referential integrity (anti join), value-range checks (conditional
+    sums on the scan), and key uniqueness (count vs count-distinct).
+
+    Scale shape: the FK check is a LEFT ANTI join against the dimension
+    (broadcast when it fits — here it does); range checks ride the scan
+    with zero shuffles; the uniqueness check is one distinct aggregate on
+    the composite key, packed into a single int64 (orderkey*100 +
+    linenumber — linenumber < 100 by schema) so the distinct state is
+    8 bytes/key. A healthy pipeline returns all zeros; on the driver's
+    synthetic tables the uniqueness rule legitimately FIRES (the generator
+    reuses line numbers within an order) — exactly the kind of silent
+    data defect the report exists to surface. Being a DataFrame, the
+    report lands in the same sink/alerting path as any other query.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    li = load_table(spark, sf_dir, "lineitem")
+
+    fk = (
+        orders.join(
+            F.broadcast(customer),
+            customer.c_custkey == orders.o_custkey,
+            "left_anti",
+        ).agg(F.count(F.lit(1)).alias("n_violations"))
+        .select(F.lit(FK_RULE).alias("rule"), "n_violations")
+    )
+    price = orders.agg(
+        F.sum((F.col("o_totalprice") <= 0).cast("bigint")).alias(
+            "n_violations"
+        )
+    ).select(F.lit(PRICE_RULE).alias("rule"), "n_violations")
+    qty = li.agg(
+        F.sum(
+            ((F.col("l_quantity") < 1) | (F.col("l_quantity") > 50)).cast(
+                "bigint"
+            )
+        ).alias("n_violations")
+    ).select(F.lit(QTY_RULE).alias("rule"), "n_violations")
+    uniq = li.agg(
+        (
+            F.count(F.lit(1))
+            - F.countDistinct(
+                F.col("l_orderkey") * 100 + F.col("l_linenumber")
+            )
+        ).alias("n_violations")
+    ).select(F.lit(UNIQ_RULE).alias("rule"), "n_violations")
+    return fk.unionByName(price).unionByName(qty).unionByName(uniq)

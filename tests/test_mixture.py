@@ -82,3 +82,31 @@ def test_ffd_deterministic_across_runs(spark):
         for r in registry.QUERIES["pack_bins_ffd"](spark, SF_DIR).collect()
     )
     assert a == b
+
+
+def test_group_split_is_leakage_free_and_exhaustive(spark):
+    # per-user exclusivity: recompute the bucket formula per user and
+    # confirm the aggregate matches an explicit per-user assignment
+    import pyspark.sql.functions as F
+
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    bucket = ((F.col("user_id") % 1000003) * F.lit(2654435761)) % F.lit(
+        4294967296
+    ) % 100
+    per_user = (
+        ev.select("user_id", bucket.alias("b"))
+        .groupBy("user_id")
+        .agg(F.countDistinct("b").alias("nb"))
+        .collect()
+    )
+    assert all(r.nb == 1 for r in per_user)  # pure function of user_id
+    agg = {
+        r.split: (r.n_events, r.n_users)
+        for r in registry.QUERIES["split_by_group_hash"](spark, SF_DIR).collect()
+    }
+    assert set(agg) == {"train", "val", "test"}
+    assert sum(v[0] for v in agg.values()) == ev.count()  # exhaustive
+    assert sum(v[1] for v in agg.values()) == ev.select(
+        "user_id"
+    ).distinct().count()  # every user in exactly one split
+    assert agg["train"][1] > agg["val"][1]  # 80/10/10 ordering holds
