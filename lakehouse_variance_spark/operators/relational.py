@@ -1077,6 +1077,45 @@ def agg_hll_sketch_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     return per_flag.drop("sketch").unionByName(union)
 
 
+@register("hll_intersect_estimate")
+def hll_intersect_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set-overlap estimation from mergeable sketches: |A∩B| via
+    inclusion-exclusion (|A| + |B| − |A∪B|) over DataSketches HLL states —
+    the join-cardinality / audience-overlap estimator that answers
+    "how many part keys do the A and N channels share?" from two
+    kilobyte sketches instead of a distinct-shuffle of both key sets.
+
+    At 100 TB the sketches are precomputed per partition/day and merged;
+    this query builds them in one conditional-aggregation scan (each side
+    sketches only its channel's keys via a CASE input — no second scan,
+    no semi join). Registered rows-only (estimates are engine-specific);
+    the error envelope vs the exact intersection is asserted in
+    tests/test_registry_oracle.py.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    a_key = F.when(F.col("l_returnflag") == "A", F.col("l_partkey"))
+    n_key = F.when(F.col("l_returnflag") == "N", F.col("l_partkey"))
+    sk = li.agg(
+        F.hll_sketch_agg(a_key, F.lit(12)).alias("sk_a"),
+        F.hll_sketch_agg(n_key, F.lit(12)).alias("sk_n"),
+    )
+    est = sk.select(
+        F.hll_sketch_estimate("sk_a").alias("approx_a"),
+        F.hll_sketch_estimate("sk_n").alias("approx_n"),
+        F.hll_sketch_estimate(
+            F.hll_union("sk_a", "sk_n", False)
+        ).alias("approx_union"),
+    )
+    return est.select(
+        "approx_a",
+        "approx_n",
+        "approx_union",
+        (
+            F.col("approx_a") + F.col("approx_n") - F.col("approx_union")
+        ).alias("approx_intersect"),
+    )
+
+
 @register(
     "rollup_rank_within_parent",
     oracle="""

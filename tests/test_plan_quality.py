@@ -252,3 +252,18 @@ def test_sessionize_single_exchange(spark):
     """Both session windows and the rollup share the user_id shuffle."""
     plan = _plan(spark, "batch_sessionize")
     assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_rank_filter_gets_window_group_limit(spark):
+    # rank() <= k must trigger Spark's WindowGroupLimit: each map task
+    # pre-filters to its local top-k BEFORE the window shuffle, so the
+    # exchange carries O(k x partitions x groups), not the full fact —
+    # the optimization that makes window-top-k viable at 100 TB.
+    for q in ("window_rank_topn", "embed_cosine_topk"):
+        plan = (
+            registry.QUERIES[q](spark, SF_DIR)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "WindowGroupLimit" in plan, f"{q} lost WindowGroupLimit"

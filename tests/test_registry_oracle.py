@@ -112,3 +112,23 @@ def test_hll_sketch_union_envelope(spark, duck):
     assert union_rows[0]["n_rows"] == sum(
         r["n_rows"] for r in rows if r["is_union"] == 0
     )
+
+
+def test_hll_intersect_envelope(spark, duck):
+    """Inclusion-exclusion overlap from HLL sketches: the intersect
+    estimate must land near the exact channel-overlap count. I-E
+    compounds three estimates' errors, so the envelope is wider than a
+    single sketch's rsd (10% + slack)."""
+    r = registry.QUERIES["hll_intersect_estimate"](spark, SF_DIR).collect()[0]
+    exact = duck.sql(
+        f"""SELECT count(*) FROM (
+            SELECT l_partkey FROM read_parquet('{SF_DIR}/lineitem.parquet')
+            WHERE l_returnflag = 'A'
+            INTERSECT
+            SELECT l_partkey FROM read_parquet('{SF_DIR}/lineitem.parquet')
+            WHERE l_returnflag = 'N')"""
+    ).fetchall()[0][0]
+    assert abs(r["approx_intersect"] - exact) <= max(0.10 * exact, 5)
+    # estimates are internally consistent: union <= a + n, intersect >= 0
+    assert r["approx_union"] <= r["approx_a"] + r["approx_n"]
+    assert r["approx_intersect"] >= 0
