@@ -74,6 +74,14 @@ HEADLINE_QUERIES = (
     "pack_bins_ffd",
     "tpch_q5",
     "tpch_q18",
+    "ts_gap_fill_locf",
+    "ts_lttb_downsample",
+    "ann_pq_topk",
+    "analyze_column_stats",
+    "data_quality_report",
+    "split_by_group_hash",
+    "sql_text_recursive_calendar",
+    "hll_intersect_estimate",
 )
 
 

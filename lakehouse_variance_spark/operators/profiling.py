@@ -6,15 +6,20 @@ Spark equivalents are ``ANALYZE TABLE`` catalog stats and this explicit
 profiler, which computes the same per-column summary as a queryable
 DataFrame (the form a data catalog or quality monitor ingests).
 
-Plan shape: ONE aggregation pass computes every column's null count,
-exact NDV, and min/max (Spark plans the multi-distinct aggregate with a
-single Expand — each fact row fans out once per distinct column, with
-partial aggregation before the shuffle), then the 1-row result unpivots
-to the long (col_name, stats) form driver-side — the fact is never
-row-expanded into a (column, value) stack. At 100 TB, swap the exact
-NDVs for ``approx_count_distinct`` (HLL++) and the pass touches each row
-once with constant memory; the exact form here is what the sf0.01
-correctness oracle can verify.
+Plan shape — two passes, both hash-aggregated:
+1. null counts and TYPED min/max for all columns in ONE global aggregate
+   (no grouping keys, so the immutable string/timestamp buffers cost
+   nothing — global SortAggregate needs no sort), reshaped to long form
+   by a Generate over the single result row;
+2. exact NDVs from a narrow ``stack`` of (col_name, value) pairs through
+   the standard two-level distinct (HashAggregate on the pair, then a
+   per-column count). The naive alternative — every stat in one
+   multi-distinct aggregate — plans a SortAggregate over the 5x Expand
+   because the ``first(min(...))`` buffers are hash-incompatible,
+   SORTING |rows| x |columns| wide rows (measured 6s vs 0.9s at sf0.1).
+At 100 TB, swap the exact NDVs for ``approx_count_distinct`` (HLL++) and
+both passes collapse into the single global aggregate with constant
+memory; the exact form here is what the sf0.01 oracle can verify.
 
 Min/max are emitted as strings so heterogeneous column types share one
 schema (both engines cast with identical text forms for the profiled
@@ -41,25 +46,33 @@ PROFILE_COLS = (
 
 
 def profile_columns(df: DataFrame, cols: tuple[str, ...]) -> DataFrame:
-    """Per-column (n_nulls, ndv, min_s, max_s) in one aggregation pass;
-    see module docstring for the plan-shape and scale notes."""
+    """Per-column (n_nulls, ndv, min_s, max_s); see module docstring for
+    why this is two hash-friendly passes, not one multi-distinct."""
     aggs = []
     for c in cols:
         aggs += [
             F.sum(F.col(c).isNull().cast("bigint")).alias(f"{c}__nulls"),
-            F.countDistinct(c).alias(f"{c}__ndv"),
             # typed min/max, cast AFTER aggregating — casting first would
             # compare lexicographically ("9.0" > "50.0")
             F.min(c).cast("string").alias(f"{c}__min"),
             F.max(c).cast("string").alias(f"{c}__max"),
         ]
-    row = df.agg(*aggs)
     stack_expr = ", ".join(
-        f"'{c}', {c}__nulls, {c}__ndv, {c}__min, {c}__max" for c in cols
+        f"'{c}', {c}__nulls, {c}__min, {c}__max" for c in cols
     )
-    return row.selectExpr(
-        f"stack({len(cols)}, {stack_expr}) AS "
-        "(col_name, n_nulls, ndv, min_s, max_s)"
+    base = df.agg(*aggs).selectExpr(
+        f"stack({len(cols)}, {stack_expr}) AS (col_name, n_nulls, min_s, max_s)"
+    )
+    ndv_stack = ", ".join(
+        f"'{c}', CAST({c} AS STRING)" for c in cols
+    )
+    ndv = (
+        df.selectExpr(f"stack({len(cols)}, {ndv_stack}) AS (col_name, v)")
+        .groupBy("col_name")
+        .agg(F.countDistinct("v").alias("ndv"))
+    )
+    return base.join(F.broadcast(ndv), "col_name").select(
+        "col_name", "n_nulls", "ndv", "min_s", "max_s"
     )
 
 
