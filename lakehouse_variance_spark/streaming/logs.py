@@ -549,3 +549,95 @@ def stream_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return run_to_memory(agg)
+
+
+# EWMA smoothing factor and the anomaly threshold in EW-stddev units.
+EWMA_ALPHA = 0.25
+ANOMALY_K = 2.0
+
+_EWMA_OUT = (
+    "user_id bigint, n_events bigint, ewma double, ewvar double, "
+    "n_anomalies bigint"
+)
+_EWMA_STATE = "n bigint, ewma double, ewvar double, n_anom bigint"
+
+
+def ewma_update(n, ewma, ewvar, n_anom, values):
+    """Shared EWMA/anomaly recurrence (West 1979 exponentially-weighted
+    moments): one deterministic left-to-right pass, used verbatim by BOTH
+    the streaming state function and the batch reference in tests — the
+    recurrence is order-sensitive by definition, so equality is defined
+    against this exact op sequence."""
+    for v in values:
+        v = float(v)
+        if n == 0:
+            ewma, ewvar = v, 0.0
+        else:
+            if ewvar > 0.0 and abs(v - ewma) > ANOMALY_K * (ewvar ** 0.5):
+                n_anom += 1
+            delta = v - ewma
+            incr = EWMA_ALPHA * delta
+            ewma = ewma + incr
+            ewvar = (1.0 - EWMA_ALPHA) * (ewvar + delta * incr)
+        n += 1
+    return n, ewma, ewvar, n_anom
+
+
+def _ewma_fn(key, pdfs, state):
+    """Per-user streaming EWMA + EW-variance + anomaly counter. The
+    recurrence REQUIRES state: each update depends on the previous
+    smoothed value, which lives in the state store across micro-batches
+    (no window/aggregate expresses it)."""
+    import pandas as pd
+
+    n, ewma, ewvar, n_anom = (
+        state.get if state.exists else (0, 0.0, 0.0, 0)
+    )
+    for pdf in pdfs:
+        if pdf.empty:
+            continue
+        pdf = pdf.sort_values(["ts", "event_id"])
+        n, ewma, ewvar, n_anom = ewma_update(
+            n, ewma, ewvar, n_anom, pdf["value"].to_numpy()
+        )
+    state.update((n, ewma, ewvar, n_anom))
+    yield pd.DataFrame(
+        [
+            {
+                "user_id": key[0],
+                "n_events": n,
+                "ewma": ewma,
+                "ewvar": ewvar,
+                "n_anomalies": n_anom,
+            }
+        ]
+    )
+
+
+@register("stream_ewma_anomaly")
+def stream_ewma_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming anomaly detection: per-user exponentially-weighted mean
+    and variance with a 2-sigma deviation counter, via
+    ``applyInPandasWithState`` — the online-monitoring operator class
+    where every update depends on the previous smoothed state.
+
+    State is one fixed-width row per user (n, ewma, ewvar, anomalies) —
+    |users|-sized forever, restart-safe through checkpoints. Rows-only:
+    the recurrence is order-defined, so the gate is the batch replay of
+    the IDENTICAL update function in tests/test_streaming_state.py, not a
+    SQL oracle."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    events = streaming_events(spark, sf_dir)
+    updates = (
+        events.select("user_id", "event_id", "ts", "value")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _ewma_fn,
+            outputStructType=_EWMA_OUT,
+            stateStructType=_EWMA_STATE,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+    return run_to_memory(updates, output_mode="update")

@@ -151,3 +151,34 @@ def test_foreach_batch_sink_idempotent_on_replay(spark, tmp_path):
 
     after = spark.read.parquet(dst)
     assert after.count() == expected  # no duplicates
+
+
+def test_stream_ewma_matches_batch_replay(spark):
+    # The streaming EWMA must equal a batch replay of the IDENTICAL
+    # recurrence over each user's (ts, event_id)-ordered values — same
+    # float ops in the same order, so equality is exact, not approximate.
+    from tests.conftest import SF_DIR
+
+    from lakehouse_variance_spark import registry
+    from lakehouse_variance_spark.streaming.logs import ewma_update
+
+    registry.load_all()
+    got = {
+        r.user_id: (r.n_events, r.ewma, r.ewvar, r.n_anomalies)
+        for r in registry.QUERIES["stream_ewma_anomaly"](
+            spark, SF_DIR
+        ).collect()
+    }
+    pdf = (
+        spark.read.parquet(f"{SF_DIR}/events.parquet")
+        .select("user_id", "event_id", "ts", "value")
+        .toPandas()
+        .sort_values(["ts", "event_id"])
+    )
+    assert set(got) == set(pdf.user_id.unique())
+    anomalies_total = 0
+    for user, g in pdf.groupby("user_id"):
+        expect = ewma_update(0, 0.0, 0.0, 0, g["value"].to_numpy())
+        assert got[user] == expect, f"user {user}"
+        anomalies_total += expect[3]
+    assert anomalies_total > 0  # the detector actually fires on the data
