@@ -29,6 +29,7 @@ from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
     InputPartition,
+    SimpleDataSourceStreamReader,
 )
 from pyspark.sql.types import (
     IntegerType,
@@ -82,8 +83,37 @@ class _CarbonGridReader(DataSourceReader):
             yield (slot, _intensity(slot, partition.base))
 
 
+class _CarbonGridStreamReader(SimpleDataSourceStreamReader):
+    """Streaming face of the grid (Spark 4 ``simpleStreamReader``): each
+    micro-batch emits the next ``batch_slots`` slots; the OFFSET is the
+    slot index, so progress is exactly-once restartable from the
+    checkpoint (the reader is a pure function of the offset range — replay
+    of a committed range regenerates identical rows). ``slots`` bounds the
+    stream so availableNow drains it deterministically in tests."""
+
+    def __init__(self, options):
+        self.slots = max(0, int(options.get("slots", 3600)))
+        self.base = int(options.get("base", 100))
+        self.batch_slots = max(1, int(options.get("batch_slots", 600)))
+
+    def initialOffset(self):
+        return {"slot": 0}
+
+    def read(self, start):
+        lo = int(start["slot"])
+        hi = min(lo + self.batch_slots, self.slots)
+        rows = [(s, _intensity(s, self.base)) for s in range(lo, hi)]
+        return iter(rows), {"slot": hi}
+
+    def readBetweenOffsets(self, start, end):
+        # replay of a committed range after restart — must be identical
+        lo, hi = int(start["slot"]), int(end["slot"])
+        return iter((s, _intensity(s, self.base)) for s in range(lo, hi))
+
+
 class CarbonGridDataSource(DataSource):
-    """``spark.read.format("carbon_grid")`` — see module docstring."""
+    """``spark.read.format("carbon_grid")`` / ``spark.readStream`` —
+    see module docstring."""
 
     @classmethod
     def name(cls) -> str:
@@ -94,6 +124,9 @@ class CarbonGridDataSource(DataSource):
 
     def reader(self, schema) -> DataSourceReader:
         return _CarbonGridReader(self.options)
+
+    def simpleStreamReader(self, schema) -> SimpleDataSourceStreamReader:
+        return _CarbonGridStreamReader(self.options)
 
 
 def register_carbon_grid(spark) -> None:

@@ -46,3 +46,39 @@ def test_carbon_grid_composes_with_dataframe_ops(spark):
     assert [r["n"] for r in hourly] == [3600, 3600]
     expect0 = sum(_intensity(s, 100) for s in range(3600))
     assert hourly[0]["total"] == expect0
+
+
+def test_carbon_grid_streams_in_batches_and_matches_batch_read(spark, tmp_path):
+    # The streaming face must drain the bounded grid across multiple
+    # micro-batches and produce EXACTLY the batch read's rows (the reader
+    # is a pure function of the offset range). Python micro-batch streams
+    # don't support Trigger.AvailableNow (Spark falls back to ONE batch),
+    # so the test drains via processAllAvailable: once the offset stops
+    # advancing at the slot cap, the stream is idle and the call returns.
+    from lakehouse_variance_spark.sources.pyds import register_carbon_grid
+
+    register_carbon_grid(spark)
+    opts = {"slots": "2000", "base": "100", "batch_slots": "600"}
+    stream = spark.readStream.format("carbon_grid").options(**opts).load()
+    sink = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+    q = (
+        stream.writeStream.format("parquet")
+        .option("path", sink)
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    progress = [p for p in q.recentProgress if p is not None]
+    assert len(progress) >= 4  # 2000 slots / 600-slot batches
+    got = sorted(map(tuple, spark.read.parquet(sink).collect()))
+    want = sorted(
+        map(
+            tuple,
+            spark.read.format("carbon_grid").options(**opts).load().collect(),
+        )
+    )
+    assert got == want and len(got) == 2000
