@@ -181,6 +181,37 @@ def ts_gap_fill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _lttb_one(pdf: pd.DataFrame, n_out: int) -> pd.DataFrame:
+    """LTTB selection for ONE already-(ts, event_id)-sorted series."""
+    n = len(pdf)
+    if n <= n_out:
+        out = pdf[["user_id", "ts", "value"]].copy()
+        out["bucket_id"] = np.arange(n, dtype="int64")
+        return out
+    x = pdf["ts"].astype("int64").to_numpy(dtype="float64")
+    y = pdf["value"].to_numpy(dtype="float64")
+    # bucket boundaries over the interior points (endpoints always kept)
+    edges = np.linspace(1, n - 1, n_out - 1).astype("int64")
+    kept = [0]
+    for b in range(n_out - 2):
+        lo, hi = edges[b], edges[b + 1]
+        if hi <= lo:
+            hi = lo + 1
+        # average of the NEXT bucket (or the last point)
+        nlo, nhi = edges[b + 1], (edges[b + 2] if b + 2 < len(edges) else n)
+        ax, ay = x[kept[-1]], y[kept[-1]]
+        cx, cy = x[nlo:nhi].mean(), y[nlo:nhi].mean()
+        # triangle area against anchor and next-bucket centroid
+        area = np.abs(
+            (ax - cx) * (y[lo:hi] - ay) - (ax - x[lo:hi]) * (cy - ay)
+        )
+        kept.append(lo + int(np.argmax(area)))  # first max on ties
+    kept.append(n - 1)
+    out = pdf.iloc[kept][["user_id", "ts", "value"]].copy()
+    out["bucket_id"] = np.arange(len(kept), dtype="int64")
+    return out
+
+
 def lttb_downsample(series: DataFrame, n_out: int = LTTB_POINTS) -> DataFrame:
     """Largest-Triangle-Three-Buckets downsampling of (user_id, ts, value)
     series to ``n_out`` points per user — the standard shape-preserving
@@ -188,47 +219,31 @@ def lttb_downsample(series: DataFrame, n_out: int = LTTB_POINTS) -> DataFrame:
     stride-subsample would miss).
 
     LTTB's selection recurrence (each kept point depends on the previously
-    kept one) is sequential within a series, so each user downsampled
-    inside ONE grouped ``applyInPandas`` call — series are the unit of
-    parallelism, the same sharding a dashboard backend uses. Selection is
-    deterministic: buckets are fixed index ranges over the (ts, event_id)-
-    sorted series and argmax ties resolve to the first (lowest-index)
-    candidate.
+    kept one) is sequential within a series, so series are the unit of
+    parallelism. The plan is repartition-by-user + in-partition sort +
+    ``mapInPandas`` handling EVERY series of the partition in one Python
+    call — not ``applyInPandas``, whose one-pandas-call-PER-GROUP overhead
+    dominates when series are small (measured 3.3s -> ~1s at sf0.1 with
+    ~67-row series; the per-series work is microseconds, the per-call
+    machinery is not). Each task holds one partition's frame — the same
+    memory bound any sorted-partition operator carries.
     """
-    spark = series.sparkSession
     schema = "user_id bigint, ts timestamp_ntz, value double, bucket_id bigint"
 
-    def lttb_group(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values(["ts", "event_id"]).reset_index(drop=True)
-        n = len(pdf)
-        if n <= n_out:
-            out = pdf[["user_id", "ts", "value"]].copy()
-            out["bucket_id"] = np.arange(n, dtype="int64")
-            return out
-        x = pdf["ts"].astype("int64").to_numpy(dtype="float64")
-        y = pdf["value"].to_numpy(dtype="float64")
-        # bucket boundaries over the interior points (endpoints always kept)
-        edges = np.linspace(1, n - 1, n_out - 1).astype("int64")
-        kept = [0]
-        for b in range(n_out - 2):
-            lo, hi = edges[b], edges[b + 1]
-            if hi <= lo:
-                hi = lo + 1
-            # average of the NEXT bucket (or the last point)
-            nlo, nhi = edges[b + 1], (edges[b + 2] if b + 2 < len(edges) else n)
-            ax, ay = x[kept[-1]], y[kept[-1]]
-            cx, cy = x[nlo:nhi].mean(), y[nlo:nhi].mean()
-            # triangle area against anchor and next-bucket centroid
-            area = np.abs(
-                (ax - cx) * (y[lo:hi] - ay) - (ax - x[lo:hi]) * (cy - ay)
-            )
-            kept.append(lo + int(np.argmax(area)))  # first max on ties
-        kept.append(n - 1)
-        out = pdf.iloc[kept][["user_id", "ts", "value"]].copy()
-        out["bucket_id"] = np.arange(len(kept), dtype="int64")
-        return out
+    def process(batches):
+        pdf = pd.concat(list(batches), ignore_index=True)
+        if pdf.empty:
+            return
+        pdf = pdf.sort_values(["user_id", "ts", "event_id"])
+        yield pd.concat(
+            [_lttb_one(g, n_out) for _, g in pdf.groupby("user_id", sort=False)],
+            ignore_index=True,
+        )
 
-    return series.groupBy("user_id").applyInPandas(lttb_group, schema)
+    return (
+        series.repartition("user_id")
+        .mapInPandas(process, schema)
+    )
 
 
 @register("ts_lttb_downsample")
