@@ -74,6 +74,10 @@ HEADLINE_QUERIES = (
     "pack_bins_ffd",
     "tpch_q5",
     "tpch_q18",
+    # round-4 additions: completed TPC-H battery representatives
+    "tpch_q1",
+    "tpch_q8",
+    "tpch_q17",
     "ts_gap_fill_locf",
     "ts_lttb_downsample",
     "ann_pq_topk",

@@ -97,3 +97,17 @@ def test_tpch_text_plans(spark):
     p18 = _plan(spark, "tpch_q18")
     assert "LeftSemi" in p18
     assert "CartesianProduct" not in p18
+    # q4's EXISTS must plan as a semi join, q22's NOT EXISTS as an anti
+    # join; q17's correlated scalar subquery must decorrelate into an
+    # aggregate + join (never a per-row rescan / nested loop); q8's
+    # 8-table snowflake must broadcast every dimension.
+    p4 = _plan(spark, "tpch_q4")
+    assert "LeftSemi" in p4 and "CartesianProduct" not in p4
+    p22 = _plan(spark, "tpch_q22")
+    assert "LeftAnti" in p22 and "CartesianProduct" not in p22
+    p17 = _plan(spark, "tpch_q17")
+    assert "CartesianProduct" not in p17
+    assert "BroadcastNestedLoopJoin" not in p17
+    p8 = _plan(spark, "tpch_q8")
+    assert p8.count("BroadcastHashJoin") >= 6
+    assert "CartesianProduct" not in p8
