@@ -78,6 +78,8 @@ HEADLINE_QUERIES = (
     "tpch_q1",
     "tpch_q8",
     "tpch_q17",
+    "text_pii_redact",
+    "text_bigram_pmi",
     "ts_gap_fill_locf",
     "ts_lttb_downsample",
     "ann_pq_topk",

@@ -1,0 +1,221 @@
+"""PII redaction and corpus collocation mining.
+
+Two corpus operators a training-data pipeline runs between cleaning and
+dedup:
+
+* ``text_pii_redact`` — regex redaction of emails / IPv4 addresses /
+  phone numbers, the standard pre-release scrub (the reference scrubs
+  its traces the same way — IPs and paths via jq regexes,
+  ``traces/tools/scrub.jq:1-44``). The synthetic corpus contains no PII
+  (word-bag documents), so the query first injects DETERMINISTIC
+  synthetic PII derived from ``doc_id`` — identical integer arithmetic
+  on both engines — then redacts it and proves the redaction by count
+  and by md5 of the redacted text. A vacuous no-op pass would verify
+  nothing.
+* ``text_bigram_pmi`` — top word collocations by co-occurrence count
+  with their PMI ratio ``P(w1 w2) / (P(w1)·P(w2))`` — the classic
+  pointwise-mutual-information signal (Church & Hanks 1990), used to
+  mine multi-word expressions before tokenizer training.
+
+Scale notes: redaction is a narrow per-row map (zero shuffles, stays in
+whole-stage codegen — regexp_replace/regexp_count are JVM expressions).
+Bigram counting is the canonical explode → partial-aggregated groupBy;
+the unigram and total tables are vocabulary-sized and broadcast back, so
+the corpus is scanned twice and shuffled only at |vocab| and |vocab|²
+granularity. PMI is computed as double products of exact int64 counts
+((co·n)/(c1·c2) with each int→double conversion exact below 2^53 and
+one multiply/divide tree identical on both engines) — never as
+bigint·bigint, which ANSI mode would overflow at corpus scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from lakehouse_variance_spark.registry import register
+from lakehouse_variance_spark.tables import load_table
+
+# Redaction patterns — shared subset of Java regex (Spark) and RE2
+# (DuckDB): character classes, bounded quantifiers, \b word boundaries;
+# no lookaround. Order matters: emails first (their domains contain
+# dots that the IP pattern must never see), then IPs, then phones.
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+IPV4_RE = r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b"
+PHONE_RE = r"\+[0-9]{1,3}-[0-9]{3}-[0-9]{4}"
+
+
+@register(
+    "text_pii_redact",
+    oracle=f"""
+    WITH injected AS (
+        SELECT doc_id, lang,
+               text
+               || CASE WHEN doc_id % 3 <> 0
+                       THEN ' contact user' || doc_id || '@mail-'
+                            || (doc_id % 7) || '.example.com'
+                       ELSE '' END
+               || CASE WHEN doc_id % 2 = 0
+                       THEN ' from 10.' || (doc_id % 256) || '.'
+                            || ((doc_id * 7) % 256) || '.' || (doc_id % 100)
+                       ELSE '' END
+               || ' call +1-555-'
+               || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS t
+        FROM documents),
+    red AS (
+        SELECT doc_id, lang,
+               CAST(len(regexp_extract_all(t, '{EMAIL_RE}')) AS BIGINT)
+                   AS n_emails,
+               CAST(len(regexp_extract_all(t, '{IPV4_RE}')) AS BIGINT)
+                   AS n_ips,
+               CAST(len(regexp_extract_all(t, '{PHONE_RE}')) AS BIGINT)
+                   AS n_phones,
+               regexp_replace(
+                   regexp_replace(
+                       regexp_replace(t, '{EMAIL_RE}', '[EMAIL]', 'g'),
+                       '{IPV4_RE}', '[IP]', 'g'),
+                   '{PHONE_RE}', '[PHONE]', 'g') AS redacted
+        FROM injected)
+    SELECT doc_id, lang, n_emails, n_ips, n_phones,
+           md5(redacted) AS redacted_md5,
+           CAST(length(redacted) AS BIGINT) AS n_chars_redacted
+    FROM red
+    ORDER BY doc_id
+    """,
+)
+def text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inject deterministic synthetic PII, redact it, prove the scrub.
+
+    Mirrors the reference's trace scrubbing (IP/path regex redaction,
+    ``traces/tools/scrub.jq:1-20``) as a corpus operator. Counts come
+    from ``regexp_count`` BEFORE redaction; the md5 of the redacted
+    text pins the exact output bytes on both engines.
+    """
+    doc = F.col("doc_id")
+    email = F.concat(
+        F.lit(" contact user"),
+        doc.cast("string"),
+        F.lit("@mail-"),
+        (doc % 7).cast("string"),
+        F.lit(".example.com"),
+    )
+    ip = F.concat(
+        F.lit(" from 10."),
+        (doc % 256).cast("string"),
+        F.lit("."),
+        ((doc * 7) % 256).cast("string"),
+        F.lit("."),
+        (doc % 100).cast("string"),
+    )
+    phone = F.concat(
+        F.lit(" call +1-555-"),
+        F.lpad((doc % 10000).cast("string"), 4, "0"),
+    )
+    injected = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "lang",
+        F.concat(
+            F.col("text"),
+            F.when(doc % 3 != 0, email).otherwise(F.lit("")),
+            F.when(doc % 2 == 0, ip).otherwise(F.lit("")),
+            phone,
+        ).alias("t"),
+    )
+    redacted = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(F.col("t"), EMAIL_RE, "[EMAIL]"),
+            IPV4_RE,
+            "[IP]",
+        ),
+        PHONE_RE,
+        "[PHONE]",
+    )
+    return (
+        injected.select(
+            "doc_id",
+            "lang",
+            F.regexp_count(F.col("t"), F.lit(EMAIL_RE)).cast("bigint").alias("n_emails"),
+            F.regexp_count(F.col("t"), F.lit(IPV4_RE)).cast("bigint").alias("n_ips"),
+            F.regexp_count(F.col("t"), F.lit(PHONE_RE)).cast("bigint").alias("n_phones"),
+            F.md5(redacted).alias("redacted_md5"),
+            F.length(redacted).cast("bigint").alias("n_chars_redacted"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _bigrams_col():
+    tokens = F.split(F.col("text"), " ")
+    return F.transform(
+        F.sequence(F.lit(1), F.size(tokens) - 1),
+        lambda i: F.array_join(F.slice(tokens, i, 2), " "),
+    )
+
+
+_BIGRAMS_SQL = (
+    "list_transform(generate_series(1, len(string_split(text, ' ')) - 1),"
+    " i -> array_to_string(list_slice(string_split(text, ' '), i, i + 1), ' '))"
+)
+
+
+@register(
+    "text_bigram_pmi",
+    oracle=f"""
+    WITH toks AS (
+        SELECT unnest(string_split(text, ' ')) AS w FROM documents),
+    uni AS (
+        SELECT w, CAST(count(*) AS BIGINT) AS c FROM toks GROUP BY w),
+    tot AS (
+        SELECT CAST(count(*) AS BIGINT) AS n FROM toks),
+    bg AS (
+        SELECT unnest({_BIGRAMS_SQL}) AS bg FROM documents),
+    bgc AS (
+        SELECT split_part(bg, ' ', 1) AS w1,
+               split_part(bg, ' ', 2) AS w2,
+               CAST(count(*) AS BIGINT) AS co
+        FROM bg GROUP BY 1, 2)
+    SELECT w1, w2, co, u1.c AS c1, u2.c AS c2, n,
+           (CAST(co AS DOUBLE) * CAST(n AS DOUBLE))
+               / (CAST(u1.c AS DOUBLE) * CAST(u2.c AS DOUBLE)) AS pmi_ratio
+    FROM bgc
+    JOIN uni u1 ON u1.w = w1
+    JOIN uni u2 ON u2.w = w2
+    CROSS JOIN tot
+    ORDER BY co DESC, w1, w2
+    LIMIT 20
+    """,
+)
+def text_bigram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 collocations by bigram count with PMI ratio.
+
+    Two explode → groupBy passes over the corpus (unigrams, bigrams);
+    the |vocab|-sized unigram table and the 1-row total broadcast back
+    onto the bigram counts, so nothing corpus-sized shuffles twice.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(F.explode(F.split("text", " ")).alias("w"))
+    uni = toks.groupBy("w").agg(F.count("*").cast("bigint").alias("c"))
+    tot = toks.agg(F.count("*").cast("bigint").alias("n"))
+    bgc = (
+        docs.select(F.explode(_bigrams_col()).alias("bg"))
+        .select(
+            F.split("bg", " ").getItem(0).alias("w1"),
+            F.split("bg", " ").getItem(1).alias("w2"),
+        )
+        .groupBy("w1", "w2")
+        .agg(F.count("*").cast("bigint").alias("co"))
+    )
+    u1 = uni.select(F.col("w").alias("w1"), F.col("c").alias("c1"))
+    u2 = uni.select(F.col("w").alias("w2"), F.col("c").alias("c2"))
+    pmi = (
+        (F.col("co").cast("double") * F.col("n").cast("double"))
+        / (F.col("c1").cast("double") * F.col("c2").cast("double"))
+    ).alias("pmi_ratio")
+    return (
+        bgc.join(F.broadcast(u1), "w1")
+        .join(F.broadcast(u2), "w2")
+        .crossJoin(F.broadcast(tot))
+        .select("w1", "w2", "co", "c1", "c2", "n", pmi)
+        .orderBy(F.desc("co"), "w1", "w2")
+        .limit(20)
+    )

@@ -46,6 +46,7 @@ def load_all() -> None:
         pipeline,
         profiling,
         ranges,
+        redaction,
         relational,
         relational_ds,
         relational_ds2,

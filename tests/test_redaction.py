@@ -1,0 +1,122 @@
+"""Semantic invariants for redaction.py (PII scrub + collocations).
+
+Oracle equivalence runs in test_registry_oracle; these pin what the hash
+can't see: the redaction actually removed every injected pattern, and the
+PMI arithmetic is the exact ratio of the counts it reports.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import functions as F
+
+from lakehouse_variance_spark import registry
+from lakehouse_variance_spark.operators.redaction import EMAIL_RE, IPV4_RE, PHONE_RE
+from tests.conftest import SF_DIR
+
+registry.load_all()
+
+
+def test_pii_counts_follow_injection_rule(spark):
+    """Each doc gets an email iff doc_id%3!=0, an IP iff doc_id%2==0,
+    and exactly one phone — the counts must report exactly that."""
+    rows = registry.QUERIES["text_pii_redact"](spark, SF_DIR).collect()
+    assert len(rows) > 0
+    for r in rows:
+        assert r.n_emails == (1 if r.doc_id % 3 != 0 else 0)
+        assert r.n_ips == (1 if r.doc_id % 2 == 0 else 0)
+        assert r.n_phones == 1
+
+
+def test_pii_redaction_removes_every_pattern(spark):
+    """Rebuild the redacted text path (pre-md5) and scan it with the same
+    regexes: zero survivors, and the placeholder tokens are present."""
+    from lakehouse_variance_spark.tables import load_table
+
+    doc = F.col("doc_id")
+    injected = F.concat(
+        F.col("text"),
+        F.when(
+            doc % 3 != 0,
+            F.concat(
+                F.lit(" contact user"),
+                doc.cast("string"),
+                F.lit("@mail-"),
+                (doc % 7).cast("string"),
+                F.lit(".example.com"),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            doc % 2 == 0,
+            F.concat(
+                F.lit(" from 10."),
+                (doc % 256).cast("string"),
+                F.lit("."),
+                ((doc * 7) % 256).cast("string"),
+                F.lit("."),
+                (doc % 100).cast("string"),
+            ),
+        ).otherwise(F.lit("")),
+        F.concat(F.lit(" call +1-555-"), F.lpad((doc % 10000).cast("string"), 4, "0")),
+    )
+    redacted = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(injected, EMAIL_RE, "[EMAIL]"), IPV4_RE, "[IP]"
+        ),
+        PHONE_RE,
+        "[PHONE]",
+    )
+    out = (
+        load_table(spark, SF_DIR, "documents")
+        .select("doc_id", redacted.alias("r"))
+        .collect()
+    )
+    email, ip, phone = (re.compile(p) for p in (EMAIL_RE, IPV4_RE, PHONE_RE))
+    for row in out:
+        assert not email.search(row.r)
+        assert not ip.search(row.r)
+        assert not phone.search(row.r)
+        assert "[PHONE]" in row.r
+        if row.doc_id % 3 != 0:
+            assert "[EMAIL]" in row.r
+        if row.doc_id % 2 == 0:
+            assert "[IP]" in row.r
+
+
+def test_pii_redact_plan_is_narrow(spark):
+    """The scrub itself is a per-row map: the only exchange in the plan is
+    the final deterministic ORDER BY (range partitioning for output), and
+    no Python UDF appears anywhere."""
+    df = registry.QUERIES["text_pii_redact"](spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    body = plan.split("rangepartitioning")[0]
+    assert "Exchange hashpartitioning" not in body
+
+
+def test_bigram_pmi_arithmetic_and_bounds(spark):
+    rows = registry.QUERIES["text_bigram_pmi"](spark, SF_DIR).collect()
+    assert len(rows) == 20
+    n = rows[0].n
+    for r in rows:
+        assert r.n == n  # one corpus total
+        assert 0 < r.co <= min(r.c1, r.c2)
+        # exact IEEE recomputation of the ratio from the reported counts
+        assert r.pmi_ratio == (float(r.co) * float(r.n)) / (
+            float(r.c1) * float(r.c2)
+        )
+    # descending by co with (w1, w2) tiebreak — the LIMIT is deterministic
+    keys = [(-r.co, r.w1, r.w2) for r in rows]
+    assert keys == sorted(keys)
+
+
+def test_bigram_pmi_broadcasts_vocab_tables(spark):
+    plan = (
+        registry.QUERIES["text_bigram_pmi"](spark, SF_DIR)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "SortMergeJoin" not in plan
