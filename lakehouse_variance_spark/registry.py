@@ -65,4 +65,4 @@ def load_all() -> None:
     )
     from lakehouse_variance_spark.scheduling import queries  # noqa: F401
     from lakehouse_variance_spark.sources import layout, scrub  # noqa: F401
-    from lakehouse_variance_spark.streaming import logs  # noqa: F401
+    from lakehouse_variance_spark.streaming import logs, state_v2  # noqa: F401

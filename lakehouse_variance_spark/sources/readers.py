@@ -83,6 +83,27 @@ def write_ndjson(df: DataFrame, path: str, mode: str = "overwrite") -> None:
     df.write.mode(mode).json(path)
 
 
+def read_orc(
+    spark: SparkSession, path: str, schema: StructType | None = None
+) -> DataFrame:
+    """ORC scan (vectorized reader, predicate pushdown into ORC
+    stripe/row-group statistics — same pruning contract as the parquet
+    path). The reference's lakehouse is format-pluggable at the Iceberg
+    layer (``csv_to_iceberg.py:180-194`` writes whatever
+    ``write.format.default`` says); ORC is the other columnar format
+    that layer supports."""
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.orc(path)
+
+
+def write_orc(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """ORC sink with zlib compression (Spark default) — columnar,
+    splittable, stats-bearing, interchangeable with the parquet sink."""
+    df.write.mode(mode).orc(path)
+
+
 def ingest_csv_dir(
     spark: SparkSession,
     db_name: str,

@@ -75,6 +75,33 @@ def test_ndjson_roundtrip(spark, tmp_path):
     assert sorted((r["k"], r["v"]) for r in back.collect()) == [(1, "a"), (2, "b")]
 
 
+def test_orc_roundtrip_with_pushdown(spark, tmp_path):
+    """ORC sink/source round-trips the relational schema (timestamps
+    included) and the reader pushes filters into the ORC scan."""
+    from lakehouse_variance_spark.tables import load_table
+
+    orders = load_table(spark, "/root/testdata/sf0.001", "orders")
+    out = str(tmp_path / "orders_orc")
+    readers.write_orc(orders, out)
+    back = readers.read_orc(spark, out)
+    assert back.schema == orders.schema
+    assert back.count() == orders.count()
+    # exact content parity via an order-insensitive aggregate
+    a = orders.agg({"o_totalprice": "sum", "o_orderkey": "max"}).collect()[0]
+    b = back.agg({"o_totalprice": "sum", "o_orderkey": "max"}).collect()[0]
+    assert a == b
+    plan = (
+        back.filter("o_orderstatus = 'F'")
+        .select("o_orderkey")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "PushedFilters: [" in plan and "o_orderstatus" in plan.split(
+        "PushedFilters"
+    )[1].split("]")[0]
+
+
 def test_nested_json_dot_access(spark, tmp_path):
     doc = {"queryStats": {"elapsedTime": "1.2m", "state": "FINISHED"}, "id": "q1"}
     (tmp_path / "q1.json").write_text(json.dumps(doc, indent=2))

@@ -182,3 +182,48 @@ def test_stream_ewma_matches_batch_replay(spark):
         assert got[user] == expect, f"user {user}"
         anomalies_total += expect[3]
     assert anomalies_total > 0  # the detector actually fires on the data
+
+
+def test_transition_counts_batch_semantics(spark):
+    """The batch twin's transitions: per user, sum over prev equals
+    sum over curr +/- 1 (a path visits interior nodes as both)."""
+    from lakehouse_variance_spark import registry
+
+    registry.load_all()
+    df = registry.QUERIES["event_transition_counts"](spark, "/root/testdata/sf0.001")
+    pdf = df.toPandas()
+    assert len(pdf) > 0 and (pdf["n"] > 0).all()
+    # per user: total transitions == events_with_ts - 1
+    import pyspark.sql.functions as F
+
+    from lakehouse_variance_spark.tables import load_table
+
+    events = (
+        load_table(spark, "/root/testdata/sf0.001", "events")
+        .filter(F.col("ts").isNotNull())
+        .groupBy("user_id")
+        .count()
+        .toPandas()
+        .set_index("user_id")["count"]
+    )
+    got = pdf.groupby("user_id")["n"].sum()
+    for uid, total in got.items():
+        assert total == events[uid] - 1
+
+
+def test_transform_with_state_matches_batch_twin(spark):
+    """Spark 4 typed-state operator equals the lag()+groupBy batch twin.
+    Skips where google.protobuf (the transformWithState Python state
+    channel) is not installed — the operator is environment-gated."""
+    import pytest
+
+    from lakehouse_variance_spark.streaming import state_v2
+
+    if not state_v2.TWS_AVAILABLE:
+        pytest.skip("google.protobuf not installed; transformWithState gated off")
+    stream = state_v2.stream_event_transitions(spark, "/root/testdata/sf0.001")
+    batch = state_v2.event_transition_counts(spark, "/root/testdata/sf0.001")
+    key = ["user_id", "prev_type", "curr_type"]
+    s = stream.toPandas().sort_values(key).reset_index(drop=True)
+    b = batch.toPandas().sort_values(key).reset_index(drop=True)
+    pd.testing.assert_frame_equal(s[key + ["n"]], b[key + ["n"]], check_dtype=False)
