@@ -475,3 +475,47 @@ def vocab_fuzzy_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "token_b",
         F.levenshtein("token_a", "token_b").alias("dist"),
     ).filter(F.col("dist") <= 2)
+
+
+@register("vocab_cms_topk")
+def vocab_cms_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min-sketch frequency estimation over corpus tokens (Cormode &
+    Muthukrishnan 2005), vs the exact counts: the heavy-hitters sketch a
+    100 TB pipeline uses where an exact token groupBy would shuffle
+    |vocab| x |partitions| rows of hot-key skew.
+
+    The sketch (eps=0.001, conf=0.99, seed=42 -> ~2.7k x 5 int64 cells,
+    ~100 KB) is a fixed-size MERGEABLE state: partials build map-side and
+    merge in one reduce, cost independent of both corpus size and
+    cardinality. Candidate tokens come from the exact vocab table (tiny
+    here; at scale, from a sampled candidate pass) and are scored
+    driver-side against the merged sketch — a |vocab|-sized loop, not a
+    data-scale one. Registered rows-only (the estimate is
+    implementation-specific); the CMS envelope (never undercounts;
+    overcount <= eps * stream length w.h.p.) is asserted in
+    tests/test_redaction.py.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(F.explode(F.split("text", " ")).alias("w"))
+    agg = toks.agg(
+        F.count_min_sketch("w", F.lit(0.001), F.lit(0.99), F.lit(42)).alias(
+            "cms"
+        ),
+        F.count("*").cast("bigint").alias("n_total"),
+    ).collect()[0]
+    sketch = spark.sparkContext._jvm.org.apache.spark.util.sketch.CountMinSketch.readFrom(
+        bytes(agg["cms"])
+    )
+    exact = (
+        toks.groupBy("w")
+        .agg(F.count("*").cast("bigint").alias("n_exact"))
+        .collect()
+    )
+    rows = [
+        (r["w"], r["n_exact"], int(sketch.estimateCount(r["w"])), agg["n_total"])
+        for r in exact
+    ]
+    out = spark.createDataFrame(
+        rows, "w string, n_exact bigint, n_est bigint, n_total bigint"
+    )
+    return out.orderBy(F.desc("n_est"), "w").limit(20)

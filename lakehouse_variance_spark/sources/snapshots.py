@@ -26,6 +26,16 @@ one small JSON and pass the explicit file list to the parquet source.
 Schema evolution rides parquet's mergeSchema on read: each manifest also
 records the schema DDL at commit time, so readers of an old version see
 the old shape.
+
+Named refs (Iceberg's branch/tag contract, spec v2 "refs" map): a TAG is
+an immutable name → version pin (audit/WAP publish points); a BRANCH is a
+mutable head that `commit_to_branch` advances independently of main —
+version numbers stay one global monotonic sequence (Iceberg snapshot ids
+are likewise global; branches are just named heads into the same history).
+``main`` itself is a branch ref, maintained by every mainline commit, so
+a branch commit NEVER changes what mainline readers see. Refs live in one
+small JSON beside the manifests, updated with the same temp+replace
+atomicity; `expire_snapshots` keeps every ref target alive.
 """
 
 from __future__ import annotations
@@ -88,6 +98,121 @@ def _commit(table_dir: str, manifest: dict) -> int:
     return manifest["version"]
 
 
+def _refs_path(table_dir: str) -> Path:
+    return _versions_dir(table_dir) / "refs.json"
+
+
+def _read_refs(table_dir: str) -> dict:
+    path = _refs_path(table_dir)
+    if not path.exists():
+        return {"branches": {}, "tags": {}}
+    return json.loads(path.read_text())
+
+
+def _write_refs(table_dir: str, refs: dict) -> None:
+    vdir = _versions_dir(table_dir)
+    vdir.mkdir(parents=True, exist_ok=True)
+    tmp = vdir / f".tmp-refs-{uuid.uuid4().hex}.json"
+    tmp.write_text(json.dumps(refs, indent=1, sort_keys=True))
+    os.replace(tmp, _refs_path(table_dir))
+
+
+def _main_head(table_dir: str) -> int:
+    """Mainline head: the ``main`` branch ref when present, else the
+    latest version (pre-refs tables stay fully compatible)."""
+    head = _read_refs(table_dir)["branches"].get("main")
+    return head if head is not None else current_version(table_dir)
+
+
+def _advance_branch(table_dir: str, branch: str, version: int) -> None:
+    refs = _read_refs(table_dir)
+    refs["branches"][branch] = version
+    _write_refs(table_dir, refs)
+
+
+def resolve_ref(table_dir: str, name: str) -> int:
+    """Version a tag or branch points at (tags win on name collision,
+    matching Iceberg's refs map being a single namespace — collisions are
+    rejected at create time anyway)."""
+    refs = _read_refs(table_dir)
+    if name in refs["tags"]:
+        return refs["tags"][name]
+    if name in refs["branches"]:
+        return refs["branches"][name]
+    raise KeyError(f"no tag or branch named {name!r} at {table_dir}")
+
+
+def create_tag(table_dir: str, name: str, version: int | None = None) -> int:
+    """Pin an immutable name to a version (default: mainline head).
+    Re-tagging is an error — tags never move (Iceberg tag semantics)."""
+    refs = _read_refs(table_dir)
+    if name in refs["tags"] or name in refs["branches"]:
+        raise ValueError(f"ref {name!r} already exists")
+    v = version if version is not None else _main_head(table_dir)
+    _read_manifest(table_dir, v)  # must exist
+    refs["tags"][name] = v
+    _write_refs(table_dir, refs)
+    return v
+
+
+def create_branch(table_dir: str, name: str, version: int | None = None) -> int:
+    """Fork a mutable head at a version (default: mainline head)."""
+    refs = _read_refs(table_dir)
+    if name in refs["tags"] or name in refs["branches"]:
+        raise ValueError(f"ref {name!r} already exists")
+    v = version if version is not None else _main_head(table_dir)
+    _read_manifest(table_dir, v)  # must exist
+    refs["branches"][name] = v
+    _write_refs(table_dir, refs)
+    return v
+
+
+def list_refs(table_dir: str) -> dict:
+    """{"branches": {name: version}, "tags": {name: version}} snapshot."""
+    return _read_refs(table_dir)
+
+
+def read_ref(spark: SparkSession, table_dir: str, name: str) -> DataFrame:
+    """Read the table as of a named tag or branch head."""
+    return read_snapshot(spark, table_dir, resolve_ref(table_dir, name))
+
+
+def commit_to_branch(
+    df: DataFrame, table_dir: str, branch: str, mode: str = "append"
+) -> int:
+    """Commit ``df`` on a branch: parent is the BRANCH head (not main),
+    and only the branch ref advances — mainline readers are untouched.
+    The version number still comes from the global sequence, so branch
+    and main commits interleave in one history (audit stays linear)."""
+    if mode not in ("append", "overwrite"):
+        raise ValueError(f"mode must be append|overwrite, got {mode!r}")
+    parent = resolve_ref(table_dir, branch)
+    refs = _read_refs(table_dir)
+    if branch not in refs["branches"]:
+        raise ValueError(f"{branch!r} is a tag — tags are immutable")
+    version = current_version(table_dir) + 1
+    commit_id = uuid.uuid4().hex
+    data_dir = Path(table_dir) / "data" / f"c{version}-{commit_id[:8]}"
+    df.write.mode("error").parquet(str(data_dir))
+    new_files = sorted(str(p) for p in data_dir.glob("*.parquet") if p.is_file())
+    files = new_files
+    if mode == "append" and parent > 0:
+        files = _read_manifest(table_dir, parent)["files"] + new_files
+    v = _commit(
+        table_dir,
+        {
+            "version": version,
+            "parent": parent,
+            "operation": f"{mode}@{branch}",
+            "commit_id": commit_id,
+            "schema_ddl": df.schema.simpleString(),
+            "files": files,
+        },
+    )
+    _advance_branch(table_dir, branch, v)
+    return v
+
+
 def write_snapshot(
     df: DataFrame, table_dir: str, mode: str = "append"
 ) -> int:
@@ -100,8 +225,8 @@ def write_snapshot(
     """
     if mode not in ("append", "overwrite"):
         raise ValueError(f"mode must be append|overwrite, got {mode!r}")
-    parent = current_version(table_dir)
-    version = parent + 1
+    parent = _main_head(table_dir)
+    version = current_version(table_dir) + 1
     commit_id = uuid.uuid4().hex
     data_dir = Path(table_dir) / "data" / f"c{version}-{commit_id[:8]}"
     df.write.mode("error").parquet(str(data_dir))
@@ -119,7 +244,9 @@ def write_snapshot(
         "schema_ddl": df.schema.simpleString(),
         "files": files,
     }
-    return _commit(table_dir, manifest)
+    v = _commit(table_dir, manifest)
+    _advance_branch(table_dir, "main", v)
+    return v
 
 
 def read_snapshot(
@@ -129,7 +256,7 @@ def read_snapshot(
     read plus an explicit-file-list parquet scan; the data directory is
     never listed. ``mergeSchema`` unifies evolved schemas (columns added
     in later commits read as NULL for older files)."""
-    v = version if version is not None else current_version(table_dir)
+    v = version if version is not None else _main_head(table_dir)
     manifest = _read_manifest(table_dir, v)
     if not manifest["files"]:
         raise ValueError(f"snapshot v{v} has no data files")
@@ -142,12 +269,12 @@ def rollback(table_dir: str, to_version: int) -> int:
     """Commit a NEW version whose visible file set is ``to_version``'s —
     history stays intact (the rolled-back versions remain readable)."""
     old = _read_manifest(table_dir, to_version)
-    parent = current_version(table_dir)
+    parent = _main_head(table_dir)
     commit_id = uuid.uuid4().hex
-    return _commit(
+    v = _commit(
         table_dir,
         {
-            "version": parent + 1,
+            "version": current_version(table_dir) + 1,
             "parent": parent,
             "operation": f"rollback->{to_version}",
             "commit_id": commit_id,
@@ -155,6 +282,8 @@ def rollback(table_dir: str, to_version: int) -> int:
             "files": old["files"],
         },
     )
+    _advance_branch(table_dir, "main", v)
+    return v
 
 
 def history(table_dir: str) -> list[dict]:
@@ -181,6 +310,12 @@ def expire_snapshots(table_dir: str, keep_last: int = 2) -> list[str]:
     matching Iceberg's expire-snapshots semantics."""
     latest = current_version(table_dir)
     keep = set(range(max(1, latest - keep_last + 1), latest + 1))
+    # every ref target stays alive — expiring a tagged/branched snapshot's
+    # files would corrupt the ref (Iceberg's expire_snapshots honors refs
+    # the same way)
+    refs = _read_refs(table_dir)
+    keep.update(refs["branches"].values())
+    keep.update(refs["tags"].values())
     live: set[str] = set()
     for v in keep:
         live.update(_read_manifest(table_dir, v)["files"])
@@ -226,8 +361,8 @@ def snapshot_batch_writer(table_dir: str):
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
         if int(batch_id) in committed_stream_batches(table_dir):
             return  # replayed batch — already visible, skip
-        parent = current_version(table_dir)
-        version = parent + 1
+        parent = _main_head(table_dir)
+        version = current_version(table_dir) + 1
         commit_id = uuid.uuid4().hex
         data_dir = Path(table_dir) / "data" / f"c{version}-{commit_id[:8]}"
         batch_df.write.mode("error").parquet(str(data_dir))
@@ -237,7 +372,7 @@ def snapshot_batch_writer(table_dir: str):
         files = new_files
         if parent > 0:
             files = _read_manifest(table_dir, parent)["files"] + new_files
-        _commit(
+        v = _commit(
             table_dir,
             {
                 "version": version,
@@ -249,5 +384,6 @@ def snapshot_batch_writer(table_dir: str):
                 "files": files,
             },
         )
+        _advance_branch(table_dir, "main", v)
 
     return write_batch

@@ -120,3 +120,14 @@ def test_bigram_pmi_broadcasts_vocab_tables(spark):
     )
     assert plan.count("BroadcastHashJoin") >= 2
     assert "SortMergeJoin" not in plan
+
+
+def test_cms_topk_envelope(spark):
+    """CMS never undercounts; overcount bounded by eps*N; ordering is a
+    deterministic top-k."""
+    pdf = registry.QUERIES["vocab_cms_topk"](spark, SF_DIR).toPandas()
+    assert len(pdf) > 0
+    assert (pdf.n_est >= pdf.n_exact).all()
+    assert ((pdf.n_est - pdf.n_exact) <= 0.001 * pdf.n_total.iloc[0] + 1).all()
+    keys = list(zip(-pdf.n_est, pdf.w))
+    assert keys == sorted(keys)

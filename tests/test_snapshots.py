@@ -161,3 +161,60 @@ def test_streaming_snapshot_sink_exactly_once(spark, tmp_path):
     # a genuinely NEW batch still lands
     writer(batch_df.limit(5), replay_id + 1)
     assert read_snapshot(spark, tbl).count() == total + 5
+
+
+def test_branch_commits_do_not_move_main(spark, tmp_path):
+    """Iceberg ref semantics: a branch fork takes commits without
+    mainline readers seeing them; main keeps advancing independently."""
+    from lakehouse_variance_spark.sources import snapshots as snap
+
+    t = str(tmp_path / "t")
+    orders = _orders(spark)
+    v1 = write_snapshot(orders.limit(10), t, mode="overwrite")
+    snap.create_branch(t, "dev")
+    vb = snap.commit_to_branch(orders.limit(5), t, "dev", mode="append")
+    assert vb == v1 + 1
+    # mainline read (no version) still sees only v1's 10 rows
+    assert read_snapshot(spark, t).count() == 10
+    # branch read sees 15
+    assert snap.read_ref(spark, t, "dev").count() == 15
+    # a mainline commit after the branch commit: parent must be v1, not vb
+    v3 = write_snapshot(orders.limit(3), t, mode="append")
+    assert read_snapshot(spark, t).count() == 13
+    assert snap.list_refs(t)["branches"]["main"] == v3
+    assert snap.read_ref(spark, t, "dev").count() == 15  # branch untouched
+
+
+def test_tags_pin_versions_and_never_move(spark, tmp_path):
+    from lakehouse_variance_spark.sources import snapshots as snap
+
+    t = str(tmp_path / "t")
+    orders = _orders(spark)
+    v1 = write_snapshot(orders.limit(4), t, mode="overwrite")
+    snap.create_tag(t, "audit-2026q1")
+    write_snapshot(orders.limit(6), t, mode="append")
+    assert snap.read_ref(spark, t, "audit-2026q1").count() == 4
+    with pytest.raises(ValueError):
+        snap.create_tag(t, "audit-2026q1")  # tags are immutable
+    with pytest.raises(ValueError):
+        snap.commit_to_branch(orders.limit(1), t, "audit-2026q1")
+    assert snap.resolve_ref(t, "audit-2026q1") == v1
+
+
+def test_expire_keeps_ref_targets_alive(spark, tmp_path):
+    """Tagged/branched snapshots survive expiry even when old enough to
+    be expired by the keep_last window."""
+    from lakehouse_variance_spark.sources import snapshots as snap
+
+    t = str(tmp_path / "t")
+    orders = _orders(spark)
+    write_snapshot(orders.limit(2), t, mode="overwrite")
+    snap.create_tag(t, "keepme")  # pins v1
+    for k in (3, 4, 5, 6):
+        write_snapshot(orders.limit(k), t, mode="overwrite")
+    expire_snapshots(t, keep_last=1)
+    # v1 is far outside keep_last=1, but the tag keeps its files alive
+    assert snap.read_ref(spark, t, "keepme").count() == 2
+    # an untagged expired version's files are gone
+    with pytest.raises(Exception):
+        read_snapshot(spark, t, 2).count()
