@@ -256,3 +256,56 @@ def ts_lttb_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id", "event_id", "ts", "value"
     )
     return lttb_downsample(ev)
+
+
+@register(
+    "ts_ohlc_bars",
+    oracle="""
+    SELECT date_trunc('hour', ts) AS bucket,
+           event_type,
+           min(struct_pack(ts := ts, eid := event_id,
+                           v := CAST(round(value * 100) AS BIGINT))).v
+               AS open_c,
+           max(struct_pack(ts := ts, eid := event_id,
+                           v := CAST(round(value * 100) AS BIGINT))).v
+               AS close_c,
+           max(CAST(round(value * 100) AS BIGINT)) AS high_c,
+           min(CAST(round(value * 100) AS BIGINT)) AS low_c,
+           CAST(count(*) AS BIGINT) AS volume
+    FROM events
+    WHERE ts IS NOT NULL AND value IS NOT NULL
+    GROUP BY 1, 2
+    """,
+)
+def ts_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OHLC candlestick bars per (hour, event_type) — the standard
+    time-series downsampling a monitoring/market backend serves.
+
+    Open/close use the argmin/argmax-via-struct trick: ``min(struct(ts,
+    event_id, v))`` picks the first value under the total order (ts,
+    event_id) inside ordinary partial aggregation — ONE shrinking
+    shuffle of |buckets| rows and no window sort over the fact (the
+    rank()/first_value idiom pays a full second exchange plus a
+    per-partition sort; see SCALE.md argmax notes). Values aggregate as
+    exact integer cents; NULL timestamps/values are excluded on both
+    engines (engines disagree on NULL struct-field ordering).
+    """
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("ts").isNotNull() & F.col("value").isNotNull()
+    )
+    cents = F.round(F.col("value") * 100).cast("bigint")
+    keyed = ev.select(
+        F.date_trunc("hour", "ts").alias("bucket"),
+        "event_type",
+        F.struct(
+            F.col("ts"), F.col("event_id").alias("eid"), cents.alias("v")
+        ).alias("k"),
+        cents.alias("v"),
+    )
+    return keyed.groupBy("bucket", "event_type").agg(
+        F.min("k").getField("v").alias("open_c"),
+        F.max("k").getField("v").alias("close_c"),
+        F.max("v").alias("high_c"),
+        F.min("v").alias("low_c"),
+        F.count("*").cast("bigint").alias("volume"),
+    )

@@ -69,13 +69,23 @@ PROBE_QUERIES = [
     "yoy_decline_with_returns",
     "price_band_active_items",
     # verbatim TPC-H + recursive calendar
+    "tpch_q1",
     "tpch_q3",
+    "tpch_q4",
     "tpch_q5",
     "tpch_q6",
     "tpch_q7",
+    "tpch_q8",
+    "tpch_q9",
     "tpch_q10",
+    "tpch_q13",
+    "tpch_q15",
+    "tpch_q17",
     "tpch_q18",
     "tpch_q19",
+    "tpch_q22",
+    # round-4 additions
+    "event_transition_counts",
     "sql_text_recursive_calendar",
     "cross_channel_items_rollup",
     "stddev_pair_months",

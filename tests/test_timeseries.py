@@ -117,3 +117,19 @@ def test_lttb_deterministic(spark):
         for r in registry.QUERIES["ts_lttb_downsample"](spark, SF_DIR).collect()
     )
     assert a == b
+
+
+def test_ohlc_no_window_one_exchange(spark):
+    """Open/close come from struct argmin/argmax inside ordinary partial
+    aggregation — no Window node, a single hash exchange."""
+    from lakehouse_variance_spark import registry
+
+    registry.load_all()
+    df = registry.QUERIES["ts_ohlc_bars"](spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan
+    assert plan.count("Exchange") == 1
+    for r in df.collect():
+        assert r.low_c <= r.open_c <= r.high_c
+        assert r.low_c <= r.close_c <= r.high_c
+        assert r.volume >= 1
