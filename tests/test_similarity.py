@@ -2,6 +2,8 @@
 
 from __future__ import annotations
 
+from pyspark.sql import functions as F
+
 from lakehouse_variance_spark.operators import similarity
 from tests.conftest import SF_DIR_MEDIUM
 
@@ -56,3 +58,40 @@ def test_ivf_probes_bound_candidates(spark):
         counts[r["query_id"]] = counts.get(r["query_id"], 0) + 1
     assert all(c <= similarity.TOP_K for c in counts.values())
     assert len(counts) == similarity.N_QUERY_VECS
+
+
+def test_ivf_partitioned_layout_prunes(spark, tmp_path):
+    """The production IVF layout: corpus written partitioned by cluster id,
+    so probing N lists is planning-time partition pruning, not a scan+filter.
+    Result parity with the in-memory cluster filter is exact."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    from lakehouse_variance_spark.operators.similarity import N_CLUSTERS, _prepped
+    from lakehouse_variance_spark.sources.layout import scan_has_partition_filter
+    from lakehouse_variance_spark.tables import load_table
+
+    emb = _prepped(
+        load_table(spark, "/root/testdata/sf0.001", "embeddings"),
+        "vec_id",
+        "embedding",
+    )
+    vecs = emb.withColumn("features", array_to_vector(F.col("v")))
+    model = KMeans(
+        k=N_CLUSTERS, seed=0, featuresCol="features", predictionCol="cluster"
+    ).fit(vecs)
+    assigned = model.transform(vecs).drop("features")
+
+    out = str(tmp_path / "ivf")
+    assigned.write.partitionBy("cluster").parquet(out)
+    probed = [0, 3]
+    pruned = spark.read.parquet(out).filter(F.col("cluster").isin(probed))
+    assert scan_has_partition_filter(pruned)
+    got = sorted(r.vec_id for r in pruned.select("vec_id").collect())
+    want = sorted(
+        r.vec_id
+        for r in assigned.filter(F.col("cluster").isin(probed))
+        .select("vec_id")
+        .collect()
+    )
+    assert got == want and len(got) > 0
