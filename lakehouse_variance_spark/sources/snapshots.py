@@ -387,3 +387,99 @@ def snapshot_batch_writer(table_dir: str):
         _advance_branch(table_dir, "main", v)
 
     return write_batch
+
+
+def delete_from_snapshot(
+    spark: SparkSession, table_dir: str, predicate: str
+) -> int:
+    """Row-level DELETE, copy-on-write: rewrite ONLY the data files that
+    contain matching rows (Iceberg's copy-on-write delete granularity).
+
+    File selection uses ``input_file_name()`` — one scan with the
+    predicate pushed down finds the touched files; untouched files carry
+    over into the new manifest by reference (zero I/O for them). The
+    rewritten files hold the touched files' surviving rows. Old versions
+    still see the pre-delete data (time travel is unaffected; physical
+    reclaim stays expire_snapshots' job).
+    """
+    from pyspark.sql import functions as F
+
+    parent = _main_head(table_dir)
+    manifest = _read_manifest(table_dir, parent)
+    df = read_snapshot(spark, table_dir, parent)
+    touched = {
+        r[0]
+        for r in df.filter(predicate)
+        .select(F.input_file_name())
+        .distinct()
+        .collect()
+    }
+    # input_file_name returns URIs (file:///...); manifests store plain paths
+    from urllib.parse import unquote, urlparse
+
+    touched_paths = {
+        unquote(urlparse(t).path) if "://" in t or t.startswith("file:") else t
+        for t in touched
+    }
+    keep_files = [
+        f for f in manifest["files"] if f not in touched_paths
+    ]
+    if len(keep_files) == len(manifest["files"]):
+        return parent  # no file contains a match — delete is a no-op
+    version = current_version(table_dir) + 1
+    commit_id = uuid.uuid4().hex
+    data_dir = Path(table_dir) / "data" / f"c{version}-{commit_id[:8]}"
+    survivors = (
+        spark.read.option("mergeSchema", "true")
+        .parquet(*sorted(touched_paths))
+        .filter(f"NOT ({predicate})")
+    )
+    survivors.write.mode("error").parquet(str(data_dir))
+    new_files = sorted(str(p) for p in data_dir.glob("*.parquet") if p.is_file())
+    v = _commit(
+        table_dir,
+        {
+            "version": version,
+            "parent": parent,
+            "operation": f"delete-where({predicate})",
+            "commit_id": commit_id,
+            "schema_ddl": manifest["schema_ddl"],
+            "files": keep_files + new_files,
+        },
+    )
+    _advance_branch(table_dir, "main", v)
+    return v
+
+
+def optimize_snapshot(spark: SparkSession, table_dir: str) -> int:
+    """Small-file compaction as a table-service commit (OPTIMIZE): read the
+    current visible file set, rewrite it as right-sized files, publish ONE
+    new version whose manifest lists only the compacted files. Readers of
+    old versions keep the original files; expire_snapshots reclaims them
+    once out of retention."""
+    parent = _main_head(table_dir)
+    manifest = _read_manifest(table_dir, parent)
+    df = read_snapshot(spark, table_dir, parent)
+    n_rows = df.count()
+    # ~128 MB-equivalent sizing downscaled to fixture volumes: one output
+    # file per 64k rows, minimum 1 (the production knob is bytes-based via
+    # spark.sql.files.maxRecordsPerFile / target-file-size).
+    n_out = max(1, n_rows // 65536)
+    version = current_version(table_dir) + 1
+    commit_id = uuid.uuid4().hex
+    data_dir = Path(table_dir) / "data" / f"c{version}-{commit_id[:8]}"
+    df.repartition(n_out).write.mode("error").parquet(str(data_dir))
+    new_files = sorted(str(p) for p in data_dir.glob("*.parquet") if p.is_file())
+    v = _commit(
+        table_dir,
+        {
+            "version": version,
+            "parent": parent,
+            "operation": f"optimize({len(manifest['files'])}->{len(new_files)})",
+            "commit_id": commit_id,
+            "schema_ddl": manifest["schema_ddl"],
+            "files": new_files,
+        },
+    )
+    _advance_branch(table_dir, "main", v)
+    return v

@@ -218,3 +218,58 @@ def test_expire_keeps_ref_targets_alive(spark, tmp_path):
     # an untagged expired version's files are gone
     with pytest.raises(Exception):
         read_snapshot(spark, t, 2).count()
+
+
+def test_delete_from_snapshot_copy_on_write(spark, tmp_path):
+    """DELETE rewrites only the files containing matches; untouched files
+    carry over by reference, and time travel still sees the old rows."""
+    from lakehouse_variance_spark.sources import snapshots as snap
+
+    t = str(tmp_path / "t")
+    orders = _orders(spark)
+    # two commits -> two file groups; the predicate only touches commit 2
+    write_snapshot(orders.filter("o_orderkey % 2 = 0").repartition(2), t,
+                   mode="overwrite")
+    write_snapshot(orders.filter("o_orderkey % 2 = 1").repartition(2), t,
+                   mode="append")
+    before = snap._read_manifest(t, current_version(t))["files"]
+    n_before = read_snapshot(spark, t).count()
+    n_odd = read_snapshot(spark, t).filter("o_orderkey % 2 = 1").count()
+    v = snap.delete_from_snapshot(spark, t, "o_orderkey % 2 = 1")
+    after = snap._read_manifest(t, v)["files"]
+    # even files (commit 1) carried over by reference
+    assert set(f for f in before if "/c1-" in f) <= set(after)
+    # odd files rewritten away
+    assert not any("/c2-" in f for f in after)
+    assert read_snapshot(spark, t).count() == n_before - n_odd
+    assert read_snapshot(spark, t).filter("o_orderkey % 2 = 1").count() == 0
+    # time travel: pre-delete version still has the odd rows
+    assert read_snapshot(spark, t, v - 1).filter(
+        "o_orderkey % 2 = 1"
+    ).count() == n_odd
+    # no-op delete returns the same version
+    assert snap.delete_from_snapshot(spark, t, "o_orderkey < 0") == v
+
+
+def test_optimize_snapshot_compacts_files(spark, tmp_path):
+    from lakehouse_variance_spark.sources import snapshots as snap
+
+    t = str(tmp_path / "t")
+    orders = _orders(spark)
+    for i in range(4):
+        write_snapshot(orders.filter(f"o_orderkey % 4 = {i}").repartition(3),
+                       t, mode="append")
+    v0 = current_version(t)
+    files0 = snap._read_manifest(t, v0)["files"]
+    n0 = read_snapshot(spark, t).count()
+    v = snap.optimize_snapshot(spark, t)
+    files1 = snap._read_manifest(t, v)["files"]
+    assert len(files1) < len(files0)
+    after = read_snapshot(spark, t)
+    assert after.count() == n0
+    # content parity via an order-insensitive EXACT aggregate (double sums
+    # re-associate across partitionings; integer cents do not)
+    cents = F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
+    a = read_snapshot(spark, t, v0).agg(cents).collect()[0][0]
+    b = after.agg(cents).collect()[0][0]
+    assert a == b
