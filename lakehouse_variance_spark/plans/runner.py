@@ -109,6 +109,56 @@ def run_workload(
     return records
 
 
+def run_workload_concurrent(
+    spark: SparkSession,
+    queries: list[tuple[str, str]],
+    streams: int = 4,
+    log_dir: str | Path | None = None,
+) -> list[dict[str, Any]]:
+    """Run ``streams`` copies of the query list CONCURRENTLY in one session
+    — the multi-tenant load pattern whose runtime variance the reference
+    paper measures (its co-tenant-load factor, ``traces/study_2/*/
+    Increased co-tenant load``). Each stream is a thread submitting jobs
+    into its own scheduler pool; Spark interleaves their stages across the
+    executor cores (under FAIR scheduling each pool gets an equal share;
+    under FIFO, later jobs fill whatever slots earlier stages leave free).
+
+    Per-stream logs are written as ``Workload_log_BASE_<stream>.ndjson`` —
+    the exact multi-run layout the trace analytics load, so
+    ``summarize_single_config`` computes cross-stream variance directly.
+
+    Threads use ``pyspark.InheritableThread`` so local properties (the
+    pool tag) propagate correctly under py4j pinned-thread mode.
+    """
+    from pyspark import InheritableThread
+
+    records: list[list[dict[str, Any]]] = [[] for _ in range(streams)]
+
+    def one_stream(i: int) -> None:
+        spark.sparkContext.setLocalProperty("spark.scheduler.pool", f"stream-{i}")
+        records[i - 1] = [
+            dict(run_query(spark, name, sql), stream=i) for name, sql in queries
+        ]
+
+    threads = [
+        InheritableThread(target=one_stream, args=(i,))
+        for i in range(1, streams + 1)
+    ]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    if log_dir is not None:
+        log_dir = Path(log_dir)
+        log_dir.mkdir(parents=True, exist_ok=True)
+        for i, recs in enumerate(records, start=1):
+            path = log_dir / f"Workload_log_BASE_{i}.ndjson"
+            with path.open("w", encoding="utf-8") as f:
+                for rec in recs:
+                    f.write(json.dumps(rec) + "\n")
+    return [rec for stream in records for rec in stream]
+
+
 # ---------------------------------------------------------------------------
 # Verbatim SQL-string execution (the reference's primary mode)
 # ---------------------------------------------------------------------------
