@@ -80,6 +80,10 @@ HEADLINE_QUERIES = (
     "tpch_q17",
     "text_pii_redact",
     "text_bigram_pmi",
+    "ts_ohlc_bars",
+    "event_transition_counts",
+    "trace_runtime_trend",
+    "window_trailing_7d_sum",
     "ts_gap_fill_locf",
     "ts_lttb_downsample",
     "ann_pq_topk",

@@ -570,3 +570,58 @@ def trace_regression_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("int")
         .alias("regressed"),
     )
+
+
+@register(
+    "trace_runtime_trend",
+    oracle="""
+    WITH m AS (
+        SELECT event_type,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(hour(ts)) AS BIGINT) AS sx,
+               CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sy,
+               CAST(sum(hour(ts) * hour(ts)) AS BIGINT) AS sxx,
+               CAST(sum(hour(ts) * CAST(round(value * 100) AS BIGINT))
+                    AS BIGINT) AS sxy
+        FROM events
+        WHERE ts IS NOT NULL AND value IS NOT NULL
+        GROUP BY event_type)
+    SELECT event_type, n,
+           (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+            - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+           / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+              - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+               AS slope_cents_per_hour
+    FROM m
+    """,
+)
+def trace_runtime_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type OLS slope of value vs hour-of-day — the time-of-day trend
+    the reference's variance study chases across cloud co-tenancy (daily
+    load cycles are its co-tenant-noise hypothesis).
+
+    NOT ``regr_slope``: that aggregate accumulates double co-moments whose
+    cross-partition addition order varies run to run. The slope here comes
+    from EXACT integer moments (n, Σx, Σy, Σx², Σxy; x = hour 0-23,
+    y = cents) folded in one partial-aggregating scan, then a single
+    double expression — order-free and bit-identical on both engines.
+    Numerator/denominator multiply as doubles of exact int64s (each
+    conversion exact below 2^53) — never bigint*bigint, which ANSI mode
+    would overflow at trace scale."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("ts").isNotNull() & F.col("value").isNotNull()
+    )
+    x = F.hour("ts").cast("bigint")
+    y = F.round(F.col("value") * 100).cast("bigint")
+    m = ev.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum(x).alias("sx"),
+        F.sum(y).alias("sy"),
+        F.sum(x * x).alias("sxx"),
+        F.sum(x * y).alias("sxy"),
+    )
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    slope = (d("n") * d("sxy") - d("sx") * d("sy")) / (
+        d("n") * d("sxx") - d("sx") * d("sx")
+    )
+    return m.select("event_type", "n", slope.alias("slope_cents_per_hour"))

@@ -543,6 +543,45 @@ def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "window_trailing_7d_sum",
+    oracle="""
+    SELECT user_id, event_id,
+           CAST(sum(CAST(round(value * 100) AS BIGINT)) OVER (
+               PARTITION BY user_id ORDER BY ts
+               RANGE BETWEEN INTERVAL 7 DAY PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS trailing_7d_cents
+    FROM events
+    WHERE ts IS NOT NULL AND value IS NOT NULL
+    """,
+)
+def window_trailing_7d_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-interval RANGE frame: each event's trailing-7-day value sum
+    per user — the rolling-window feature a fraud/usage pipeline computes.
+    Spark expresses the interval frame as rangeBetween over unix_micros
+    (exact integer microseconds — no truncation drift vs the oracle's
+    INTERVAL frame); membership is value-determined, so tie order cannot
+    change the integer-cents sum. One user_id exchange, per-user sort —
+    the same cost any per-key window op pays."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("ts").isNotNull() & F.col("value").isNotNull()
+    )
+    cents = F.round(F.col("value") * 100).cast("bigint")
+    # ts reads as TIMESTAMP_NTZ; unix_micros needs TIMESTAMP — the session
+    # is pinned UTC (tables.load_table), so the cast is a zero-offset
+    # relabel (same rule as the as-of join's gap arithmetic).
+    w = (
+        W.partitionBy("user_id")
+        .orderBy(F.unix_micros(F.col("ts").cast("timestamp")))
+        .rangeBetween(-7 * 86400 * 1_000_000, 0)
+    )
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.sum(cents).over(w).alias("trailing_7d_cents"),
+    )
+
+
+@register(
     "frequent_items_revenue",
     oracle="""
     WITH frequent_parts AS (

@@ -483,3 +483,23 @@ def optimize_snapshot(spark: SparkSession, table_dir: str) -> int:
     )
     _advance_branch(table_dir, "main", v)
     return v
+
+
+def remove_orphan_files(table_dir: str) -> list[str]:
+    """Delete data files referenced by NO manifest — the leftovers of
+    commits that wrote files but crashed before publishing (Iceberg's
+    remove_orphan_files maintenance action). Orphans are invisible to
+    every reader by construction, so removal is always safe; this is the
+    ONE maintenance path that must LIST the data directory, which is why
+    it is a scheduled action, never part of a read."""
+    referenced: set[str] = set()
+    for v in range(1, current_version(table_dir) + 1):
+        referenced.update(_read_manifest(table_dir, v)["files"])
+    data_root = Path(table_dir) / "data"
+    deleted = []
+    if data_root.exists():
+        for p in sorted(data_root.rglob("*.parquet")):
+            if str(p) not in referenced:
+                p.unlink()
+                deleted.append(str(p))
+    return deleted

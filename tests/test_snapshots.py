@@ -273,3 +273,23 @@ def test_optimize_snapshot_compacts_files(spark, tmp_path):
     a = read_snapshot(spark, t, v0).agg(cents).collect()[0][0]
     b = after.agg(cents).collect()[0][0]
     assert a == b
+
+
+def test_remove_orphan_files_only_touches_unreferenced(spark, tmp_path):
+    """A crashed commit leaves data files with no manifest: orphan cleanup
+    removes exactly those and every committed version still reads."""
+    from lakehouse_variance_spark.sources import snapshots as snap
+
+    t = str(tmp_path / "t")
+    orders = _orders(spark)
+    write_snapshot(orders.limit(5), t, mode="overwrite")
+    write_snapshot(orders.limit(7), t, mode="append")
+    # simulate a crashed commit: files written, manifest never published
+    orphan_dir = f"{t}/data/c99-deadbeef"
+    orders.limit(3).write.parquet(orphan_dir)
+    deleted = snap.remove_orphan_files(t)
+    assert deleted and all("c99-deadbeef" in f for f in deleted)
+    assert read_snapshot(spark, t).count() == 12
+    assert read_snapshot(spark, t, 1).count() == 5
+    # second run is a no-op
+    assert snap.remove_orphan_files(t) == []
