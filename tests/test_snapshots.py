@@ -293,3 +293,29 @@ def test_remove_orphan_files_only_touches_unreferenced(spark, tmp_path):
     assert read_snapshot(spark, t, 1).count() == 5
     # second run is a no-op
     assert snap.remove_orphan_files(t) == []
+
+
+def test_metadata_tables_and_incremental_read(spark, tmp_path):
+    from lakehouse_variance_spark.sources import snapshots as snap
+
+    t = str(tmp_path / "t")
+    orders = _orders(spark)
+    write_snapshot(orders.limit(10), t, mode="append")
+    write_snapshot(orders.limit(20), t, mode="append")
+    write_snapshot(orders.limit(5), t, mode="append")
+
+    files = snap.files_table(spark, t)
+    total_rows = files.agg({"record_count": "sum"}).collect()[0][0]
+    assert total_rows == 35
+    assert files.filter("file_size_bytes <= 0").count() == 0
+
+    hist = snap.history_table(spark, t)
+    assert [r.version for r in hist.orderBy("version").collect()] == [1, 2, 3]
+
+    # incremental: exactly v2+v3's appends
+    delta = snap.read_version_changes(spark, t, 1, 3)
+    assert delta.count() == 25
+    # crossing an overwrite refuses
+    write_snapshot(orders.limit(3), t, mode="overwrite")
+    with pytest.raises(ValueError, match="non-append"):
+        snap.read_version_changes(spark, t, 2, 4)
