@@ -34,7 +34,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from lakehouse_variance_spark.registry import register
-from lakehouse_variance_spark.tables import load_table
+from lakehouse_variance_spark.tables import load_table, spread
 
 # Redaction patterns — shared subset of Java regex (Spark) and RE2
 # (DuckDB): character classes, bounded quantifiers, \b word boundaries;
@@ -192,7 +192,10 @@ def text_bigram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     the |vocab|-sized unigram table and the 1-row total broadcast back
     onto the bigram counts, so nothing corpus-sized shuffles twice.
     """
-    docs = load_table(spark, sf_dir, "documents")
+    # spread() first: the one-file documents scan is a single task, and the
+    # tokenize/explode work must fan out BEFORE the CPU multiplication
+    # (SCALE.md scan rule); measured 2.1s -> 1.2s warm at sf0.1.
+    docs = spread(load_table(spark, sf_dir, "documents"))
     toks = docs.select(F.explode(F.split("text", " ")).alias("w"))
     uni = toks.groupBy("w").agg(F.count("*").cast("bigint").alias("c"))
     tot = toks.agg(F.count("*").cast("bigint").alias("n"))
