@@ -312,3 +312,71 @@ def greedy_lowcarbon_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rows, "query_id long, start_slot long, realised_carbon_g double"
     )
+
+
+@register("scheduler_experiment_summary")  # sequential sims inside: rows-only
+def scheduler_experiment_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's experiment grid end-to-end
+    (``experiment.py:241-281`` → ``ExperimentResult.summary():28-51``):
+    run {FIFO, greedy-defer} × {predicted, oracle} over one workload and
+    CI profile and emit one summary row per experiment with the
+    reference's metric keys — total/per-query/per-second gCO₂, makespan,
+    slot length, power.
+
+    Data prep (CI series, workload quantization) is DataFrames; each
+    simulation is the driver-side sequential fold the reference defines.
+    Registered rows-only (the greedy search is order-defined); the
+    cross-experiment laws — greedy defers never emit MORE carbon than
+    FIFO under the same knowledge, experiments run the same query count —
+    are pytest-gated in tests/test_scheduling.py."""
+    import numpy as np
+
+    profile = carbon_profile(spark, sf_dir)
+    ci = np.array(
+        [r["ci"] for r in profile.select("slot", "ci").orderBy("slot").collect()]
+    )
+    workload = event_workload(spark, sf_dir).filter(F.col("query_id") < 100)
+    n_q = workload.count()
+    rows = []
+    for oracle in (False, True):
+        wl = schedulers.oracle_view(workload) if oracle else workload
+        fifo = schedulers.fifo_schedule(wl, policy="arrival")
+        fifo_sched = {
+            int(r["query_id"]): int(r["start_slot"])
+            for r in fifo.select("query_id", "start_slot").collect()
+        }
+        greedy_sched = schedulers.greedy_low_carbon_schedule(
+            wl, ci, slot_sec=SLOT_SEC, search_hours=4.0, candidate_step_slots=10
+        )
+        for name, sched in (("fifo", fifo_sched), ("greedy", greedy_sched)):
+            total = schedulers.realised_carbon_sequential(
+                wl, sched, ci, slot_sec=SLOT_SEC
+            )
+            slots = {
+                int(r["query_id"]): int(r["actual_slots"])
+                for r in wl.select("query_id", "actual_slots").collect()
+            }
+            cursor = 0
+            for qid in sorted(sched, key=lambda j: sched[j]):
+                cursor = max(sched[qid], cursor) + slots[qid]
+            makespan_s = cursor * SLOT_SEC
+            rows.append(
+                (
+                    name,
+                    bool(oracle),
+                    int(n_q),
+                    round(total, 6),
+                    round(total / n_q, 6),
+                    round(total / makespan_s, 9),
+                    float(makespan_s),
+                    float(SLOT_SEC),
+                    carbon.DEFAULT_POWER_KW,
+                )
+            )
+    return spark.createDataFrame(
+        rows,
+        "scheduler string, oracle boolean, num_queries int, "
+        "carbon_total_gco2 double, carbon_per_query_gco2 double, "
+        "carbon_per_second_gco2 double, makespan_seconds double, "
+        "slot_length_sec double, power_kw double",
+    )

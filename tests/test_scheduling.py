@@ -136,3 +136,30 @@ def test_prefix_sum_has_no_global_window_over_rows(spark):
     assert any(s.strip().startswith("_b") and "slot" in s for s in specs), specs
     # Exactly one SinglePartition exchange: the |buckets|-row offsets path.
     assert plan.count("Exchange SinglePartition") == 1
+
+
+def test_experiment_summary_grid_laws(spark):
+    """Reference experiment-grid laws: 4 experiments over one workload;
+    greedy (which may defer into cleaner slots) never emits MORE carbon
+    than FIFO under the same knowledge; per-query/per-second metrics are
+    exact quotients of the totals."""
+    from lakehouse_variance_spark import registry
+
+    registry.load_all()
+    rows = {
+        (r.scheduler, r.oracle): r
+        for r in registry.QUERIES["scheduler_experiment_summary"](
+            spark, "/root/testdata/sf0.001"
+        ).collect()
+    }
+    assert len(rows) == 4
+    n = {r.num_queries for r in rows.values()}
+    assert len(n) == 1 and n.pop() > 0
+    for oracle in (False, True):
+        assert (
+            rows[("greedy", oracle)].carbon_total_gco2
+            <= rows[("fifo", oracle)].carbon_total_gco2 + 1e-9
+        )
+    for r in rows.values():
+        assert abs(r.carbon_per_query_gco2 - round(r.carbon_total_gco2 / r.num_queries, 6)) < 1e-6
+        assert r.makespan_seconds > 0 and r.power_kw == 0.150
