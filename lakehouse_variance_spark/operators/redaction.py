@@ -222,3 +222,60 @@ def text_bigram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("co"), "w1", "w2")
         .limit(20)
     )
+
+
+@register(
+    "bpe_first_merge_pairs",
+    oracle="""
+    WITH words AS (
+        SELECT unnest(string_split(text, ' ')) AS w FROM documents),
+    wc AS (
+        SELECT w, CAST(count(*) AS BIGINT) AS c
+        FROM words WHERE length(w) >= 2 GROUP BY w),
+    pairs AS (
+        SELECT unnest(list_transform(generate_series(1, length(w) - 1),
+                                     i -> substr(w, i, 2))) AS pair,
+               c
+        FROM wc)
+    SELECT pair, CAST(sum(c) AS BIGINT) AS merge_count
+    FROM pairs
+    GROUP BY pair
+    ORDER BY merge_count DESC, pair
+    LIMIT 15
+    """,
+)
+def bpe_first_merge_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The first BPE training step (Sennrich et al. 2016): corpus-weighted
+    adjacent-character-pair counts — the argmax pair is the first merge a
+    tokenizer trainer records. Iterating this query with the winning pair
+    substituted IS BPE training; one step is registered because each
+    round's aggregation shape (and its scale profile) is identical.
+
+    The pair generation runs over the DISTINCT word table weighted by
+    word frequency — |vocab| rows, not |corpus| — so the expensive
+    explode touches each unique word once (exactly how production BPE
+    trainers batch by word frequency). Single-char words are excluded on
+    both engines (Spark's sequence(1,0) counts down where DuckDB's
+    generate_series is empty — the one dialect trap in this shape)."""
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    words = docs.select(F.explode(F.split("text", " ")).alias("w"))
+    wc = (
+        words.filter(F.length("w") >= 2)
+        .groupBy("w")
+        .agg(F.count("*").cast("bigint").alias("c"))
+    )
+    pairs = wc.select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.length("w") - 1),
+                lambda i: F.col("w").substr(i, F.lit(2)),
+            )
+        ).alias("pair"),
+        "c",
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.sum("c").cast("bigint").alias("merge_count"))
+        .orderBy(F.desc("merge_count"), "pair")
+        .limit(15)
+    )
