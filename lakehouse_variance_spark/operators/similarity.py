@@ -626,3 +626,50 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= TOP_K)
         .select("query_id", "neighbor_id", F.round("cos", 4).alias("cosine"))
     )
+
+
+@register("dedup_semantic_clusters")  # rows-only: KMeans isn't SQL-expressible
+def dedup_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, public): semantic near-dup removal at
+    embedding scale — KMeans-cluster the corpus, then compare pairs ONLY
+    within a cluster, keeping the lowest id of each near-dup pair.
+
+    This is the quadratic-to-tractable trick the paper is about: the
+    expensive pairwise cosine runs per cluster (|cluster|² each, Σ ≪ N²),
+    and at 100 TB each cluster's members are co-partitioned by the
+    cluster-id equi-join so no all-pairs shuffle exists (with the
+    partitioned IVF layout, per-cluster work is also partition-local —
+    tests/test_similarity.py proves that layout prunes). Rows-only: the
+    containment law (every reported pair IS a brute-force near-dup pair
+    with the same keeper rule) is pytest-gated against embed_cosine_pairs.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    emb = _prepped(load_table(spark, sf_dir, "embeddings"), "vec_id", "embedding")
+    vecs = emb.withColumn("features", array_to_vector(F.col("v")))
+    model = KMeans(
+        k=N_CLUSTERS, seed=0, featuresCol="features", predictionCol="cluster"
+    ).fit(vecs)
+    assigned = model.transform(vecs).drop("features").localCheckpoint()
+    a = assigned.withColumnsRenamed({"vec_id": "keeper_id", "v": "va", "nrm": "na"})
+    b = assigned.withColumnsRenamed(
+        {"vec_id": "dropped_id", "v": "vb", "nrm": "nb", "cluster": "cluster_b"}
+    )
+    cos = dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
+    pairs = (
+        a.join(b, F.col("cluster") == F.col("cluster_b"))  # equi-join on cluster
+        .filter(F.col("keeper_id") < F.col("dropped_id"))
+        .select("dropped_id", "keeper_id", cos.alias("cos"))
+        .filter(F.col("cos") >= COSINE_THRESHOLD)
+    )
+    # SemDeDup keeper rule: a document is dropped if ANY lower-id neighbor
+    # in its cluster is near-dup; report the smallest such keeper.
+    return (
+        pairs.groupBy("dropped_id")
+        .agg(
+            F.min("keeper_id").alias("keeper_id"),
+            F.max(F.round("cos", 3)).alias("max_cosine"),
+        )
+        .orderBy("dropped_id")
+    )

@@ -95,3 +95,38 @@ def test_ivf_partitioned_layout_prunes(spark, tmp_path):
         .collect()
     )
     assert got == want and len(got) > 0
+
+
+def test_semdedup_containment_in_bruteforce_pairs(spark):
+    """SemDeDup law: every (dropped, keeper) it reports is a brute-force
+    near-dup pair; restricted to same-cluster pairs the keeper is the
+    MINIMUM near-dup neighbor below the dropped id."""
+    from lakehouse_variance_spark import registry
+
+    registry.load_all()
+    sem = registry.QUERIES["dedup_semantic_clusters"](spark, SF_DIR_MEDIUM)
+    rows = sem.collect()
+    assert len(rows) > 0
+    brute = {
+        (r.vec_a, r.vec_b)
+        for r in registry.QUERIES["embed_cosine_pairs"](
+            spark, SF_DIR_MEDIUM
+        ).collect()
+    }
+    for r in rows:
+        assert (r.keeper_id, r.dropped_id) in brute
+        assert r.keeper_id < r.dropped_id
+
+
+def test_semdedup_join_is_equi_on_cluster(spark):
+    from lakehouse_variance_spark import registry
+
+    registry.load_all()
+    plan = (
+        registry.QUERIES["dedup_semantic_clusters"](spark, "/root/testdata/sf0.001")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
