@@ -84,6 +84,8 @@ HEADLINE_QUERIES = (
     "event_transition_counts",
     "trace_runtime_trend",
     "window_trailing_7d_sum",
+    "bpe_first_merge_pairs",
+    "vocab_cms_topk",
     "ts_gap_fill_locf",
     "ts_lttb_downsample",
     "ann_pq_topk",

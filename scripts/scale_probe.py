@@ -37,10 +37,16 @@ KEY_SHIFTS = {
     "lineitem": ["l_orderkey", "l_partkey", "l_suppkey"],
     "events": ["event_id", "user_id"],
 }
-# Fixed-size dims copy as-is; documents/embeddings have their own corpus
-# scaling semantics and are NOT replicated — they copy unchanged so queries
-# that register ALL tables as views (the verbatim SQL texts) still resolve.
-COPY_AS_IS = ["region", "nation", "documents", "embeddings"]
+# Fixed-size dims copy as-is; embeddings copy unchanged (vector replicas
+# would need orthogonal perturbations to keep near-dup structure honest).
+COPY_AS_IS = ["region", "nation", "embeddings"]
+
+# documents replicate TEXTUALLY DISTINCT: every word in replica i gets an
+# _i suffix (doc_id key-shifted too), so within-replica duplicate/shingle
+# structure is preserved exactly while cross-replica shingle matches are
+# impossible — a 10x corpus with a CONSTANT dup rate, the honest scaling
+# (naive text duplication would grow near-dup join outputs 100x).
+CORPUS_REPLICATE = ["documents"]
 
 PROBE_QUERIES = [
     "q1_pricing_summary",
@@ -86,6 +92,23 @@ PROBE_QUERIES = [
     "tpch_q22",
     # round-4 additions
     "event_transition_counts",
+    "ts_ohlc_bars",
+    "trace_runtime_trend",
+    "window_trailing_7d_sum",
+    # corpus operators over the word-suffixed 10x document replicas
+    "text_token_stats",
+    "text_filter_pipeline",
+    "text_quality_score",
+    "text_fingerprint",
+    "dedup_exact",
+    "dedup_shingle_jaccard",
+    "dedup_minhash_lsh",
+    "text_bigram_pmi",
+    "bpe_first_merge_pairs",
+    "text_pii_redact",
+    "text_chunk_dedup",
+    "contamination_ngram",
+    "vocab_cms_topk",
     "sql_text_recursive_calendar",
     "cross_channel_items_rollup",
     "stddev_pair_months",
@@ -116,6 +139,21 @@ def build_dataset(spark) -> None:
             r = df
             for k in keys:
                 r = r.withColumn(k, F.col(k) + F.lit(i * SHIFT))
+            replicas.append(r)
+        out = replicas[0]
+        for r in replicas[1:]:
+            out = out.unionByName(r)
+        out.write.mode("overwrite").parquet(f"{DST}/{name}.parquet")
+    for name in CORPUS_REPLICATE:
+        df = spark.read.parquet(f"{SRC}/{name}.parquet")
+        replicas = []
+        for i in range(REPLICAS):
+            r = df.withColumn("doc_id", F.col("doc_id") + F.lit(i * SHIFT))
+            if i > 0:  # replica 0 keeps the original text verbatim
+                r = r.withColumn(
+                    "text",
+                    F.regexp_replace(F.col("text"), r"(\S+)", f"$1_{i}"),
+                )
             replicas.append(r)
         out = replicas[0]
         for r in replicas[1:]:
