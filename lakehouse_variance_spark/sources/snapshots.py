@@ -560,3 +560,28 @@ def read_version_changes(
     if not new_files:
         raise ValueError("no appended files in range")
     return spark.read.option("mergeSchema", "true").parquet(*new_files)
+
+
+def publish_branch(table_dir: str, branch: str) -> int:
+    """Write-audit-publish's publish step: fast-forward ``main`` to the
+    branch head. Valid only when main's current head is an ancestor of the
+    branch head along the parent chain (i.e. main has NOT advanced since
+    the branch forked) — the same fast-forward-only rule as Iceberg's WAP
+    cherry-pick for clean histories. On success main readers atomically
+    see every audited branch commit; the branch ref remains for further
+    staging."""
+    head = resolve_ref(table_dir, branch)
+    refs = _read_refs(table_dir)
+    if branch not in refs["branches"]:
+        raise ValueError(f"{branch!r} is a tag — cannot publish a tag")
+    main = _main_head(table_dir)
+    v = head
+    while v > 0 and v != main:
+        v = _read_manifest(table_dir, v)["parent"]
+    if v != main:
+        raise ValueError(
+            f"cannot fast-forward: main (v{main}) is not an ancestor of "
+            f"{branch!r} (v{head}) — rebase the branch or merge manually"
+        )
+    _advance_branch(table_dir, "main", head)
+    return head

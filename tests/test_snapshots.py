@@ -319,3 +319,33 @@ def test_metadata_tables_and_incremental_read(spark, tmp_path):
     write_snapshot(orders.limit(3), t, mode="overwrite")
     with pytest.raises(ValueError, match="non-append"):
         snap.read_version_changes(spark, t, 2, 4)
+
+
+def test_write_audit_publish_flow(spark, tmp_path):
+    """WAP: stage commits on an audit branch, validate, fast-forward main.
+    Publishing atomically exposes every staged commit; a diverged main
+    refuses the fast-forward."""
+    from lakehouse_variance_spark.sources import snapshots as snap
+
+    t = str(tmp_path / "t")
+    orders = _orders(spark)
+    write_snapshot(orders.limit(10), t, mode="overwrite")
+    snap.create_branch(t, "audit")
+    snap.commit_to_branch(orders.limit(5), t, "audit", mode="append")
+    snap.commit_to_branch(orders.limit(2), t, "audit", mode="append")
+    # audit step: validate the staged data before anyone sees it
+    staged = snap.read_ref(spark, t, "audit")
+    assert staged.count() == 17
+    assert read_snapshot(spark, t).count() == 10  # main still clean
+    v = snap.publish_branch(t, "audit")
+    assert read_snapshot(spark, t).count() == 17
+    assert snap.list_refs(t)["branches"]["main"] == v
+    # diverged main -> publish refuses
+    snap.create_branch(t, "audit2")
+    snap.commit_to_branch(orders.limit(1), t, "audit2", mode="append")
+    write_snapshot(orders.limit(3), t, mode="append")  # main moves on
+    with pytest.raises(ValueError, match="fast-forward"):
+        snap.publish_branch(t, "audit2")
+    with pytest.raises(ValueError, match="tag"):
+        snap.create_tag(t, "pin")
+        snap.publish_branch(t, "pin")
