@@ -145,11 +145,19 @@ def text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _bigrams_col():
+    # Guard single-token/empty docs: Spark's sequence(1, 0) counts DOWN
+    # (step defaults to -1 when start > stop) and slice(tokens, 0, 2) then
+    # raises — while DuckDB's generate_series(1, 0) is just empty. Emit an
+    # empty bigram array for size<2 so both engines agree (same trap as
+    # bpe_first_merge_pairs' length>=2 filter).
     tokens = F.split(F.col("text"), " ")
-    return F.transform(
-        F.sequence(F.lit(1), F.size(tokens) - 1),
-        lambda i: F.array_join(F.slice(tokens, i, 2), " "),
-    )
+    return F.when(
+        F.size(tokens) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(tokens) - 1),
+            lambda i: F.array_join(F.slice(tokens, i, 2), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
 
 
 _BIGRAMS_SQL = (

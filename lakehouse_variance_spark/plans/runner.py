@@ -133,12 +133,22 @@ def run_workload_concurrent(
     from pyspark import InheritableThread
 
     records: list[list[dict[str, Any]]] = [[] for _ in range(streams)]
+    failures: list[tuple[int, BaseException]] = []
 
     def one_stream(i: int) -> None:
-        spark.sparkContext.setLocalProperty("spark.scheduler.pool", f"stream-{i}")
-        records[i - 1] = [
-            dict(run_query(spark, name, sql), stream=i) for name, sql in queries
-        ]
+        # run_query sentinels per-QUERY failures; anything escaping it is a
+        # harness-level error that must propagate, not die in the thread's
+        # excepthook leaving a silently empty stream log.
+        try:
+            spark.sparkContext.setLocalProperty(
+                "spark.scheduler.pool", f"stream-{i}"
+            )
+            records[i - 1] = [
+                dict(run_query(spark, name, sql), stream=i)
+                for name, sql in queries
+            ]
+        except BaseException as exc:  # noqa: BLE001 — re-raised after join
+            failures.append((i, exc))
 
     threads = [
         InheritableThread(target=one_stream, args=(i,))
@@ -148,6 +158,11 @@ def run_workload_concurrent(
         t.start()
     for t in threads:
         t.join()
+    if failures:
+        stream_ids = ", ".join(str(i) for i, _ in failures)
+        raise RuntimeError(
+            f"concurrent workload stream(s) {stream_ids} failed"
+        ) from failures[0][1]
     if log_dir is not None:
         log_dir = Path(log_dir)
         log_dir.mkdir(parents=True, exist_ok=True)

@@ -348,14 +348,14 @@ def scheduler_experiment_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         greedy_sched = schedulers.greedy_low_carbon_schedule(
             wl, ci, slot_sec=SLOT_SEC, search_hours=4.0, candidate_step_slots=10
         )
+        slots = {
+            int(r["query_id"]): int(r["actual_slots"])
+            for r in wl.select("query_id", "actual_slots").collect()
+        }
         for name, sched in (("fifo", fifo_sched), ("greedy", greedy_sched)):
             total = schedulers.realised_carbon_sequential(
                 wl, sched, ci, slot_sec=SLOT_SEC
             )
-            slots = {
-                int(r["query_id"]): int(r["actual_slots"])
-                for r in wl.select("query_id", "actual_slots").collect()
-            }
             cursor = 0
             for qid in sorted(sched, key=lambda j: sched[j]):
                 cursor = max(sched[qid], cursor) + slots[qid]

@@ -142,6 +142,17 @@ def resolve_ref(table_dir: str, name: str) -> int:
     raise KeyError(f"no tag or branch named {name!r} at {table_dir}")
 
 
+def _seed_main(table_dir: str, refs: dict) -> None:
+    """Pin ``main`` at the current head the first time any ref is created
+    on a pre-refs table. Without this, a later branch commit would raise
+    current_version() and the _main_head fallback would hand mainline
+    readers the branch head — breaking branch isolation."""
+    if "main" not in refs["branches"]:
+        head = current_version(table_dir)
+        if head > 0:
+            refs["branches"]["main"] = head
+
+
 def create_tag(table_dir: str, name: str, version: int | None = None) -> int:
     """Pin an immutable name to a version (default: mainline head).
     Re-tagging is an error — tags never move (Iceberg tag semantics)."""
@@ -150,6 +161,7 @@ def create_tag(table_dir: str, name: str, version: int | None = None) -> int:
         raise ValueError(f"ref {name!r} already exists")
     v = version if version is not None else _main_head(table_dir)
     _read_manifest(table_dir, v)  # must exist
+    _seed_main(table_dir, refs)
     refs["tags"][name] = v
     _write_refs(table_dir, refs)
     return v
@@ -162,6 +174,7 @@ def create_branch(table_dir: str, name: str, version: int | None = None) -> int:
         raise ValueError(f"ref {name!r} already exists")
     v = version if version is not None else _main_head(table_dir)
     _read_manifest(table_dir, v)  # must exist
+    _seed_main(table_dir, refs)
     refs["branches"][name] = v
     _write_refs(table_dir, refs)
     return v
@@ -177,6 +190,44 @@ def read_ref(spark: SparkSession, table_dir: str, name: str) -> DataFrame:
     return read_snapshot(spark, table_dir, resolve_ref(table_dir, name))
 
 
+def _commit_dataframe(
+    df: DataFrame,
+    table_dir: str,
+    *,
+    parent: int,
+    operation: str,
+    mode: str,
+    ref: str,
+    extra: dict | None = None,
+) -> int:
+    """Shared commit body: write ``df``'s files under a fresh commit dir,
+    build the manifest (append = parent's files + new, overwrite = new
+    only), publish it atomically, and advance ``ref``. Every writer path
+    (mainline, branch, streaming sink) funnels through here so fixes land
+    once."""
+    version = current_version(table_dir) + 1
+    commit_id = uuid.uuid4().hex
+    data_dir = Path(table_dir) / "data" / f"c{version}-{commit_id[:8]}"
+    df.write.mode("error").parquet(str(data_dir))
+    new_files = sorted(str(p) for p in data_dir.glob("*.parquet") if p.is_file())
+    files = new_files
+    if mode == "append" and parent > 0:
+        files = _read_manifest(table_dir, parent)["files"] + new_files
+    manifest = {
+        "version": version,
+        "parent": parent,
+        "operation": operation,
+        "commit_id": commit_id,
+        "schema_ddl": df.schema.simpleString(),
+        "files": files,
+    }
+    if extra:
+        manifest.update(extra)
+    v = _commit(table_dir, manifest)
+    _advance_branch(table_dir, ref, v)
+    return v
+
+
 def commit_to_branch(
     df: DataFrame, table_dir: str, branch: str, mode: str = "append"
 ) -> int:
@@ -187,30 +238,16 @@ def commit_to_branch(
     if mode not in ("append", "overwrite"):
         raise ValueError(f"mode must be append|overwrite, got {mode!r}")
     parent = resolve_ref(table_dir, branch)
-    refs = _read_refs(table_dir)
-    if branch not in refs["branches"]:
+    if branch not in _read_refs(table_dir)["branches"]:
         raise ValueError(f"{branch!r} is a tag — tags are immutable")
-    version = current_version(table_dir) + 1
-    commit_id = uuid.uuid4().hex
-    data_dir = Path(table_dir) / "data" / f"c{version}-{commit_id[:8]}"
-    df.write.mode("error").parquet(str(data_dir))
-    new_files = sorted(str(p) for p in data_dir.glob("*.parquet") if p.is_file())
-    files = new_files
-    if mode == "append" and parent > 0:
-        files = _read_manifest(table_dir, parent)["files"] + new_files
-    v = _commit(
+    return _commit_dataframe(
+        df,
         table_dir,
-        {
-            "version": version,
-            "parent": parent,
-            "operation": f"{mode}@{branch}",
-            "commit_id": commit_id,
-            "schema_ddl": df.schema.simpleString(),
-            "files": files,
-        },
+        parent=parent,
+        operation=f"{mode}@{branch}",
+        mode=mode,
+        ref=branch,
     )
-    _advance_branch(table_dir, branch, v)
-    return v
 
 
 def write_snapshot(
@@ -225,28 +262,14 @@ def write_snapshot(
     """
     if mode not in ("append", "overwrite"):
         raise ValueError(f"mode must be append|overwrite, got {mode!r}")
-    parent = _main_head(table_dir)
-    version = current_version(table_dir) + 1
-    commit_id = uuid.uuid4().hex
-    data_dir = Path(table_dir) / "data" / f"c{version}-{commit_id[:8]}"
-    df.write.mode("error").parquet(str(data_dir))
-    new_files = sorted(
-        str(p) for p in data_dir.glob("*.parquet") if p.is_file()
+    return _commit_dataframe(
+        df,
+        table_dir,
+        parent=_main_head(table_dir),
+        operation=mode,
+        mode=mode,
+        ref="main",
     )
-    files = new_files
-    if mode == "append" and parent > 0:
-        files = _read_manifest(table_dir, parent)["files"] + new_files
-    manifest = {
-        "version": version,
-        "parent": parent,
-        "operation": mode,
-        "commit_id": commit_id,
-        "schema_ddl": df.schema.simpleString(),
-        "files": files,
-    }
-    v = _commit(table_dir, manifest)
-    _advance_branch(table_dir, "main", v)
-    return v
 
 
 def read_snapshot(
@@ -361,30 +384,15 @@ def snapshot_batch_writer(table_dir: str):
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
         if int(batch_id) in committed_stream_batches(table_dir):
             return  # replayed batch — already visible, skip
-        parent = _main_head(table_dir)
-        version = current_version(table_dir) + 1
-        commit_id = uuid.uuid4().hex
-        data_dir = Path(table_dir) / "data" / f"c{version}-{commit_id[:8]}"
-        batch_df.write.mode("error").parquet(str(data_dir))
-        new_files = sorted(
-            str(p) for p in data_dir.glob("*.parquet") if p.is_file()
-        )
-        files = new_files
-        if parent > 0:
-            files = _read_manifest(table_dir, parent)["files"] + new_files
-        v = _commit(
+        _commit_dataframe(
+            batch_df,
             table_dir,
-            {
-                "version": version,
-                "parent": parent,
-                "operation": "stream-append",
-                "stream_batch_id": int(batch_id),
-                "commit_id": commit_id,
-                "schema_ddl": batch_df.schema.simpleString(),
-                "files": files,
-            },
+            parent=_main_head(table_dir),
+            operation="stream-append",
+            mode="append",
+            ref="main",
+            extra={"stream_batch_id": int(batch_id)},
         )
-        _advance_branch(table_dir, "main", v)
 
     return write_batch
 
@@ -429,10 +437,13 @@ def delete_from_snapshot(
     version = current_version(table_dir) + 1
     commit_id = uuid.uuid4().hex
     data_dir = Path(table_dir) / "data" / f"c{version}-{commit_id[:8]}"
+    # DELETE semantics remove rows where the predicate is TRUE; rows where
+    # it evaluates NULL must SURVIVE. A bare NOT(pred) filter drops them
+    # (NOT NULL is NULL → filtered out) — coalesce to FALSE first.
     survivors = (
         spark.read.option("mergeSchema", "true")
         .parquet(*sorted(touched_paths))
-        .filter(f"NOT ({predicate})")
+        .filter(f"NOT coalesce({predicate}, false)")
     )
     survivors.write.mode("error").parquet(str(data_dir))
     new_files = sorted(str(p) for p in data_dir.glob("*.parquet") if p.is_file())
@@ -485,21 +496,31 @@ def optimize_snapshot(spark: SparkSession, table_dir: str) -> int:
     return v
 
 
-def remove_orphan_files(table_dir: str) -> list[str]:
+def remove_orphan_files(
+    table_dir: str, older_than_seconds: float = 24 * 3600
+) -> list[str]:
     """Delete data files referenced by NO manifest — the leftovers of
     commits that wrote files but crashed before publishing (Iceberg's
-    remove_orphan_files maintenance action). Orphans are invisible to
-    every reader by construction, so removal is always safe; this is the
-    ONE maintenance path that must LIST the data directory, which is why
-    it is a scheduled action, never part of a read."""
+    remove_orphan_files maintenance action). This is the ONE maintenance
+    path that must LIST the data directory, which is why it is a
+    scheduled action, never part of a read.
+
+    ``older_than_seconds`` protects IN-FLIGHT commits: a writer that has
+    written its files but not yet published its manifest looks exactly
+    like an orphan, so only files older than the grace window are
+    reclaimed (Iceberg defaults its equivalent to 3 days for the same
+    race)."""
+    import time
+
     referenced: set[str] = set()
     for v in range(1, current_version(table_dir) + 1):
         referenced.update(_read_manifest(table_dir, v)["files"])
+    cutoff = time.time() - older_than_seconds
     data_root = Path(table_dir) / "data"
     deleted = []
     if data_root.exists():
         for p in sorted(data_root.rglob("*.parquet")):
-            if str(p) not in referenced:
+            if str(p) not in referenced and p.stat().st_mtime <= cutoff:
                 p.unlink()
                 deleted.append(str(p))
     return deleted
@@ -541,18 +562,29 @@ def read_version_changes(
     incremental append scan / Delta's change-data read for append-only
     commits). Downstream jobs consume exactly the delta instead of
     rescanning the table; with the streaming sink's one-version-per-batch
-    commits this is replayable micro-batch lineage. Raises when the range
-    includes an overwrite/rollback commit (the file diff would conflate
-    removals with appends — Iceberg's incremental scan refuses the same
-    way)."""
+    commits this is replayable micro-batch lineage. Validation walks the
+    PARENT CHAIN from ``to_version`` down to ``from_version`` (not the
+    global version sequence — interleaved branch commits occupy versions
+    in between without being on this lineage): every commit on the chain
+    must be an append, and ``from_version`` must be an ancestor, or the
+    file diff would conflate removals with appends — Iceberg's
+    incremental scan refuses the same way."""
     if to_version <= from_version:
         raise ValueError("to_version must be after from_version")
-    for v in range(from_version + 1, to_version + 1):
-        op = _read_manifest(table_dir, v)["operation"]
+    v = to_version
+    while v > from_version:
+        m = _read_manifest(table_dir, v)
+        op = m["operation"]
         if not (op in ("append", "stream-append") or op.startswith("append@")):
             raise ValueError(
                 f"incremental read crosses non-append commit v{v} ({op})"
             )
+        v = m["parent"]
+    if v != from_version:
+        raise ValueError(
+            f"v{from_version} is not an ancestor of v{to_version} — the "
+            "versions are on different lineages (branch vs main)"
+        )
     old = set(_read_manifest(table_dir, from_version)["files"])
     new_files = [
         f for f in _read_manifest(table_dir, to_version)["files"] if f not in old

@@ -287,12 +287,14 @@ def test_remove_orphan_files_only_touches_unreferenced(spark, tmp_path):
     # simulate a crashed commit: files written, manifest never published
     orphan_dir = f"{t}/data/c99-deadbeef"
     orders.limit(3).write.parquet(orphan_dir)
-    deleted = snap.remove_orphan_files(t)
+    # the grace window protects in-flight commits: fresh orphans survive
+    assert snap.remove_orphan_files(t) == []
+    deleted = snap.remove_orphan_files(t, older_than_seconds=0)
     assert deleted and all("c99-deadbeef" in f for f in deleted)
     assert read_snapshot(spark, t).count() == 12
     assert read_snapshot(spark, t, 1).count() == 5
     # second run is a no-op
-    assert snap.remove_orphan_files(t) == []
+    assert snap.remove_orphan_files(t, older_than_seconds=0) == []
 
 
 def test_metadata_tables_and_incremental_read(spark, tmp_path):
@@ -349,3 +351,63 @@ def test_write_audit_publish_flow(spark, tmp_path):
     with pytest.raises(ValueError, match="tag"):
         snap.create_tag(t, "pin")
         snap.publish_branch(t, "pin")
+
+
+def test_delete_keeps_null_predicate_rows(spark):
+    """SQL DELETE three-valued logic: rows where the predicate evaluates
+    NULL must survive (NOT NULL is NULL, not TRUE)."""
+    import tempfile
+
+    from lakehouse_variance_spark.sources import snapshots as snap
+
+    with tempfile.TemporaryDirectory() as d:
+        t = f"{d}/t"
+        df = spark.createDataFrame(
+            [(1, 5), (2, None), (3, 7)], "id long, c long"
+        )
+        write_snapshot(df, t, mode="overwrite")
+        snap.delete_from_snapshot(spark, t, "c = 5")
+        left = {r.id for r in read_snapshot(spark, t).collect()}
+        assert left == {2, 3}  # the NULL row survives
+
+
+def test_incremental_read_walks_main_lineage_not_global_sequence(spark, tmp_path):
+    """Branch commits interleave in the global version sequence; the
+    incremental read must validate along the parent chain so (a) a branch
+    overwrite between two main appends doesn't block the read and (b) a
+    cross-lineage range is refused outright."""
+    from lakehouse_variance_spark.sources import snapshots as snap
+
+    t = str(tmp_path / "t")
+    orders = _orders(spark)
+    write_snapshot(orders.limit(4), t, mode="append")  # v1 main
+    snap.create_branch(t, "dev")
+    snap.commit_to_branch(orders.limit(2), t, "dev", mode="overwrite")  # v2 branch
+    write_snapshot(orders.limit(6), t, mode="append")  # v3 main (parent v1)
+    # main lineage v1 -> v3 is pure append despite the interleaved branch
+    # overwrite at v2
+    assert snap.read_version_changes(spark, t, 1, 3).count() == 6
+    # branch -> main crosses lineages: refused, not silently mis-diffed
+    with pytest.raises(ValueError, match="not an ancestor"):
+        snap.read_version_changes(spark, t, 2, 3)
+
+
+def test_branch_isolation_on_pre_refs_table(spark, tmp_path):
+    """A table whose commits predate the refs file must still isolate
+    branch commits: creating the first ref seeds main at the current
+    head."""
+    import json as _json
+
+    from lakehouse_variance_spark.sources import snapshots as snap
+
+    t = str(tmp_path / "t")
+    orders = _orders(spark)
+    write_snapshot(orders.limit(8), t, mode="overwrite")
+    # simulate a pre-refs table: drop the refs file entirely
+    snap._refs_path(t).unlink()
+    snap.create_branch(t, "dev")
+    snap.commit_to_branch(orders.limit(3), t, "dev", mode="append")
+    # mainline readers still see only v1
+    assert read_snapshot(spark, t).count() == 8
+    assert snap.read_ref(spark, t, "dev").count() == 11
+    assert _json.loads(snap._refs_path(t).read_text())["branches"]["main"] == 1
