@@ -57,11 +57,17 @@ def _grams_sql(n: int) -> str:
 
 
 def _grams_col(n: int):
+    # Docs with < n tokens must yield an EMPTY gram list: Spark's
+    # sequence(1, 0) counts DOWN (slice(tokens, 0, n) then throws) where
+    # DuckDB's generate_series is empty — verify-notes trap.
     tokens = F.split(F.col("text"), " ")
-    return F.transform(
-        F.sequence(F.lit(1), F.size(tokens) - (n - 1)),
-        lambda i: F.array_join(F.slice(tokens, i, n), " "),
-    )
+    return F.when(
+        F.size(tokens) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(tokens) - (n - 1)),
+            lambda i: F.array_join(F.slice(tokens, i, n), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
 
 
 @register(

@@ -30,12 +30,14 @@ JACCARD_THRESHOLD = 0.5
 # words column is materialized first so split() runs once per document, not
 # once per shingle element.
 _SHINGLES_EXPR = """
-    transform(
-        sequence(1, greatest(size(words) - 2, 0)),
-        i -> concat_ws(' ',
-                       element_at(words, i),
-                       element_at(words, i + 1),
-                       element_at(words, i + 2)))
+    CASE WHEN size(words) >= 3 THEN
+        transform(
+            sequence(1, size(words) - 2),
+            i -> concat_ws(' ',
+                           element_at(words, i),
+                           element_at(words, i + 1),
+                           element_at(words, i + 2)))
+    ELSE array() END
 """
 
 
@@ -466,4 +468,14 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         labels = new_labels
         if changed == 0:
             break
+    else:
+        # Exhausting the budget with labels still moving means some chain
+        # is longer than CC_MAX_ITERS hops; silently returning the
+        # intermediate labels would split real clusters. Fail loudly — the
+        # documented fix is the O(log n) large-star/small-star variant.
+        raise RuntimeError(
+            f"connected components did not converge in {CC_MAX_ITERS} "
+            f"rounds ({changed} labels still changing) — graph diameter "
+            "exceeds the iteration budget"
+        )
     return labels.select("doc_id", F.col("label").alias("component_id"))

@@ -503,27 +503,38 @@ def window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "window_avg_partition",
     oracle="""
-    SELECT event_id, event_type, round(value, 3) AS value, round(avg_val, 3) AS avg_val
+    SELECT event_id, event_type, round(value, 3) AS value,
+           round(avg_c / 100.0, 3) AS avg_val
     FROM (
         SELECT event_id, event_type, value,
-               avg(value) OVER (PARTITION BY event_type) AS avg_val
+               CAST(round(value * 100) AS BIGINT) AS value_c,
+               avg(CAST(round(value * 100) AS BIGINT))
+                   OVER (PARTITION BY event_type) AS avg_c
         FROM events)
-    WHERE value > 1.5 * avg_val
+    WHERE value_c > 1.5 * avg_c
     """,
 )
 def window_avg_partition(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unordered analytic window — avg(x) OVER (PARTITION BY k) compared
-    against the row value (reference q63.sql avg_monthly_sales; q53)."""
+    against the row value (reference q63.sql avg_monthly_sales; q53).
+
+    The threshold compares in exact integer CENTS: a float avg's sum is
+    partition-order-dependent in its last ulp, and a row within one ulp
+    of 1.5×avg would flip between engines (verify-notes failure class).
+    Integer-cent sums are exact below 2^53, so avg and the comparison are
+    bit-identical on both sides."""
     ev = load_table(spark, sf_dir, "events")
     w = W.partitionBy("event_type")
+    value_c = F.round(F.col("value") * 100).cast("bigint")
     return (
-        ev.withColumn("avg_val", F.avg("value").over(w))
-        .filter(F.col("value") > 1.5 * F.col("avg_val"))
+        ev.withColumn("value_c", value_c)
+        .withColumn("avg_c", F.avg("value_c").over(w))
+        .filter(F.col("value_c") > 1.5 * F.col("avg_c"))
         .select(
             "event_id",
             "event_type",
             F.round("value", 3).alias("value"),
-            F.round("avg_val", 3).alias("avg_val"),
+            F.round(F.col("avg_c") / 100.0, 3).alias("avg_val"),
         )
     )
 

@@ -265,11 +265,19 @@ def fifo_schedule_carbon(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     fifo = schedulers.fifo_schedule(event_workload(spark, sf_dir))
     end = F.least(F.col("start_slot") + F.col("actual_slots"), F.lit(N_SLOTS))
+    # Guard queries whose FIFO start lands past the horizon: sequence()
+    # counts DOWN when start > stop (emitting phantom slots) where the
+    # oracle's generate_series is empty — the sequence(1,0) trap from the
+    # verify notes, on the slot axis.
+    slot_range = F.when(
+        F.col("start_slot") < end,
+        F.sequence(F.col("start_slot"), end - 1),
+    ).otherwise(F.array().cast("array<bigint>"))
     occupied = fifo.select(
         "query_id",
         "start_slot",
         "actual_slots",
-        F.explode(F.sequence(F.col("start_slot"), end - 1)).alias("slot"),
+        F.explode(slot_range).alias("slot"),
     )
     power_dt = F.lit(decimal.Decimal("0.0025"))  # 0.150 kW * (60s / 3600s/h)
     return (

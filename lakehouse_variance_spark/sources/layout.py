@@ -61,7 +61,15 @@ def write_bucketed(
         spark.sql(f"DROP TABLE IF EXISTS {table}")
         warehouse = spark.conf.get("spark.sql.warehouse.dir", "")
         if warehouse.startswith("file:"):
-            loc = Path(warehouse[5:]) / table.lower()
+            # Managed-table locations: warehouse/<tbl> for default-schema
+            # names, warehouse/<db>.db/<tbl> for qualified ones — the
+            # cleanup must target the real location or the
+            # LOCATION_ALREADY_EXISTS failure it exists to prevent recurs.
+            parts = table.lower().split(".")
+            if len(parts) == 2:
+                loc = Path(warehouse[5:]) / f"{parts[0]}.db" / parts[1]
+            else:
+                loc = Path(warehouse[5:]) / parts[-1]
             if loc.exists():
                 shutil.rmtree(loc, ignore_errors=True)
     (

@@ -355,6 +355,25 @@ def expire_snapshots(table_dir: str, keep_last: int = 2) -> list[str]:
     return deleted
 
 
+def _stream_hwm(table_dir: str, head: int) -> int:
+    """Highest stream batch_id committed on the lineage ending at ``head``
+    (-1 when none). Walks the parent chain only until the first manifest
+    carrying a high-water mark — typically the previous micro-batch commit
+    — so the cost per batch is O(non-stream commits since the last stream
+    commit), not O(all versions). Pre-HWM manifests (older tables) fall
+    back to their own stream_batch_id and keep walking."""
+    hwm = -1
+    v = head
+    while v > 0:
+        m = _read_manifest(table_dir, v)
+        if "stream_batch_hwm" in m:
+            return max(hwm, int(m["stream_batch_hwm"]))
+        if "stream_batch_id" in m:
+            hwm = max(hwm, int(m["stream_batch_id"]))
+        v = m["parent"]
+    return hwm
+
+
 def committed_stream_batches(table_dir: str) -> set[int]:
     """Stream batch_ids already committed to this table (for the
     exactly-once streaming sink's replay check)."""
@@ -382,16 +401,26 @@ def snapshot_batch_writer(table_dir: str):
     """
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
-        if int(batch_id) in committed_stream_batches(table_dir):
+        # Replay detection via the HIGH-WATER MARK carried in the parent
+        # chain: Structured Streaming batch ids are monotonic and only the
+        # last uncommitted batch replays, so one manifest read answers the
+        # check — scanning every manifest (committed_stream_batches) is
+        # O(versions) per batch, O(n²) over a stream's life.
+        parent = _main_head(table_dir)
+        hwm = _stream_hwm(table_dir, parent)
+        if int(batch_id) <= hwm:
             return  # replayed batch — already visible, skip
         _commit_dataframe(
             batch_df,
             table_dir,
-            parent=_main_head(table_dir),
+            parent=parent,
             operation="stream-append",
             mode="append",
             ref="main",
-            extra={"stream_batch_id": int(batch_id)},
+            extra={
+                "stream_batch_id": int(batch_id),
+                "stream_batch_hwm": max(int(batch_id), hwm),
+            },
         )
 
     return write_batch
@@ -440,8 +469,13 @@ def delete_from_snapshot(
     # DELETE semantics remove rows where the predicate is TRUE; rows where
     # it evaluates NULL must SURVIVE. A bare NOT(pred) filter drops them
     # (NOT NULL is NULL → filtered out) — coalesce to FALSE first.
+    # The survivors read pins the TABLE's merged schema explicitly: a
+    # touched file from before a schema evolution lacks later-added
+    # columns, and a predicate over such a column would otherwise fail to
+    # resolve (the explicit schema surfaces them as NULL, same as the
+    # mergeSchema read that selected the files).
     survivors = (
-        spark.read.option("mergeSchema", "true")
+        spark.read.schema(df.schema)
         .parquet(*sorted(touched_paths))
         .filter(f"NOT coalesce({predicate}, false)")
     )

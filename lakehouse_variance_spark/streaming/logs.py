@@ -245,10 +245,13 @@ def _user_stats_fn(key, pdfs, state):
         n, total_cents, last_us, max_gap_us = state.get
     else:
         n, total_cents, last_us, max_gap_us = 0, 0, None, 0
-    for pdf in pdfs:
-        if pdf.empty:
-            continue
-        pdf = pdf.sort_values("ts")
+    # A group arrives as MULTIPLE Arrow chunks with no cross-chunk order
+    # guarantee (arrow.maxRecordsPerBatch splits big groups): concatenate
+    # first, sort ONCE, then run the order-sensitive gap scan — per-chunk
+    # sorting would interleave time ranges and mis-measure gaps.
+    parts = [p for p in pdfs if not p.empty]
+    if parts:
+        pdf = pd.concat(parts).sort_values("ts")
         us = (
             pd.to_datetime(pdf["ts"]).astype("datetime64[us]").astype("int64")
         ).to_numpy()
@@ -593,10 +596,12 @@ def _ewma_fn(key, pdfs, state):
     n, ewma, ewvar, n_anom = (
         state.get if state.exists else (0, 0.0, 0.0, 0)
     )
-    for pdf in pdfs:
-        if pdf.empty:
-            continue
-        pdf = pdf.sort_values(["ts", "event_id"])
+    # Concatenate ALL Arrow chunks before the single sort: the recurrence
+    # is order-defined, and chunks of one group carry no mutual order
+    # (same rule as _user_stats_fn).
+    parts = [p for p in pdfs if not p.empty]
+    if parts:
+        pdf = pd.concat(parts).sort_values(["ts", "event_id"])
         n, ewma, ewvar, n_anom = ewma_update(
             n, ewma, ewvar, n_anom, pdf["value"].to_numpy()
         )

@@ -411,3 +411,21 @@ def test_branch_isolation_on_pre_refs_table(spark, tmp_path):
     assert read_snapshot(spark, t).count() == 8
     assert snap.read_ref(spark, t, "dev").count() == 11
     assert _json.loads(snap._refs_path(t).read_text())["branches"]["main"] == 1
+
+
+def test_delete_with_predicate_on_evolved_column(spark, tmp_path):
+    """DELETE over a column added by schema evolution: old files lack the
+    column, which must read as NULL (surviving) rather than failing to
+    resolve in the survivors rewrite."""
+    from lakehouse_variance_spark.sources import snapshots as snap
+
+    t = str(tmp_path / "t")
+    base = spark.createDataFrame([(1, 10), (2, 20)], "id long, a long")
+    write_snapshot(base, t, mode="overwrite")
+    evolved = spark.createDataFrame(
+        [(3, 30, "x"), (4, 40, "y")], "id long, a long, c string"
+    )
+    write_snapshot(evolved, t, mode="append")
+    snap.delete_from_snapshot(spark, t, "c = 'x'")
+    left = {r.id for r in read_snapshot(spark, t).collect()}
+    assert left == {1, 2, 4}  # old rows (c NULL) survive; only id=3 deleted
