@@ -227,3 +227,64 @@ def test_transform_with_state_matches_batch_twin(spark):
     s = stream.toPandas().sort_values(key).reset_index(drop=True)
     b = batch.toPandas().sort_values(key).reset_index(drop=True)
     pd.testing.assert_frame_equal(s[key + ["n"]], b[key + ["n"]], check_dtype=False)
+
+
+def test_ewma_correct_when_groups_span_arrow_chunks(spark):
+    """Groups larger than arrow.maxRecordsPerBatch arrive as multiple
+    unordered chunks; the recurrence must still process the group in
+    global (ts, event_id) order (regression: per-chunk sorting)."""
+    from lakehouse_variance_spark import registry
+    from lakehouse_variance_spark.streaming.logs import ewma_update
+    from lakehouse_variance_spark.tables import load_table
+
+    registry.load_all()
+    prev = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "4")
+    try:
+        out = {
+            r.user_id: (r.n_events, r.ewma, r.ewvar, r.n_anomalies)
+            for r in registry.QUERIES["stream_ewma_anomaly"](
+                spark, "/root/testdata/sf0.001"
+            ).collect()
+        }
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", prev)
+    rows = (
+        load_table(spark, "/root/testdata/sf0.001", "events")
+        .select("user_id", "event_id", "ts", "value")
+        .collect()
+    )
+    per_user: dict = {}
+    for r in sorted(rows, key=lambda r: (r.ts is None, r.ts, r.event_id)):
+        per_user.setdefault(r.user_id, []).append(r.value)
+    assert len(out) > 0
+    for uid, vals in per_user.items():
+        expect = ewma_update(0, 0.0, 0.0, 0, vals)
+        assert out[uid] == expect, f"user {uid} diverged"
+
+
+def test_stream_hwm_survives_interleaved_batch_commits(spark, tmp_path):
+    """Replay detection via the parent-chain high-water mark must see
+    through non-stream commits interleaved between micro-batches."""
+    from lakehouse_variance_spark.sources.snapshots import (
+        read_snapshot,
+        snapshot_batch_writer,
+        write_snapshot,
+    )
+    from lakehouse_variance_spark.tables import load_table
+
+    t = str(tmp_path / "t")
+    df = load_table(spark, "/root/testdata/sf0.001", "orders").select(
+        "o_orderkey"
+    )
+    writer = snapshot_batch_writer(t)
+    writer(df.limit(5), 0)
+    write_snapshot(df.limit(3), t, mode="append")  # batch-unrelated commit
+    writer(df.limit(7), 1)
+    n = read_snapshot(spark, t).count()
+    assert n == 15
+    writer(df.limit(7), 1)  # replay across the interleaved commit: no-op
+    writer(df.limit(7), 0)  # stale replay: no-op
+    assert read_snapshot(spark, t).count() == n
+    writer(df.limit(2), 2)  # genuinely new batch lands
+    assert read_snapshot(spark, t).count() == n + 2
