@@ -99,8 +99,17 @@ HEADLINE_QUERIES = (
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1])
+    try:
+        sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1])
+    except ValueError:
+        sf = None  # non-sf<N> directory: still bench, just no sf tag
     registry.load_all()
+    # Fail FAST on a renamed/typo'd headline entry — silently skipping one
+    # would shrink the reported total and read as a phantom speedup when
+    # BENCH_r{N}.json files are compared across rounds.
+    missing = [n for n in HEADLINE_QUERIES if n not in registry.QUERIES]
+    if missing:
+        raise KeyError(f"headline queries not in registry: {missing}")
     spark = build_session(app_name="lvs-bench")
     # Keep stderr to the per-query timing lines: the scheduling sim's
     # driver-side small-N windows legitimately run single-partition (see
@@ -113,15 +122,11 @@ def main() -> None:
     # timed pass below measures steady state, which is what scales to a
     # long-running cluster.
     for name in HEADLINE_QUERIES:
-        fn = registry.QUERIES.get(name)
-        if fn is not None:
-            fn(spark, sf_dir).count()
+        registry.QUERIES[name](spark, sf_dir).count()
 
     timings: dict[str, float] = {}
     for name in HEADLINE_QUERIES:
-        fn = registry.QUERIES.get(name)
-        if fn is None:
-            continue
+        fn = registry.QUERIES[name]
         start = time.perf_counter()
         df = fn(spark, sf_dir)
         n = df.count()  # drain (run_workload.py:38-44 drains the cursor)

@@ -1,15 +1,15 @@
 """Simulate the driver's t1 smoke + t2 correctness gate end-to-end."""
-import hashlib, json, os, sys
+import json, os, sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import duckdb, pandas as pd
 import __spark_entry__ as e
 from lakehouse_variance_spark.session import build_session
+from scripts.canon import canon_hash, register_views
 
 SF001 = "/root/testdata/sf0.001"
 SF01 = "/root/testdata/sf0.01"
-TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
 
 spark = build_session(app_name="driver-sim", shuffle_partitions=8)
 
@@ -20,20 +20,7 @@ print(f"t1 smoke: entry() -> {len(rows)} rows, schema={[f.name for f in df.schem
 assert len(rows) > 0
 
 con = duckdb.connect()
-for t in TABLES:
-    con.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF01}/{t}.parquet')")
-
-def canon_hash(pdf):
-    # Mirror the real driver: sort columns by name, sort rows via
-    # sort_values (raises TypeError on unhashable cells, e.g. list columns —
-    # exactly as the driver's canonicalizer does), and stringify values
-    # preserving the int-vs-float distinction at full precision (bigint 5
-    # must NOT hash equal to DuckDB HUGEINT->float64 5.0).
-    pdf = pdf.reindex(sorted(pdf.columns), axis=1)
-    if len(pdf.columns):
-        pdf = pdf.sort_values(by=list(pdf.columns), kind="mergesort")
-    recs = ["|".join(str(v) for v in r) for _, r in pdf.iterrows()]
-    return hashlib.md5("\n".join(recs).encode()).hexdigest()
+register_views(con, SF01)
 
 qs, oracles = e.queries(), e.oracle_sql()
 ok = fail = rows_only = 0

@@ -7,7 +7,6 @@ latent driver failure.
 
 Usage: python scripts/hostile_sweep.py   # ~5 min; exits non-zero on any failure
 """
-import hashlib
 import os
 import sys
 
@@ -17,12 +16,9 @@ import duckdb
 from pyspark.sql import SparkSession
 
 from lakehouse_variance_spark import registry
+from scripts.canon import canon_hash as canon, register_views
 
 SF = "/root/testdata/sf0.01"
-TABLES = (
-    "region nation customer supplier part orders lineitem events "
-    "documents embeddings"
-).split()
 
 registry.load_all()
 spark = (
@@ -32,17 +28,7 @@ spark = (
     .getOrCreate()  # default 200 shuffle partitions — NOT our build_session
 )
 con = duckdb.connect()
-for t in TABLES:
-    con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')")
-
-
-def canon(pdf):
-    pdf = pdf.reindex(sorted(pdf.columns), axis=1)
-    if len(pdf.columns):
-        pdf = pdf.sort_values(by=list(pdf.columns), kind="mergesort")
-    recs = ["|".join(str(v) for v in r) for _, r in pdf.iterrows()]
-    return hashlib.md5("\n".join(recs).encode()).hexdigest()
-
+register_views(con, SF)
 
 ok = bad = rows_only = 0
 for name in sorted(registry.QUERIES):
@@ -53,10 +39,22 @@ for name in sorted(registry.QUERIES):
         bad += 1
         continue
     if name not in registry.ORACLES:
+        try:
+            canon(spdf)  # the driver canonicalizes rows-only results too
+        except TypeError as exc:
+            print(f"  UNHASHABLE {name}: {exc}")
+            bad += 1
+            continue
         rows_only += 1
         continue
-    opdf = con.sql(registry.ORACLES[name]).df()
-    if canon(spdf) == canon(opdf) and len(spdf) == len(opdf):
+    try:
+        opdf = con.sql(registry.ORACLES[name]).df()
+        match = canon(spdf) == canon(opdf) and len(spdf) == len(opdf)
+    except Exception as exc:  # noqa: BLE001 — report, keep sweeping
+        print(f"  ORACLE-THROW {name}: {str(exc).splitlines()[0][:120]}")
+        bad += 1
+        continue
+    if match:
         ok += 1
     else:
         print(f"  MISMATCH {name}: {len(spdf)} vs {len(opdf)} rows")

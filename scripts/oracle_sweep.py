@@ -9,7 +9,6 @@ see the integer-cents fixes in streaming/logs.py and scheduling/queries.py).
 Usage: python scripts/oracle_sweep.py [/root/testdata/sf0.1]
 """
 
-import hashlib
 import os
 import sys
 import time
@@ -20,20 +19,7 @@ import duckdb
 
 from lakehouse_variance_spark import registry
 from lakehouse_variance_spark.session import build_session
-
-TABLES = (
-    "region nation customer supplier part orders lineitem events "
-    "documents embeddings"
-).split()
-
-
-def canon_hash(pdf) -> str:
-    pdf = pdf.reindex(sorted(pdf.columns), axis=1)
-    recs = [
-        "|".join(f"{v:.6g}" if isinstance(v, float) else str(v) for v in r)
-        for _, r in pdf.iterrows()
-    ]
-    return hashlib.md5("\n".join(sorted(recs)).encode()).hexdigest()
+from scripts.canon import canon_hash, register_views
 
 
 def main() -> int:
@@ -41,10 +27,7 @@ def main() -> int:
     registry.load_all()
     spark = build_session(app_name="oracle-sweep")
     con = duckdb.connect()
-    for t in TABLES:
-        con.sql(
-            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
-        )
+    register_views(con, sf_dir)
     fails = []
     for name in sorted(registry.ORACLES):
         t0 = time.time()

@@ -164,9 +164,15 @@ def build_dataset(spark) -> None:
 def main() -> None:
     registry.load_all()
     spark = build_session(app_name="scale-probe")
-    if not os.path.exists(os.path.join(DST, "lineitem.parquet")):
+    # Completion sentinel, written AFTER the last table: checking for
+    # lineitem.parquet alone would treat an interrupted build (lineitem
+    # written, events/documents missing or partial) as complete forever.
+    sentinel = os.path.join(DST, "_BUILD_COMPLETE")
+    if not os.path.exists(sentinel):
         t0 = time.perf_counter()
         build_dataset(spark)
+        with open(sentinel, "w", encoding="utf-8") as f:
+            f.write("ok\n")
         print(f"# built 10x dataset in {time.perf_counter()-t0:.1f}s",
               file=sys.stderr)
     rows = spark.read.parquet(f"{DST}/lineitem.parquet").count()
@@ -174,8 +180,15 @@ def main() -> None:
 
     print(f"{'query':35s} {'sf0.1':>8s} {'10x':>8s} {'ratio':>6s}")
     total_small = total_big = 0.0
+    import gc
+
     for name in PROBE_QUERIES:
         fn = registry.QUERIES[name]
+        # Release the previous query's localCheckpoint RDD blocks before
+        # timing: checkpointed intermediates free on Python GC, and letting
+        # dozens pile up skews later measurements (a 3.9s query read 14.8s
+        # late in a 69-query session before this collect).
+        gc.collect()
         fn(spark, SRC).count()  # warm codegen
         t0 = time.perf_counter(); fn(spark, SRC).count()
         small = time.perf_counter() - t0
