@@ -479,3 +479,94 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
             "exceeds the iteration budget"
         )
     return labels.select("doc_id", F.col("label").alias("component_id"))
+
+
+def _cc_star_labels(edges: DataFrame) -> DataFrame:
+    """Large-star/small-star connected components (Kiveris et al. 2014,
+    "Connected Components in MapReduce and Beyond" — public): alternate two
+    edge rewrites until the edge set is stable; at fixpoint every vertex is
+    linked directly to its component's minimum id.
+
+    * large-star keyed by u over its FULL neighborhood: link every larger
+      neighbor to m = min(N(u) ∪ {u});
+    * small-star keyed by u over its ≤-neighborhood: link those neighbors
+      (and u) to the local minimum.
+
+    Each round is two groupBy-min + join passes over the edge list —
+    the same shuffle shape as one label-propagation round — but rounds
+    needed are O(log n) instead of the graph diameter, which is the whole
+    upgrade: a 10,000-hop chain converges in ~14 rounds, not 10,000.
+    Edges shrink toward |V| as stars contract, so later rounds are cheap.
+    """
+    edges = (
+        edges.filter(F.col("s") != F.col("d"))
+        .select("s", "d")
+        .distinct()
+        .localCheckpoint()
+    )
+    for _ in range(64):  # 2^64 vertices — unreachable; loop exits on fixpoint
+        # --- large-star ---
+        adj = edges.unionByName(
+            edges.select(F.col("d").alias("s"), F.col("s").alias("d"))
+        )
+        m_full = adj.groupBy("s").agg(
+            F.least(F.min("d"), F.first("s")).alias("m")
+        )
+        large = (
+            adj.join(m_full, "s")
+            .filter(F.col("d") > F.col("s"))
+            .select(F.col("d").alias("s"), F.col("m").alias("d"))
+        )
+        # --- small-star ---
+        low = adj.filter(F.col("d") <= F.col("s"))
+        m_low = low.groupBy("s").agg(
+            F.least(F.min("d"), F.first("s")).alias("m")
+        )
+        small = (
+            low.join(m_low, "s")
+            .select(F.col("d").alias("s"), F.col("m").alias("d"))
+            .unionByName(m_low.select("s", F.col("m").alias("d")))
+        )
+        new_edges = (
+            large.unionByName(small)
+            .filter(F.col("s") != F.col("d"))
+            .distinct()
+            .localCheckpoint()
+        )
+        changed = (
+            new_edges.exceptAll(edges).count() + edges.exceptAll(new_edges).count()
+        )
+        edges = new_edges
+        if changed == 0:
+            break
+    # Fixpoint edges are (v, root): every non-root points at its component
+    # min; roots get their own row.
+    verts = edges.select("s").unionByName(edges.select(F.col("d").alias("s")))
+    return (
+        verts.distinct()
+        .join(edges.withColumnsRenamed({"s": "doc_id", "d": "root"}),
+              F.col("s") == F.col("doc_id"), "left")
+        .select(
+            F.col("s").alias("doc_id"),
+            F.coalesce(F.col("root"), F.col("s")).alias("component_id"),
+        )
+        .groupBy("doc_id")
+        .agg(F.min("component_id").alias("component_id"))
+    )
+
+
+@register("dedup_cc_star", oracle=_ORACLES["dedup_connected_components"])
+def dedup_cc_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB connected-components path promised in
+    dedup_connected_components' docstring, made real: large-star/small-star
+    over the same Jaccard pair graph, same output contract (doc_id →
+    minimum-id component keeper), same recursive-CTE oracle — but O(log n)
+    rounds instead of graph-diameter rounds, so billion-node near-dup
+    graphs with long chains converge where label propagation would exhaust
+    any fixed iteration budget (the naive op now RAISES in that case; this
+    one is the documented fix). Chain-convergence law tested in
+    tests/test_dedup.py on a path graph longer than CC_MAX_ITERS."""
+    pairs = dedup_shingle_jaccard(spark, sf_dir).select(
+        F.col("doc_a").alias("s"), F.col("doc_b").alias("d")
+    )
+    return _cc_star_labels(pairs)

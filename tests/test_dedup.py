@@ -49,3 +49,34 @@ def test_embedding_keeper_is_idempotent(spark):
         for r in registry.QUERIES["dedup_embedding"](spark, SF_DIR).collect()
     }
     assert all(keeper <= vid for vid, keeper in res.items())
+
+
+def test_cc_star_converges_on_chains_longer_than_iter_budget(spark):
+    """The large-star/small-star variant converges in O(log n) rounds on a
+    path graph whose diameter exceeds CC_MAX_ITERS — the exact case where
+    the label-propagation op raises — and agrees with it wherever both
+    run."""
+    from lakehouse_variance_spark import registry
+    from lakehouse_variance_spark.operators.dedup import CC_MAX_ITERS, _cc_star_labels
+
+    registry.load_all()
+    n = CC_MAX_ITERS + 15  # diameter > iteration budget
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(n)], "s long, d long"
+    )
+    out = {r.doc_id: r.component_id for r in _cc_star_labels(chain).collect()}
+    assert len(out) == n + 1 and set(out.values()) == {0}
+    # agreement with the propagation op on the real pair graph
+    a = sorted(
+        (r.doc_id, r.component_id)
+        for r in registry.QUERIES["dedup_connected_components"](
+            spark, "/root/testdata/sf0.001"
+        ).collect()
+    )
+    b = sorted(
+        (r.doc_id, r.component_id)
+        for r in registry.QUERIES["dedup_cc_star"](
+            spark, "/root/testdata/sf0.001"
+        ).collect()
+    )
+    assert a == b
