@@ -424,11 +424,11 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     edge list to the current labels, takes the per-vertex neighborhood min,
     and stops when no label changes (an inherently iterative algorithm — the
     loop is control flow only; all data work is distributed joins/aggs on the
-    vertex key). Rounds needed = graph diameter; at 100 TB swap the
-    propagation body for the large-star/small-star alternation (Kiveris et
-    al.), which contracts the same components in O(log n) rounds with
-    identical output. The oracle is DuckDB's recursive-CTE reachability over
-    the same pair query."""
+    vertex key). Rounds needed = graph diameter; the 100 TB path is
+    ``dedup_cc_star`` below — the large-star/small-star alternation
+    (Kiveris et al.), which contracts the same components in O(log n)
+    rounds with identical output. The oracle is DuckDB's recursive-CTE
+    reachability over the same pair query."""
     pairs = dedup_shingle_jaccard(spark, sf_dir).select("doc_a", "doc_b")
     edges = (
         pairs.select(F.col("doc_a").alias("s"), F.col("doc_b").alias("d"))
