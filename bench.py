@@ -134,17 +134,27 @@ def main() -> None:
         print(f"# {name}: {timings[name]:.3f}s ({n} rows)", file=sys.stderr)
 
     total = round(sum(timings.values()), 4)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_suite_runtime",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-            }
-        )
+    line = json.dumps(
+        {
+            "metric": "headline_suite_runtime",
+            "value": total,
+            "unit": "sec",
+            "queries": timings,
+            "sf": sf,
+        },
+        separators=(",", ":"),
     )
+    # The driver captures a byte-bounded TAIL of the output; r2 and r4 both
+    # lost the head of this (long) line to that window. Defense in depth:
+    # (a) persist the identical JSON next to the script so the artifact
+    # survives any stream truncation, (b) end BOTH streams with the line,
+    # explicitly flushed, so whichever stream the driver tails terminates
+    # with a complete copy.
+    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "BENCH_SELF.json"), "w") as fh:
+        fh.write(line + "\n")
+    print(line, file=sys.stderr, flush=True)
+    print(line, flush=True)
 
 
 if __name__ == "__main__":

@@ -483,6 +483,9 @@ def vocab_fuzzy_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).filter(F.col("dist") <= 2)
 
 
+CMS_CAND = 256  # bounded candidate set scored against the sketch
+
+
 @register("vocab_cms_topk")
 def vocab_cms_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Count-min-sketch frequency estimation over corpus tokens (Cormode &
@@ -493,10 +496,11 @@ def vocab_cms_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     The sketch (eps=0.001, conf=0.99, seed=42 -> ~2.7k x 5 int64 cells,
     ~100 KB) is a fixed-size MERGEABLE state: partials build map-side and
     merge in one reduce, cost independent of both corpus size and
-    cardinality. Candidate tokens come from the exact vocab table (tiny
-    here; at scale, from a sampled candidate pass) and are scored
-    driver-side against the merged sketch — a |vocab|-sized loop, not a
-    data-scale one. Registered rows-only (the estimate is
+    cardinality. Candidate tokens come from a SAMPLED pre-pass whose
+    top-CMS_CAND is a distributed TakeOrderedAndProject — the driver never
+    sees more than CMS_CAND candidate rows regardless of vocabulary size —
+    and only candidates get exact counts (broadcast semi-reduce) and
+    driver-side sketch scoring. Registered rows-only (the estimate is
     implementation-specific); the CMS envelope (never undercounts;
     overcount <= eps * stream length w.h.p.) is asserted in
     tests/test_redaction.py.
@@ -512,8 +516,20 @@ def vocab_cms_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     sketch = spark.sparkContext._jvm.org.apache.spark.util.sketch.CountMinSketch.readFrom(
         bytes(agg["cms"])
     )
+    # Bounded candidate set: sampled counts -> distributed top-CMS_CAND.
+    # A heavy hitter with true share phi appears in a 50% sample's top-256
+    # w.h.p.; the exact-count pass below then touches only candidates.
+    cand = (
+        toks.sample(fraction=0.5, seed=42)
+        .groupBy("w")
+        .agg(F.count("*").alias("n_sampled"))
+        .orderBy(F.desc("n_sampled"), "w")
+        .limit(CMS_CAND)
+        .select("w")
+    )
     exact = (
-        toks.groupBy("w")
+        toks.join(F.broadcast(cand), "w")
+        .groupBy("w")
         .agg(F.count("*").cast("bigint").alias("n_exact"))
         .collect()
     )

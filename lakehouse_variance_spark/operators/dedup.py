@@ -279,26 +279,86 @@ def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     included) — the one-hop keeper rule used to pick a canonical
     representative per near-dup cluster.
 
-    Exact all-pairs with the small side broadcast is the correctness
-    baseline here; at 100 TB the candidate pairs come from the LSH / IVF
-    index in similarity.py instead and only candidates are cosine-verified,
-    so cost tracks true neighborhood size, not |corpus|²."""
+    EXACT result via candidate pruning, never all-pairs: a seeded KMeans
+    coarse quantizer assigns every (unit-normalized) vector to a cluster;
+    for clusters i,j a qualifying pair (cos >= t  ⟺  ||u_a - u_b|| <=
+    θ = sqrt(2-2t)) can only exist if ||c_i - c_j|| <= r_i + r_j + θ
+    (triangle inequality through both centroids), so only those cluster
+    PAIRS are joined — an equi-join on cluster id against a tiny broadcast
+    pair table — and cosine is verified on candidates only. Full recall is
+    guaranteed by the bound (no LSH miss probability); pruning power grows
+    with the threshold and with cluster tightness. At 100 TB the corpus is
+    laid out partitioned by cluster id (see ann_ivf_topk) and each cluster
+    pair is a co-located partition join; the all-pairs broadcast variant
+    survives only as the test oracle (tests/test_dedup.py)."""
+    import numpy as np
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
     from lakehouse_variance_spark.operators.similarity import _prepped, dot
 
     emb = _prepped(load_table(spark, sf_dir, "embeddings"), "vec_id", "embedding")
-    a = emb.withColumnsRenamed({"v": "va", "nrm": "na"})
-    b = emb.withColumnsRenamed({"vec_id": "vec_b", "v": "vb", "nrm": "nb"})
-    cos = dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
-    joined = a.join(
-        F.broadcast(b),
-        (F.col("vec_id") != F.col("vec_b")) & (cos >= EMB_DUP_THRESHOLD),
-        "left",
+    unit = emb.select(
+        "vec_id",
+        F.zip_with(
+            "v", F.array_repeat("nrm", F.size("v")), lambda x, n: x / n
+        ).alias("u"),
     )
-    return joined.groupBy("vec_id").agg(
-        F.least(
-            F.col("vec_id"), F.coalesce(F.min("vec_b"), F.col("vec_id"))
-        ).alias("keeper_id"),
-        F.count("vec_b").alias("n_similar"),
+    feats = unit.withColumn("features", array_to_vector("u")).localCheckpoint()
+    k = max(2, min(32, feats.count() // 64 + 1))
+    model = KMeans(
+        k=k, seed=0, featuresCol="features", predictionCol="cluster"
+    ).fit(feats)
+    assigned = model.transform(feats).drop("features")
+    centers = np.array([c for c in model.clusterCenters()], dtype=np.float64)
+    cent_df = spark.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(centers)],
+        "cluster int, cvec array<double>",
+    )
+    l2 = F.sqrt(
+        F.aggregate(
+            F.zip_with("u", "cvec", lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+    radii = {
+        r["cluster"]: r["radius"]
+        for r in assigned.join(F.broadcast(cent_df), "cluster")
+        .groupBy("cluster")
+        .agg(F.max(l2).alias("radius"))
+        .collect()
+    }
+    theta = float(np.sqrt(2.0 - 2.0 * EMB_DUP_THRESHOLD))
+    cand_pairs = [
+        (i, j)
+        for i in radii
+        for j in radii
+        if float(np.linalg.norm(centers[i] - centers[j]))
+        <= radii[i] + radii[j] + theta
+    ]
+    pairs_df = spark.createDataFrame(cand_pairs, "ca int, cb int")
+    a = assigned.withColumnsRenamed({"u": "ua", "cluster": "ca"})
+    b = assigned.withColumnsRenamed(
+        {"vec_id": "vec_b", "u": "ub", "cluster": "cb"}
+    )
+    cos = dot(F.col("ua"), F.col("ub"))
+    matched = (
+        a.join(F.broadcast(pairs_df), "ca")
+        .join(b, "cb")
+        .filter((F.col("vec_id") != F.col("vec_b")) & (cos >= EMB_DUP_THRESHOLD))
+        .select("vec_id", "vec_b")
+    )
+    return (
+        unit.select("vec_id")
+        .join(matched, "vec_id", "left")
+        .groupBy("vec_id")
+        .agg(
+            F.least(
+                F.col("vec_id"), F.coalesce(F.min("vec_b"), F.col("vec_id"))
+            ).alias("keeper_id"),
+            F.count("vec_b").alias("n_similar"),
+        )
     )
 
 

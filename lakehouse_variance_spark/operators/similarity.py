@@ -486,6 +486,24 @@ def arrow_vector_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
 PQ_M = 8  # subspaces (64-dim vectors -> 8 dims per subspace)
 PQ_K = 16  # centroids per subspace (4-bit codes)
 PQ_RERANK = 4  # exact re-rank pool = PQ_RERANK * TOP_K ADC candidates
+PQ_TRAIN_CAP = 4096  # hard bound on driver-side training rows
+
+
+def _pq_training_sample(unit: DataFrame, cap: int = PQ_TRAIN_CAP) -> np.ndarray:
+    """Deterministic, BOUNDED driver-side training sample.
+
+    Top-`cap` rows by hashed id — Spark plans this as per-partition top-k
+    merged at the driver (TakeOrderedAndProject), so at most `cap` rows
+    ever cross the executor→driver boundary no matter the corpus size.
+    xxhash64 gives a corpus-independent pseudo-random-but-stable pick;
+    vec_id breaks hash ties so the sample is unique."""
+    rows = (
+        unit.select("vec_id", "u")
+        .orderBy(F.xxhash64("vec_id"), "vec_id")
+        .limit(cap)
+        .collect()
+    )
+    return np.array([r.u for r in rows], dtype=np.float64)
 
 
 def _pq_train_codebooks(vecs: np.ndarray) -> np.ndarray:
@@ -542,11 +560,8 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.zip_with("v", F.array_repeat("nrm", F.size("v")), lambda x, n: x / n)
         .alias("u"),
     )
-    # -- train on a (deterministic) sample collected to the driver
-    train = np.array(
-        [r.u for r in unit.filter(F.pmod("vec_id", F.lit(2)) == 0).collect()],
-        dtype=np.float64,
-    )
+    # -- train on a deterministic sample hard-capped at PQ_TRAIN_CAP rows
+    train = _pq_training_sample(unit)
     books = _pq_train_codebooks(train)
     b_books = spark.sparkContext.broadcast(books)
     dsub = books.shape[2]

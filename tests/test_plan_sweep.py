@@ -21,6 +21,36 @@ registry.load_all()
 #   computation is text_chunk_dedup / mapInArrow operators.
 ROW_PYTHON_ALLOWED = {"udtf_chunk_documents"}
 
+# BroadcastNestedLoopJoin is allowed ONLY where the broadcast side is a
+# 1-row (or few-row constant) scalar — e.g. joining a global average back
+# to every row (the TPC-H q14 / TPC-DS q1-correlated-average shape), where
+# the "nested loop" is a constant probe, not an all-pairs scan. Anything
+# joining two data-scaled relations through BNLJ is an O(n*m) scale killer
+# and must be rewritten as an equi-join over candidates.
+# Each allowlisted name below is audited: the BNLJ build side is a
+# no-grouping-key aggregate (exactly one row), a fixed constant-size query
+# set, or a literal frame — never a data-scaled relation.
+BNLJ_ALLOWED: set[str] = {
+    # 1-row global-aggregate broadcasts joined back to every row:
+    "trace_workload_summary",       # across_runs x across_queries, 1 row each
+    "trace_variance_decomposition", # per_run x grand total (1 row)
+    "trace_config_delta",           # variant x base summary (1 row)
+    "data_mixture_weights",         # per_src x corpus total (1 row)
+    "text_bigram_pmi",              # bigrams x token total (1 row)
+    "text_doc_rarity_score",        # docs x n_total (1 row)
+    "frequent_items_revenue",       # agg x global threshold (1 row)
+    "cross_channel_items_rollup",   # rollup x grand total (1 row)
+    "scalar_ratio_am_pm",           # am (1 row) x pm (1 row)
+    "sql_text_recursive_calendar",  # literal recursive-CTE calendar frame
+    # Constant-size query-set broadcasts (N_QUERY_VECS=5 fixed, not data-
+    # scaled) probing the corpus in one pass:
+    "embed_cosine_topk",
+    "ann_ivf_topk",
+    # Documented exact all-pairs correctness BASELINE; the scale paths are
+    # ann_lsh_topk / ann_ivf_topk / dedup_embedding's cluster-pruned join:
+    "embed_cosine_pairs",
+}
+
 
 def test_no_cartesian_or_row_python_anywhere(spark):
     offenders: dict[str, list[str]] = {}
@@ -31,6 +61,8 @@ def test_no_cartesian_or_row_python_anywhere(spark):
             flags.append("CartesianProduct")
         if "BatchEvalPython" in plan and name not in ROW_PYTHON_ALLOWED:
             flags.append("BatchEvalPython")
+        if "BroadcastNestedLoopJoin" in plan and name not in BNLJ_ALLOWED:
+            flags.append("BroadcastNestedLoopJoin")
         if flags:
             offenders[name] = flags
     assert not offenders, f"plan anti-patterns: {offenders}"
