@@ -100,14 +100,15 @@ CLASSES = [
     "birdal", "infants", "accessories",
 ]
 COLORS = [
-    "powder", "khaki", "orchid", "peach", "slate", "forest", "lime",
-    "blanched", "almond", "navajo", "dark", "aquamarine", "frosted",
-    "rose", "chiffon", "burnished", "antique", "metallic", "beige",
-    "chartreuse", "dim", "green", "smoke", "medium",
+    "powder", "khaki", "slate", "forest", "blanched", "burnished",
+    "brown", "honeydew", "cyan", "papaya", "floral", "deep", "ghost",
+    "light", "cornflower", "midnight", "snow", "orange", "frosted",
+    "pale", "purple", "burlywood", "indian", "spring", "medium",
+    "almond",
 ]
 SIZES = ["small", "medium", "large", "extra large", "economy", "N/A", "petite"]
-UNITS = ["Each", "Dozen", "Case", "Pallet", "Gross", "Box", "Bunch",
-         "Carton", "Unknown", "Oz"]
+UNITS = ["Box", "Pound", "Bunch", "Ton", "Cup", "Dram", "Each", "Tbl",
+         "Lb", "Bundle", "N/A", "Dozen", "Ounce", "Oz", "Pallet", "Gross"]
 CITIES = [
     "Midway", "Fairview", "Oakland", "Bethel", "Pleasant Hill",
     "Centerville", "Salem", "Springdale", "Union", "Greenfield",
@@ -116,18 +117,20 @@ CITIES = [
 ]
 COUNTIES = [
     "Williamson County", "Walker County", "Ziebach County", "Daviess County",
-    "Barrow County", "Franklin Parish", "Luce County", "Richland County",
-    "Bronx County", "Orange County",
+    "Rush County", "Toole County", "Jefferson County", "Dona Ana County",
+    "La Porte County", "Barrow County", "Franklin Parish", "Luce County",
+    "Richland County", "Bronx County", "Orange County",
 ]
 STATES = ["TN", "GA", "SD", "TX", "CA", "OH", "IL", "VA", "WA", "NC",
-          "KY", "IN", "MI", "FL", "NY"]
+          "KY", "IN", "MI", "FL", "NY", "CO", "NJ", "NM", "LA", "IA",
+          "AR", "MS", "ND", "OK", "OR", "MN", "WI", "CT"]
 STORE_STATES = ["TN", "SD", "GA", "TX", "OH", "CA"]
 COUNTRIES = ["United States", "Canada", "Mexico", "Brazil", "Germany",
              "France", "Japan", "India"]
 DAY_NAMES = ["Sunday", "Monday", "Tuesday", "Wednesday", "Thursday",
              "Friday", "Saturday"]
 STORE_NAMES = ["ought", "able", "ese", "anti", "cally", "ation", "eing", "bar"]
-BUY_POTENTIAL = [">10000", "Unknown", "1001-5000", "5001-10000",
+BUY_POTENTIAL = [">10000", "unknown", "1001-5000", "5001-10000",
                  "501-1000", "0-500"]
 EDUCATION = ["Primary", "Secondary", "College", "2 yr Degree",
              "4 yr Degree", "Advanced Degree", "Unknown"]
@@ -136,9 +139,23 @@ CREDIT = ["Low Risk", "Good", "High Risk", "Unknown"]
 SM_TYPES = ["EXPRESS", "NEXT DAY", "OVERNIGHT", "REGULAR", "LIBRARY"]
 SM_CODES = ["AIR", "SURFACE", "SEA", "SHIP"]
 SM_CARRIERS = ["UPS", "FEDEX", "AIRBORNE", "USPS", "TBS", "ZHOU",
-               "LATVIAN", "MSC", "DIAMOND", "BARIAN"]
+               "LATVIAN", "MSC", "DIAMOND", "BARIAN", "DHL", "ORIENTAL"]
 WEB_COMPANIES = ["pri", "unknown", "able", "ought", "bar", "ese"]
 SALUTATIONS = ["Mr.", "Mrs.", "Ms.", "Dr.", "Miss", "Sir"]
+ZIPS = [
+    "30122", "30431", "30010", "30469", "30625", "30903", "31016",
+    "31029", "31387", "31671", "32213", "32754", "33123", "33282",
+    "33515", "34102", "34322", "34425", "35258", "35474", "35850",
+    "36420", "36446", "36634", "37125", "38122", "38415", "38935",
+    "39127", "39516", "39736", "39972", "40162", "40604", "41248",
+    "41766", "42029", "24128", "76232", "65084",
+]
+BRANDS = [
+    "scholaramalgamalg #14", "scholaramalgamalg #7", "exportiunivamalg #9",
+    "scholaramalgamalg #9", "amalgimporto #1", "edu packscholar #1",
+    "exportiimporto #1", "importoamalg #1", "corpnameless #3",
+    "edu packamalg #2", "importobrand #4", "univunivamalg #5",
+]
 
 
 def _date_dim() -> str:
@@ -220,20 +237,20 @@ SELECT {k} AS i_item_sk,
        1 + ({k} * 13) % 99 AS i_current_price,
        1 + ({k} * 7) % 80 AS i_wholesale_cost,
        1001001 + ({k} * 17) % 1000 AS i_brand_id,
-       p_brand AS i_brand,
+       {_pick(f'{k} * 13', BRANDS)} AS i_brand,
        1 + ({k} * 3) % {len(CLASSES)} AS i_class_id,
        {_pick(f'{k} * 3', CLASSES)} AS i_class,
        1 + {k} % {len(CATEGORIES)} AS i_category_id,
        {_pick(k, CATEGORIES)} AS i_category,
-       ({k} * 11) % 1000 AS i_manufact_id,
-       'Manufact#' || CAST(({k} * 11) % 1000 AS VARCHAR(4)) AS i_manufact,
+       ({k} * 11) % 997 AS i_manufact_id,
+       'Manufact#' || CAST(({k} * 11) % 997 AS VARCHAR(4)) AS i_manufact,
        {_pick(f'{k} * 5', SIZES)} AS i_size,
        lpad(CAST(({k} * 19) % 100000 AS VARCHAR(8)), 20, '0')
            AS i_formulation,
        {_pick(f'{k} * 7', COLORS)} AS i_color,
        {_pick(f'{k} * 23', UNITS)} AS i_units,
        'Unknown' AS i_container,
-       1 + ({k} * 29) % 100 AS i_manager_id,
+       1 + ({k} * 29) % 101 AS i_manager_id,
        p_name AS i_product_name
 FROM part
 """
@@ -245,13 +262,13 @@ def _customer() -> str:
 SELECT {k} AS c_customer_sk,
        'C' || lpad(CAST({k} AS VARCHAR(10)), 15, '0') AS c_customer_id,
        CASE WHEN ({k} * 7) % 41 = 0 THEN NULL
-            ELSE ({k} * 211) % {N_CD} END AS c_current_cdemo_sk,
+            ELSE {_hx(k, 11, N_CD)} END AS c_current_cdemo_sk,
        CASE WHEN ({k} * 11) % 43 = 0 THEN NULL
-            ELSE ({k} * 89) % {N_HD} END AS c_current_hdemo_sk,
-       ({k} * 31) % {N_ADDR} AS c_current_addr_sk,
-       ({k} * 97) % {N_DAYS} AS c_first_shipto_date_sk,
-       CASE WHEN ({k} * 97) % {N_DAYS} >= 30
-            THEN ({k} * 97) % {N_DAYS} - 30 ELSE 0 END
+            ELSE {_hx(k, 13, N_HD)} END AS c_current_hdemo_sk,
+       {_hx(k, 7, N_ADDR)} AS c_current_addr_sk,
+       {_hx(k, 3, N_DAYS)} AS c_first_shipto_date_sk,
+       CASE WHEN {_hx(k, 3, N_DAYS)} >= 30
+            THEN {_hx(k, 3, N_DAYS)} - 30 ELSE 0 END
            AS c_first_sales_date_sk,
        {_pick(k, SALUTATIONS)} AS c_salutation,
        'First' || CAST({k} % 500 AS VARCHAR(4)) AS c_first_name,
@@ -284,7 +301,7 @@ SELECT i AS ca_address_sk,
        {_pick('i * 13', CITIES)} AS ca_city,
        {_pick('i * 17', COUNTIES)} AS ca_county,
        {_pick('i * 19', STATES)} AS ca_state,
-       lpad(CAST(10000 + (i * 37) % 90000 AS VARCHAR(5)), 5, '0') AS ca_zip,
+       {_pick('i * 41', ZIPS)} AS ca_zip,
        CASE WHEN (i * 23) % 20 = 0 THEN {_pick('i * 29', COUNTRIES[1:])}
             ELSE 'United States' END AS ca_country,
        0 - (5 + (i * 7) % 4) AS ca_gmt_offset,
@@ -560,6 +577,26 @@ FROM part, {_seq(131)} s, {_seq(N_WH)} w
 
 _LK = "(l_orderkey * 7 + l_linenumber)"  # unique line key
 
+# Nonlinear portable mixer. Purely LINEAR spreads ((a*k) % m) leave exact
+# modular dependencies BETWEEN columns (e.g. a cd-attribute filter pinned
+# lk mod 70, which pinned l_linenumber, which — with the channel's
+# orderkey%3 split — made every surviving row's promo channel flag 'Y'
+# and silently emptied q7). A quadratic over a large prime field breaks
+# those cross-column linear relations while staying engine-exact in
+# BIGINT: (r² + salt·r + c) mod P with r = k mod P, P = 1e9+7, so the
+# largest intermediate is (P-1)² + 97(P-1) < 2^63.
+_P = 1000000007
+
+
+def _hx(expr: str, salt: int, m: int) -> str:
+    assert 0 < salt < 100
+    # Knuth-multiply FIRST so the mod-P wrap engages even for small keys
+    # (a bare quadratic of a 5-digit key never exceeds P, making mod P the
+    # identity and leaving the small-modulus structure intact); then one
+    # quadratic round over the wrapped residue breaks linear relations.
+    r = f"((({expr}) * 2654435761 + {salt}) % {_P})"
+    return f"((({r} * {r} + {r}) % {_P}) % {m})"
+
 
 def _sales_core(p: dict[str, int]) -> str:
     """Shared money/quantity machinery for one channel; `p` carries the
@@ -606,16 +643,16 @@ def _store_sales() -> str:
     net_paid = f"({ext_sales} - {coupon})"
     ext_whole = f"(CAST(round(l_quantity) AS BIGINT) * (({lk} * 53) % 100 + 1))"
     return f"""
-SELECT (o_orderkey * 2939) % {N_DAYS} AS ss_sold_date_sk,
-       ({lk} * 911) % {N_TIMES} AS ss_sold_time_sk,
+SELECT {_hx('o_orderkey', 29, N_DAYS)} AS ss_sold_date_sk,
+       {_hx(lk, 31, N_TIMES)} AS ss_sold_time_sk,
        l_partkey AS ss_item_sk,
        {_null_every('o_custkey', lk, 19)} AS ss_customer_sk,
-       {_null_every(f'({lk} * 89) % {N_CD}', lk, 23)} AS ss_cdemo_sk,
-       {_null_every(f'({lk} * 47) % {N_HD}', lk, 29)} AS ss_hdemo_sk,
-       {_null_every(f'(o_custkey * 31 + {lk} % 3) % {N_ADDR}', lk, 31)}
+       {_null_every(_hx(lk, 37, N_CD), lk, 23)} AS ss_cdemo_sk,
+       {_null_every(_hx(lk, 41, N_HD), lk, 29)} AS ss_hdemo_sk,
+       {_null_every(_hx('o_custkey', 43, N_ADDR), lk, 31)}
            AS ss_addr_sk,
-       {_null_every(f'(o_orderkey * 13) % {N_STORE}', lk, 37)} AS ss_store_sk,
-       {_null_every(f'({lk} * 17) % {N_PROMO}', lk, 11)} AS ss_promo_sk,
+       {_null_every(_hx('o_orderkey', 47, N_STORE), lk, 37)} AS ss_store_sk,
+       {_null_every(_hx(lk, 53, N_PROMO), lk, 11)} AS ss_promo_sk,
        o_orderkey AS ss_ticket_number,
        {_sales_core(p)},
        {net_paid} AS ss_net_paid,
@@ -639,26 +676,26 @@ def _catalog_sales() -> str:
     ext_whole = f"(CAST(round(l_quantity) AS BIGINT) * (({lk} * 59) % 100 + 1))"
     ship_cost = f"(CAST(round(l_quantity) AS BIGINT) * (({lk} * 19) % 50))"
     return f"""
-SELECT (o_orderkey * 2953) % {N_DAYS} AS cs_sold_date_sk,
-       ({lk} * 919) % {N_TIMES} AS cs_sold_time_sk,
-       least((o_orderkey * 2953) % {N_DAYS} + 1 + {lk} % 120, {N_DAYS - 1})
+SELECT {_hx('o_orderkey', 59, N_DAYS)} AS cs_sold_date_sk,
+       {_hx(lk, 61, N_TIMES)} AS cs_sold_time_sk,
+       least({_hx('o_orderkey', 59, N_DAYS)} + 1 + {lk} % 120, {N_DAYS - 1})
            AS cs_ship_date_sk,
        o_custkey AS cs_bill_customer_sk,
-       ({lk} * 89) % {N_CD} AS cs_bill_cdemo_sk,
-       ({lk} * 47) % {N_HD} AS cs_bill_hdemo_sk,
-       (o_custkey * 31 + {lk} % 3) % {N_ADDR} AS cs_bill_addr_sk,
+       {_hx(lk, 37, N_CD)} AS cs_bill_cdemo_sk,
+       {_hx(lk, 41, N_HD)} AS cs_bill_hdemo_sk,
+       {_hx('o_custkey', 43, N_ADDR)} AS cs_bill_addr_sk,
        {_null_every('o_custkey', lk, 19)} AS cs_ship_customer_sk,
-       ({lk} * 97) % {N_CD} AS cs_ship_cdemo_sk,
-       ({lk} * 43) % {N_HD} AS cs_ship_hdemo_sk,
-       {_null_every(f'(o_custkey * 37 + {lk} % 5) % {N_ADDR}', lk, 31)}
+       {_hx(lk, 67, N_CD)} AS cs_ship_cdemo_sk,
+       {_hx(lk, 71, N_HD)} AS cs_ship_hdemo_sk,
+       {_null_every(_hx('o_custkey', 73, N_ADDR), lk, 31)}
            AS cs_ship_addr_sk,
-       {_null_every(f'(o_orderkey * 5) % {N_CC}', lk, 37)}
+       {_null_every(_hx('o_orderkey', 79, N_CC), lk, 37)}
            AS cs_call_center_sk,
-       ({lk} * 3) % {N_CP} AS cs_catalog_page_sk,
-       ({lk} * 13) % {N_SM} AS cs_ship_mode_sk,
-       {_null_every(f'({lk} * 7) % {N_WH}', lk, 43)} AS cs_warehouse_sk,
+       {_hx(lk, 83, N_CP)} AS cs_catalog_page_sk,
+       {_hx(lk, 89, N_SM)} AS cs_ship_mode_sk,
+       {_null_every(_hx(lk, 97, N_WH), lk, 43)} AS cs_warehouse_sk,
        l_partkey AS cs_item_sk,
-       {_null_every(f'({lk} * 17) % {N_PROMO}', lk, 11)} AS cs_promo_sk,
+       {_null_every(_hx(lk, 53, N_PROMO), lk, 11)} AS cs_promo_sk,
        o_orderkey AS cs_order_number,
        {_sales_core(p)},
        {ship_cost} AS cs_ext_ship_cost,
@@ -685,25 +722,25 @@ def _web_sales() -> str:
     ext_whole = f"(CAST(round(l_quantity) AS BIGINT) * (({lk} * 61) % 100 + 1))"
     ship_cost = f"(CAST(round(l_quantity) AS BIGINT) * (({lk} * 23) % 50))"
     return f"""
-SELECT (o_orderkey * 2957) % {N_DAYS} AS ws_sold_date_sk,
-       ({lk} * 929) % {N_TIMES} AS ws_sold_time_sk,
-       least((o_orderkey * 2957) % {N_DAYS} + 1 + {lk} % 120, {N_DAYS - 1})
+SELECT {_hx('o_orderkey', 23, N_DAYS)} AS ws_sold_date_sk,
+       {_hx(lk, 19, N_TIMES)} AS ws_sold_time_sk,
+       least({_hx('o_orderkey', 23, N_DAYS)} + 1 + {lk} % 120, {N_DAYS - 1})
            AS ws_ship_date_sk,
        l_partkey AS ws_item_sk,
        o_custkey AS ws_bill_customer_sk,
-       ({lk} * 89) % {N_CD} AS ws_bill_cdemo_sk,
-       ({lk} * 47) % {N_HD} AS ws_bill_hdemo_sk,
-       (o_custkey * 31 + {lk} % 3) % {N_ADDR} AS ws_bill_addr_sk,
+       {_hx(lk, 37, N_CD)} AS ws_bill_cdemo_sk,
+       {_hx(lk, 41, N_HD)} AS ws_bill_hdemo_sk,
+       {_hx('o_custkey', 43, N_ADDR)} AS ws_bill_addr_sk,
        {_null_every('o_custkey', lk, 19)} AS ws_ship_customer_sk,
-       ({lk} * 97) % {N_CD} AS ws_ship_cdemo_sk,
-       ({lk} * 43) % {N_HD} AS ws_ship_hdemo_sk,
-       {_null_every(f'(o_custkey * 37 + {lk} % 5) % {N_ADDR}', lk, 31)}
+       {_hx(lk, 67, N_CD)} AS ws_ship_cdemo_sk,
+       {_hx(lk, 71, N_HD)} AS ws_ship_hdemo_sk,
+       {_null_every(_hx('o_custkey', 73, N_ADDR), lk, 31)}
            AS ws_ship_addr_sk,
-       ({lk} * 11) % {N_WP} AS ws_web_page_sk,
-       (o_orderkey * 7) % {N_WEBSITE} AS ws_web_site_sk,
-       ({lk} * 13) % {N_SM} AS ws_ship_mode_sk,
-       {_null_every(f'({lk} * 7) % {N_WH}', lk, 43)} AS ws_warehouse_sk,
-       {_null_every(f'({lk} * 17) % {N_PROMO}', lk, 11)} AS ws_promo_sk,
+       {_hx(lk, 13, N_WP)} AS ws_web_page_sk,
+       {_hx('o_orderkey', 17, N_WEBSITE)} AS ws_web_site_sk,
+       {_hx(lk, 89, N_SM)} AS ws_ship_mode_sk,
+       {_null_every(_hx(lk, 97, N_WH), lk, 43)} AS ws_warehouse_sk,
+       {_null_every(_hx(lk, 53, N_PROMO), lk, 11)} AS ws_promo_sk,
        o_orderkey AS ws_order_number,
        {_sales_core(p)},
        {ship_cost} AS ws_ext_ship_cost,

@@ -61,6 +61,7 @@ def load_all() -> None:
     from lakehouse_variance_spark.plans import (  # noqa: F401
         features,
         runner,
+        tpcds_texts,
         tpch_texts,
     )
     from lakehouse_variance_spark.scheduling import queries  # noqa: F401
