@@ -278,11 +278,11 @@ SELECT {k} AS c_customer_sk,
        1 + ({k} * 17) % 28 AS c_birth_day,
        1 + ({k} * 19) % 12 AS c_birth_month,
        1924 + ({k} * 23) % 70 AS c_birth_year,
-       {_pick(f'{k} * 29', COUNTRIES)} AS c_birth_country,
+       {_pick(f'{k} * 29', [c.upper() for c in COUNTRIES])} AS c_birth_country,
        CAST(NULL AS VARCHAR(10)) AS c_login,
        'user' || CAST({k} AS VARCHAR(10)) || '@example.com'
            AS c_email_address,
-       ({k} * 37) % {N_DAYS} AS c_last_review_date_sk
+       ({k} * 37) % {N_DAYS} AS c_last_review_date
 FROM customer
 """
 
@@ -376,7 +376,7 @@ SELECT i AS s_store_sk,
        {_pick('i * 7', CITIES[:5])} AS s_city,
        {_pick('i * 11', COUNTIES[:4])} AS s_county,
        {_pick('i * 13', STORE_STATES)} AS s_state,
-       lpad(CAST(30000 + i * 1111 AS VARCHAR(5)), 5, '0') AS s_zip,
+       {_pick('i * 7', ZIPS)} AS s_zip,
        'United States' AS s_country,
        0 - (5 + i % 2) AS s_gmt_offset,
        0 AS s_tax_precentage
