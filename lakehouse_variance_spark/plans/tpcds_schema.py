@@ -566,7 +566,9 @@ def _inventory() -> str:
 SELECT s.i * 14 AS inv_date_sk,
        p_partkey AS inv_item_sk,
        w.i AS inv_warehouse_sk,
-       (p_partkey * 17 + s.i * 13 + w.i * 7) % 1000 AS inv_quantity_on_hand
+       CASE WHEN (p_partkey * 13 + s.i * 3 + w.i) % 7 < 5 THEN 0
+            ELSE (p_partkey * 17 + s.i * 13 + w.i * 7) % 1000
+       END AS inv_quantity_on_hand
 FROM part, {_seq(131)} s, {_seq(N_WH)} w
 """
 
@@ -653,7 +655,7 @@ SELECT {_hx('o_orderkey', 29, N_DAYS)} AS ss_sold_date_sk,
            AS ss_addr_sk,
        {_null_every(_hx('o_orderkey', 47, N_STORE), lk, 37)} AS ss_store_sk,
        {_null_every(_hx(lk, 53, N_PROMO), lk, 11)} AS ss_promo_sk,
-       o_orderkey AS ss_ticket_number,
+       o_custkey * 4 + o_orderkey % 4 AS ss_ticket_number,
        {_sales_core(p)},
        {net_paid} AS ss_net_paid,
        {net_paid} + {tax} AS ss_net_paid_inc_tax,
