@@ -234,23 +234,23 @@ SELECT {k} AS i_item_sk,
        CAST(DATE '1997-01-01' AS TIMESTAMP) AS i_rec_start_date,
        CAST(NULL AS TIMESTAMP) AS i_rec_end_date,
        p_name AS i_item_desc,
-       1 + ({k} * 13) % 99 AS i_current_price,
-       1 + ({k} * 7) % 80 AS i_wholesale_cost,
-       1001001 + ({k} * 17) % 1000 AS i_brand_id,
-       {_pick(f'{k} * 13', BRANDS)} AS i_brand,
-       1 + ({k} * 3) % {len(CLASSES)} AS i_class_id,
-       {_pick(f'{k} * 3', CLASSES)} AS i_class,
+       1 + {_hx(k, 15, 99)} AS i_current_price,
+       1 + {_hx(k, 21, 80)} AS i_wholesale_cost,
+       1001001 + {_hx(k, 25, 1000)} AS i_brand_id,
+       {_pick(_hx(k, 27, len(BRANDS)), BRANDS)} AS i_brand,
+       1 + {_hx(k, 33, len(CLASSES))} AS i_class_id,
+       {_pick(_hx(k, 33, len(CLASSES)), CLASSES)} AS i_class,
        1 + {k} % {len(CATEGORIES)} AS i_category_id,
        {_pick(k, CATEGORIES)} AS i_category,
        ({k} * 11) % 997 AS i_manufact_id,
        'Manufact#' || CAST(({k} * 11) % 997 AS VARCHAR(4)) AS i_manufact,
-       {_pick(f'{k} * 5', SIZES)} AS i_size,
+       {_pick(_hx(k, 35, len(SIZES)), SIZES)} AS i_size,
        lpad(CAST(({k} * 19) % 100000 AS VARCHAR(8)), 20, '0')
            AS i_formulation,
-       {_pick(f'{k} * 7', COLORS)} AS i_color,
-       {_pick(f'{k} * 23', UNITS)} AS i_units,
+       {_pick(_hx(k, 39, len(COLORS)), COLORS)} AS i_color,
+       {_pick(_hx(k, 45, len(UNITS)), UNITS)} AS i_units,
        'Unknown' AS i_container,
-       1 + ({k} * 29) % 101 AS i_manager_id,
+       1 + {_hx(k, 51, 101)} AS i_manager_id,
        p_name AS i_product_name
 FROM part
 """
@@ -757,7 +757,7 @@ WHERE o_orderkey % 3 = 2
 
 
 def _store_returns() -> str:
-    amt = "(least(ss_quantity, 1 + ss_item_sk % 10) * ss_sales_price)"
+    amt = "(least(ss_quantity, 1 + ss_item_sk % 10) * ss_sales_price * 10)"
     cash = f"CAST(floor({amt} / 2.0) AS BIGINT)"
     rev = f"CAST(floor(({amt} - {cash}) / 2.0) AS BIGINT)"
     return f"""
@@ -789,7 +789,7 @@ WHERE (ss_ticket_number * 3 + ss_item_sk) % 4 = 0
 
 
 def _catalog_returns() -> str:
-    amt = "(least(cs_quantity, 1 + cs_item_sk % 10) * cs_sales_price)"
+    amt = "(least(cs_quantity, 1 + cs_item_sk % 10) * cs_sales_price * 10)"
     cash = f"CAST(floor({amt} / 2.0) AS BIGINT)"
     rev = f"CAST(floor(({amt} - {cash}) / 2.0) AS BIGINT)"
     return f"""
@@ -828,7 +828,7 @@ WHERE (cs_order_number * 3 + cs_item_sk) % 4 = 0
 
 
 def _web_returns() -> str:
-    amt = "(least(ws_quantity, 1 + ws_item_sk % 10) * ws_sales_price)"
+    amt = "(least(ws_quantity, 1 + ws_item_sk % 10) * ws_sales_price * 10)"
     cash = f"CAST(floor({amt} / 2.0) AS BIGINT)"
     rev = f"CAST(floor(({amt} - {cash}) / 2.0) AS BIGINT)"
     return f"""
