@@ -41,6 +41,13 @@ BNLJ_ALLOWED: set[str] = {
     "frequent_items_revenue",       # agg x global threshold (1 row)
     "cross_channel_items_rollup",   # rollup x grand total (1 row)
     "scalar_ratio_am_pm",           # am (1 row) x pm (1 row)
+    # Verbatim TPC-DS texts whose FROM-lists cross-join no-grouping-key
+    # scalar aggregates (each side is exactly one row by construction):
+    "tpcds_q28",                    # B1..B6, six 1-row bucket aggregates
+    "tpcds_q61",                    # promotional_sales (1) x all_sales (1)
+    "tpcds_q77",                    # cs x cr, cr is a global-agg (1 row)
+    "tpcds_q88",                    # s1..s8, eight 1-row counts
+    "tpcds_q90",                    # amt (1 row) x pmt (1 row)
     "sql_text_recursive_calendar",  # literal recursive-CTE calendar frame
     # Constant-size query-set broadcasts (N_QUERY_VECS=5 fixed, not data-
     # scaled) probing the corpus in one pass:
