@@ -6,29 +6,20 @@ already proves that mode on nine dialect-portable texts. The driver's
 tables are TPC-H-shaped, so this module adds the classic TPC-H suite
 itself as identical strings run by ``spark.sql`` and by the DuckDB oracle.
 
-Sixteen of the 22 queries are covered: q1, q3, q5, q6, q7, q8, q10, q14,
-q15, q18, q19 are faithful texts (q15's stream-revenue VIEW becomes the
-equivalent CTE), and q4, q9, q13, q17, q22 are minimally down-scoped where
-the synthetic schema lacks a column — each keeps the original's PLAN shape
-and swaps only the missing column in a predicate/expression:
+All 22 queries are covered as faithful texts (q15's stream-revenue VIEW
+becomes the equivalent CTE).  The tables the testdata lacks — partsupp,
+the commit/receipt/shipmode lineitem columns, p_mfgr/p_container,
+s_address/s_phone/s_comment, o_comment, c_phone — are derived
+deterministically by `tpch_ext.py` with identical SQL on both engines
+(the tpcds_schema mechanism), so q2/q4/q9/q11/q12/q13/q16/q17/q20/q21/
+q22 run their original FROM/JOIN/subquery structures unmodified.
 
-* q4: the EXISTS probe tests ``l_returnflag = 'R'`` (no
-  commitdate/receiptdate pair) — still semi-join + count per priority;
-* q9: supply cost proxied as ``0.5 * p_retailprice`` (no partsupp) —
-  still the 5-table profit join grouped by (nation, year);
-* q13: the pushed-into-LEFT-JOIN filter is ``o_orderpriority NOT LIKE
-  '%NOT%SPECIFIED%'`` (no o_comment) — same two-wildcard NOT LIKE inside
-  the outer join's ON, same count-of-counts;
-* q17: the part slice is ``p_brand || p_size`` (no p_container) — the
-  correlated 0.2×avg(quantity) subquery is verbatim;
-* q22: country code is ``c_nationkey`` (no c_phone substring) — the
-  positive-balance global-avg scalar subquery and NOT EXISTS anti-join
-  are verbatim.
-
-The remaining six (q2, q11, q12, q16, q20, q21) are structurally
-inexpressible without the partsupp table or the ship/commit/receipt date
-triple; their plan shapes are covered by dedicated operators instead
-(COVERAGE.md maps them).
+Parameter substitutions (TPC-H treats these as qgen variables, not part
+of the query text): date windows sit inside the synthetic 1995-2001
+range; nation/region/type/container/brand literals come from the
+synthetic domains (single-word p_type means q2's '%BRASS' becomes
+'%DARD' and q16's 'MEDIUM POLISHED%' becomes 'MEDIUM%'; nations are
+NATION_<k>).
 
 All texts are adjusted for engine-stable arithmetic:
 
@@ -97,10 +88,9 @@ GROUP BY l_orderkey, o_orderdate, o_orderpriority
 ORDER BY revenue_e4 DESC, o_orderdate, l_orderkey
 LIMIT 10
 """,
-    # q4 — order priority checking (down-scoped EXISTS probe: the schema
-    # has no commitdate/receiptdate pair, so the lineitem test is
-    # l_returnflag = 'R'; plan shape — semi join + count per priority —
-    # is the original's)
+    # q4 — order priority checking (faithful: the EXISTS probe is the
+    # original commitdate < receiptdate late-line test over the extended
+    # lineitem)
     "tpch_q4": """
 SELECT o_orderpriority,
        count(*) AS order_count
@@ -110,7 +100,7 @@ WHERE o_orderdate >= TIMESTAMP '1996-07-01 00:00:00'
   AND EXISTS (SELECT *
               FROM lineitem
               WHERE l_orderkey = o_orderkey
-                AND l_returnflag = 'R')
+                AND l_commitdate < l_receiptdate)
 GROUP BY o_orderpriority
 ORDER BY o_orderpriority
 """,
@@ -191,10 +181,9 @@ FROM (
 GROUP BY o_year
 ORDER BY o_year
 """,
-    # q9 — product type profit (down-scoped cost: no partsupp table, so
-    # supply cost is proxied as 0.5 * p_retailprice — exact at e4 units;
-    # plan shape — 5-table profit join grouped by (nation, year) — is the
-    # original's)
+    # q9 — product type profit (faithful: the original 6-table join with
+    # partsupp supply cost; ps_supplycost is integer e2-units, quantity
+    # in e2 cents, so the e4 amount is an exact integer on both engines)
     "tpch_q9": f"""
 SELECT nation,
        o_year,
@@ -203,10 +192,12 @@ FROM (
     SELECT n_name AS nation,
            year(o_orderdate) AS o_year,
            {_REV_E4}
-               - CAST(round(0.5 * p_retailprice * l_quantity * 10000)
-                      AS BIGINT) AS amount_e4
-    FROM part, supplier, lineitem, orders, nation
+               - ps_supplycost * CAST(round(l_quantity * 100) AS BIGINT)
+               AS amount_e4
+    FROM part, supplier, lineitem, partsupp, orders, nation
     WHERE s_suppkey = l_suppkey
+      AND ps_suppkey = l_suppkey
+      AND ps_partkey = l_partkey
       AND l_partkey = p_partkey
       AND l_orderkey = o_orderkey
       AND s_nationkey = n_nationkey
@@ -232,10 +223,9 @@ GROUP BY c_custkey, c_name, acctbal_c, n_name
 ORDER BY revenue_e4 DESC, c_custkey
 LIMIT 20
 """,
-    # q13 — customer distribution (down-scoped outer-join filter: no
-    # o_comment column, so the two-wildcard NOT LIKE tests
-    # o_orderpriority; the filter stays INSIDE the left join's ON — the
-    # whole point of q13's plan — and the count-of-counts is verbatim)
+    # q13 — customer distribution (faithful: the original two-wildcard
+    # NOT LIKE over o_comment, INSIDE the left join's ON — the whole
+    # point of q13's plan — feeding the count-of-counts)
     "tpch_q13": """
 SELECT c_count,
        count(*) AS custdist
@@ -244,7 +234,7 @@ FROM (
            count(o_orderkey) AS c_count
     FROM customer LEFT OUTER JOIN orders
       ON c_custkey = o_custkey
-     AND o_orderpriority NOT LIKE '%NOT%SPECIFIED%'
+     AND o_comment NOT LIKE '%special%requests%'
     GROUP BY c_custkey
 ) AS c_orders
 GROUP BY c_count
@@ -280,10 +270,9 @@ WHERE s_suppkey = supplier_no
   AND total_revenue_e4 = (SELECT max(total_revenue_e4) FROM revenue)
 ORDER BY s_suppkey
 """,
-    # q17 — small-quantity-order revenue (down-scoped part slice: no
-    # p_container, so the slice is p_brand + p_size; the correlated
-    # 0.2*avg(quantity) scalar subquery — q17's defining feature — is
-    # verbatim, in exact cent units on both engines)
+    # q17 — small-quantity-order revenue (faithful: the original
+    # brand + container part slice; the correlated 0.2*avg(quantity)
+    # scalar subquery in exact cent units on both engines)
     "tpch_q17": """
 SELECT CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS DOUBLE)
            / 7.0 AS avg_yearly_c,
@@ -291,7 +280,7 @@ SELECT CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS DOUBLE)
 FROM lineitem, part
 WHERE p_partkey = l_partkey
   AND p_brand = 'Brand#23'
-  AND p_size < 10
+  AND p_container = 'MED BOX'
   AND CAST(round(l_quantity * 100) AS BIGINT) <
       (SELECT 0.2 * avg(CAST(round(l_quantity * 100) AS BIGINT))
        FROM lineitem
@@ -328,27 +317,28 @@ WHERE p_partkey = l_partkey
     OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 50
         AND l_quantity >= 20 AND l_quantity <= 50))
 """,
-    # q22 — global sales opportunity (down-scoped country code: no
-    # c_phone, so the code is c_nationkey itself; the positive-balance
-    # global-average scalar subquery and the NOT EXISTS anti-join are
-    # verbatim — the anti-join tests "no orders since 1998" because every
-    # synthetic customer has at least one order ever; balances compare in
-    # exact cents so the threshold is engine-stable)
+    # q22 — global sales opportunity (faithful: country code is the
+    # original substr(c_phone, 1, 2); the positive-balance global-average
+    # scalar subquery and the NOT EXISTS anti-join are verbatim — the
+    # anti-join tests "no orders since 1998" because every synthetic
+    # customer has at least one order ever; balances compare in exact
+    # cents so the threshold is engine-stable)
     "tpch_q22": """
 SELECT cntrycode,
        count(*) AS numcust,
        CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT)
            AS totacctbal_c
 FROM (
-    SELECT c_nationkey AS cntrycode,
+    SELECT substr(c_phone, 1, 2) AS cntrycode,
            c_acctbal
     FROM customer
-    WHERE c_nationkey IN (1, 3, 5, 7, 9, 11, 13)
+    WHERE substr(c_phone, 1, 2) IN ('11', '13', '15', '17', '19', '21', '23')
       AND CAST(round(c_acctbal * 100) AS BIGINT) >
           (SELECT avg(CAST(round(c_acctbal * 100) AS BIGINT))
            FROM customer
            WHERE c_acctbal > 0.00
-             AND c_nationkey IN (1, 3, 5, 7, 9, 11, 13))
+             AND substr(c_phone, 1, 2) IN
+                 ('11', '13', '15', '17', '19', '21', '23'))
       AND NOT EXISTS (SELECT *
                       FROM orders
                       WHERE o_custkey = c_custkey
@@ -357,24 +347,163 @@ FROM (
 GROUP BY cntrycode
 ORDER BY cntrycode
 """,
+    # q2 — minimum cost supplier (faithful: correlated min-supplycost
+    # scalar subquery over partsupp; acctbal output in exact cents)
+    "tpch_q2": """
+SELECT CAST(round(s_acctbal * 100) AS BIGINT) AS s_acctbal_c,
+       s_name,
+       n_name,
+       p_partkey,
+       p_mfgr,
+       s_address,
+       s_phone,
+       s_comment
+FROM part, supplier, partsupp, nation, region
+WHERE p_partkey = ps_partkey
+  AND s_suppkey = ps_suppkey
+  AND p_size = 15
+  AND p_type LIKE '%DARD'
+  AND s_nationkey = n_nationkey
+  AND n_regionkey = r_regionkey
+  AND r_name = 'EUROPE'
+  AND ps_supplycost = (SELECT min(ps_supplycost)
+                       FROM partsupp, supplier, nation, region
+                       WHERE p_partkey = ps_partkey
+                         AND s_suppkey = ps_suppkey
+                         AND s_nationkey = n_nationkey
+                         AND n_regionkey = r_regionkey
+                         AND r_name = 'EUROPE')
+ORDER BY s_acctbal_c DESC, n_name, s_name, p_partkey
+LIMIT 100
+""",
+    # q11 — important stock identification (faithful: HAVING vs a scaled
+    # global-total scalar subquery; exact integer value sums)
+    "tpch_q11": """
+SELECT ps_partkey,
+       CAST(sum(ps_supplycost * ps_availqty) AS BIGINT) AS value_c
+FROM partsupp, supplier, nation
+WHERE ps_suppkey = s_suppkey
+  AND s_nationkey = n_nationkey
+  AND n_name = 'NATION_7'
+GROUP BY ps_partkey
+HAVING sum(ps_supplycost * ps_availqty) >
+       (SELECT sum(ps_supplycost * ps_availqty) * 0.0001
+        FROM partsupp, supplier, nation
+        WHERE ps_suppkey = s_suppkey
+          AND s_nationkey = n_nationkey
+          AND n_name = 'NATION_7')
+ORDER BY value_c DESC, ps_partkey
+""",
+    # q12 — shipping modes and order priority (faithful: the
+    # commit/receipt/ship date triple over the extended lineitem)
+    "tpch_q12": """
+SELECT l_shipmode,
+       CAST(sum(CASE WHEN o_orderpriority = '1-URGENT'
+                       OR o_orderpriority = '2-HIGH'
+                     THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(sum(CASE WHEN o_orderpriority <> '1-URGENT'
+                      AND o_orderpriority <> '2-HIGH'
+                     THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+FROM orders, lineitem
+WHERE o_orderkey = l_orderkey
+  AND l_shipmode IN ('MAIL', 'SHIP')
+  AND l_commitdate < l_receiptdate
+  AND l_shipdate < l_commitdate
+  AND l_receiptdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l_receiptdate < TIMESTAMP '1997-01-01 00:00:00'
+GROUP BY l_shipmode
+ORDER BY l_shipmode
+""",
+    # q16 — parts/supplier relationship (faithful: NOT IN anti-join on
+    # the complaints-comment suppliers, count(DISTINCT ps_suppkey))
+    "tpch_q16": """
+SELECT p_brand,
+       p_type,
+       p_size,
+       count(DISTINCT ps_suppkey) AS supplier_cnt
+FROM partsupp, part
+WHERE p_partkey = ps_partkey
+  AND p_brand <> 'Brand#4'
+  AND p_type NOT LIKE 'MEDIUM%'
+  AND p_size IN (49, 14, 23, 45, 19, 3, 36, 9)
+  AND ps_suppkey NOT IN (SELECT s_suppkey
+                         FROM supplier
+                         WHERE s_comment LIKE '%Customer%Complaints%')
+GROUP BY p_brand, p_type, p_size
+ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+""",
+    # q20 — potential part promotion (faithful: nested IN subqueries with
+    # the correlated half-of-shipped-quantity threshold)
+    "tpch_q20": """
+SELECT s_name,
+       s_address
+FROM supplier, nation
+WHERE s_suppkey IN (
+        SELECT ps_suppkey
+        FROM partsupp
+        WHERE ps_partkey IN (SELECT p_partkey
+                             FROM part
+                             WHERE p_name LIKE 'red%')
+          AND ps_availqty > (SELECT 0.5 * sum(l_quantity)
+                             FROM lineitem
+                             WHERE l_partkey = ps_partkey
+                               AND l_suppkey = ps_suppkey
+                               AND l_shipdate >=
+                                   TIMESTAMP '1996-01-01 00:00:00'
+                               AND l_shipdate <
+                                   TIMESTAMP '1997-01-01 00:00:00'))
+  AND s_nationkey = n_nationkey
+  AND n_name = 'NATION_7'
+ORDER BY s_name
+""",
+    # q21 — suppliers who kept orders waiting (faithful: the EXISTS /
+    # NOT EXISTS pair over other-supplier lines of the same order)
+    "tpch_q21": """
+SELECT s_name,
+       count(*) AS numwait
+FROM supplier, lineitem l1, orders, nation
+WHERE s_suppkey = l1.l_suppkey
+  AND o_orderkey = l1.l_orderkey
+  AND o_orderstatus = 'F'
+  AND l1.l_receiptdate > l1.l_commitdate
+  AND EXISTS (SELECT *
+              FROM lineitem l2
+              WHERE l2.l_orderkey = l1.l_orderkey
+                AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (SELECT *
+                  FROM lineitem l3
+                  WHERE l3.l_orderkey = l1.l_orderkey
+                    AND l3.l_suppkey <> l1.l_suppkey
+                    AND l3.l_receiptdate > l3.l_commitdate)
+  AND s_nationkey = n_nationkey
+  AND n_name = 'NATION_7'
+GROUP BY s_name
+ORDER BY numwait DESC, s_name
+LIMIT 100
+""",
 }
 
 
 def _register_tpch_texts() -> None:
+    from lakehouse_variance_spark.plans.tpch_ext import (
+        oracle_sql_for_tpch,
+        register_tpch_ext_views,
+    )
+
     for name, text in TPCH_TEXTS.items():
 
         def run(spark: SparkSession, sf_dir: str, _text=text) -> DataFrame:
-            register_sf_views(spark, sf_dir)
+            register_tpch_ext_views(spark, sf_dir)
             return spark.sql(_text)
 
         run.__name__ = name
         run.__doc__ = (
             f"Verbatim TPC-H {name[5:]} text (module docstring has the "
-            "determinism adjustments) — identical string on both engines; "
-            "the reference executes its workload exactly this way "
-            "(run_workload.py:38)."
+            "determinism adjustments) — identical string on both engines "
+            "over the tpch_ext extended schema; the reference executes "
+            "its workload exactly this way (run_workload.py:38)."
         )
-        register(name, oracle=text)(run)
+        register(name, oracle=oracle_sql_for_tpch(text))(run)
 
 
 _register_tpch_texts()
