@@ -552,53 +552,71 @@ def _cc_star_labels(edges: DataFrame) -> DataFrame:
     * small-star keyed by u over its ≤-neighborhood: link those neighbors
       (and u) to the local minimum.
 
-    Each round is two groupBy-min + join passes over the edge list —
-    the same shuffle shape as one label-propagation round — but rounds
-    needed are O(log n) instead of the graph diameter, which is the whole
+    The two rewrites run SEQUENTIALLY each round — large-star first, then
+    small-star over large-star's output — exactly the alternation whose
+    O(log n) convergence the paper proves (running both on the same edge
+    set and unioning the outputs is a different, unanalyzed iteration).
+    Each rewrite is one groupBy-min + join pass over the edge list — the
+    same shuffle shape as one label-propagation round — but rounds needed
+    are O(log n) instead of the graph diameter, which is the whole
     upgrade: a 10,000-hop chain converges in ~14 rounds, not 10,000.
     Edges shrink toward |V| as stars contract, so later rounds are cheap.
+    Like dedup_connected_components, exhausting the round budget with the
+    edge set still moving raises instead of returning split components.
     """
+
+    def _large_star(e: DataFrame) -> DataFrame:
+        adj = e.unionByName(
+            e.select(F.col("d").alias("s"), F.col("s").alias("d"))
+        )
+        m_full = adj.groupBy("s").agg(
+            F.least(F.min("d"), F.first("s")).alias("m")
+        )
+        return (
+            adj.join(m_full, "s")
+            .filter(F.col("d") > F.col("s"))
+            .select(F.col("d").alias("s"), F.col("m").alias("d"))
+            .filter(F.col("s") != F.col("d"))
+            .distinct()
+        )
+
+    def _small_star(e: DataFrame) -> DataFrame:
+        adj = e.unionByName(
+            e.select(F.col("d").alias("s"), F.col("s").alias("d"))
+        )
+        low = adj.filter(F.col("d") <= F.col("s"))
+        m_low = low.groupBy("s").agg(
+            F.least(F.min("d"), F.first("s")).alias("m")
+        )
+        return (
+            low.join(m_low, "s")
+            .select(F.col("d").alias("s"), F.col("m").alias("d"))
+            .unionByName(m_low.select("s", F.col("m").alias("d")))
+            .filter(F.col("s") != F.col("d"))
+            .distinct()
+        )
+
     edges = (
         edges.filter(F.col("s") != F.col("d"))
         .select("s", "d")
         .distinct()
         .localCheckpoint()
     )
-    for _ in range(64):  # 2^64 vertices — unreachable; loop exits on fixpoint
-        # --- large-star ---
-        adj = edges.unionByName(
-            edges.select(F.col("d").alias("s"), F.col("s").alias("d"))
-        )
-        m_full = adj.groupBy("s").agg(
-            F.least(F.min("d"), F.first("s")).alias("m")
-        )
-        large = (
-            adj.join(m_full, "s")
-            .filter(F.col("d") > F.col("s"))
-            .select(F.col("d").alias("s"), F.col("m").alias("d"))
-        )
-        # --- small-star ---
-        low = adj.filter(F.col("d") <= F.col("s"))
-        m_low = low.groupBy("s").agg(
-            F.least(F.min("d"), F.first("s")).alias("m")
-        )
-        small = (
-            low.join(m_low, "s")
-            .select(F.col("d").alias("s"), F.col("m").alias("d"))
-            .unionByName(m_low.select("s", F.col("m").alias("d")))
-        )
-        new_edges = (
-            large.unionByName(small)
-            .filter(F.col("s") != F.col("d"))
-            .distinct()
-            .localCheckpoint()
-        )
+    CC_STAR_MAX_ROUNDS = 64  # ~2^64-vertex diameter at O(log n) — ample
+    for _ in range(CC_STAR_MAX_ROUNDS):
+        new_edges = _small_star(_large_star(edges)).localCheckpoint()
         changed = (
             new_edges.exceptAll(edges).count() + edges.exceptAll(new_edges).count()
         )
         edges = new_edges
         if changed == 0:
             break
+    else:
+        raise RuntimeError(
+            f"large-star/small-star did not converge in "
+            f"{CC_STAR_MAX_ROUNDS} rounds ({changed} edge changes in the "
+            "last round) — returning would risk silently split components"
+        )
     # Fixpoint edges are (v, root): every non-root points at its component
     # min; roots get their own row.
     verts = edges.select("s").unionByName(edges.select(F.col("d").alias("s")))

@@ -128,6 +128,18 @@ def _advance_branch(table_dir: str, branch: str, version: int) -> None:
     refs = _read_refs(table_dir)
     refs["branches"][branch] = version
     _write_refs(table_dir, refs)
+    # Optimistic lost-race check, mirroring the manifest _commit contract:
+    # refs updates are read-modify-write of one file, so two concurrent
+    # committers (e.g. a streaming micro-batch on main plus a branch
+    # commit) can interleave and the first writer's ref advance silently
+    # vanishes — leaving that branch's readers behind a committed version.
+    # Re-reading after os.replace turns the silent drop into an error.
+    seen = _read_refs(table_dir)["branches"].get(branch)
+    if seen != version:
+        raise RuntimeError(
+            f"lost refs race advancing branch {branch!r} to v{version}: "
+            f"refs.json now shows {seen!r} (concurrent ref update)"
+        )
 
 
 def resolve_ref(table_dir: str, name: str) -> int:
@@ -332,13 +344,22 @@ def expire_snapshots(table_dir: str, keep_last: int = 2) -> list[str]:
     contiguous — reading an expired version raises on the missing files,
     matching Iceberg's expire-snapshots semantics."""
     latest = current_version(table_dir)
-    keep = set(range(max(1, latest - keep_last + 1), latest + 1))
-    # every ref target stays alive — expiring a tagged/branched snapshot's
-    # files would corrupt the ref (Iceberg's expire_snapshots honors refs
-    # the same way)
+    # The keep window is PER REF: keep_last ancestors along each ref's
+    # parent chain (plus the global head), the way Iceberg's ref-level
+    # retention works. A global last-N window would let heavy branch
+    # activity fill the window with branch heads' lineage and physically
+    # expire main's recent history far sooner than keep_last suggests.
     refs = _read_refs(table_dir)
-    keep.update(refs["branches"].values())
-    keep.update(refs["tags"].values())
+    heads = {latest}
+    heads.update(refs["branches"].values())
+    heads.update(refs["tags"].values())
+    keep: set[int] = set()
+    for head in heads:
+        v, n = head, 0
+        while v > 0 and n < keep_last:
+            keep.add(v)
+            n += 1
+            v = _read_manifest(table_dir, v)["parent"]
     live: set[str] = set()
     for v in keep:
         live.update(_read_manifest(table_dir, v)["files"])
@@ -462,7 +483,18 @@ def delete_from_snapshot(
         f for f in manifest["files"] if f not in touched_paths
     ]
     if len(keep_files) == len(manifest["files"]):
-        return parent  # no file contains a match — delete is a no-op
+        if touched_paths:
+            # Rows matched but no manifest file resolved: the URI
+            # normalization above failed (relative table_dir, scheme+
+            # authority URI, ...). Returning parent here would silently
+            # keep the matching rows alive after a DELETE — fail instead.
+            raise RuntimeError(
+                "delete_from_snapshot matched rows in files "
+                f"{sorted(touched_paths)[:3]}... but none map to manifest "
+                "paths — file-path normalization mismatch, refusing a "
+                "silent no-op DELETE"
+            )
+        return parent  # predicate matched no rows — delete is a no-op
     version = current_version(table_dir) + 1
     commit_id = uuid.uuid4().hex
     data_dir = Path(table_dir) / "data" / f"c{version}-{commit_id[:8]}"

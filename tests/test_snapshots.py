@@ -220,6 +220,30 @@ def test_expire_keeps_ref_targets_alive(spark, tmp_path):
         read_snapshot(spark, t, 2).count()
 
 
+def test_expire_retention_is_per_ref_not_global(spark, tmp_path):
+    """Branch commits occupy global version numbers; the keep window must
+    walk each ref's parent chain, or branch spam would evict MAIN's
+    recent history from a global last-N window."""
+    from lakehouse_variance_spark.sources import snapshots as snap
+
+    t = str(tmp_path / "t")
+    orders = _orders(spark)
+    write_snapshot(orders.limit(2), t, mode="overwrite")  # v1 (main)
+    write_snapshot(orders.limit(3), t, mode="overwrite")  # v2 (main head)
+    snap.create_branch(t, "dev")
+    for k in (4, 5, 6, 7):  # v3..v6 — all on dev, filling a global window
+        snap.commit_to_branch(orders.limit(k), t, "dev", mode="overwrite")
+    expire_snapshots(t, keep_last=2)
+    # main's lineage (v2 head + v1 parent) survives: under the old GLOBAL
+    # last-2 window (v5, v6) both would have been physically expired.
+    assert read_snapshot(spark, t, 2).count() == 3
+    assert read_snapshot(spark, t, 1).count() == 2
+    # dev keeps its last two ancestors (v6, v5); v3 is expired
+    assert snap.read_ref(spark, t, "dev").count() == 7
+    with pytest.raises(Exception):
+        read_snapshot(spark, t, 3).count()
+
+
 def test_delete_from_snapshot_copy_on_write(spark, tmp_path):
     """DELETE rewrites only the files containing matches; untouched files
     carry over by reference, and time travel still sees the old rows."""
