@@ -329,7 +329,10 @@ def scheduler_experiment_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     run {FIFO, greedy-defer} × {predicted, oracle} over one workload and
     CI profile and emit one summary row per experiment with the
     reference's metric keys — total/per-query/per-second gCO₂, makespan,
-    slot length, power.
+    slot length, power — plus ``overhead_vs_oracle``: per scheduler,
+    (C_model − C_oracle) / C_oracle against the same scheduler's
+    oracle-knowledge run (``stats.py:20-40``'s panel column; oracle rows
+    carry 0 by construction).
 
     Data prep (CI series, workload quantization) is DataFrames; each
     simulation is the driver-side sequential fold the reference defines.
@@ -345,7 +348,8 @@ def scheduler_experiment_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     workload = event_workload(spark, sf_dir).filter(F.col("query_id") < 100)
     n_q = workload.count()
-    rows = []
+    grid: list[tuple] = []
+    totals: dict[tuple[str, bool], float] = {}
     for oracle in (False, True):
         wl = schedulers.oracle_view(workload) if oracle else workload
         fifo = schedulers.fifo_schedule(wl, policy="arrival")
@@ -368,23 +372,38 @@ def scheduler_experiment_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
             for qid in sorted(sched, key=lambda j: sched[j]):
                 cursor = max(sched[qid], cursor) + slots[qid]
             makespan_s = cursor * SLOT_SEC
-            rows.append(
-                (
-                    name,
-                    bool(oracle),
-                    int(n_q),
-                    round(total, 6),
-                    round(total / n_q, 6),
-                    round(total / makespan_s, 9),
-                    float(makespan_s),
-                    float(SLOT_SEC),
-                    carbon.DEFAULT_POWER_KW,
-                )
+            totals[(name, bool(oracle))] = total
+            grid.append((name, bool(oracle), total, makespan_s))
+    rows = []
+    for name, oracle, total, makespan_s in grid:
+        c_oracle = totals[(name, True)]
+        # tiny workloads can realise 0 g total (all slots in a zero-CI
+        # window); the relative overhead is 0 when both totals are 0 and
+        # undefined (NaN, as the reference emits) when only the oracle is
+        overhead = (
+            (total - c_oracle) / c_oracle
+            if c_oracle != 0.0
+            else (0.0 if total == 0.0 else float("nan"))
+        )
+        rows.append(
+            (
+                name,
+                oracle,
+                int(n_q),
+                round(total, 6),
+                round(total / n_q, 6),
+                round(total / makespan_s, 9),
+                float(makespan_s),
+                float(SLOT_SEC),
+                carbon.DEFAULT_POWER_KW,
+                round(overhead, 9),
             )
+        )
     return spark.createDataFrame(
         rows,
         "scheduler string, oracle boolean, num_queries int, "
         "carbon_total_gco2 double, carbon_per_query_gco2 double, "
         "carbon_per_second_gco2 double, makespan_seconds double, "
-        "slot_length_sec double, power_kw double",
+        "slot_length_sec double, power_kw double, "
+        "overhead_vs_oracle double",
     )

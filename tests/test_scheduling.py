@@ -163,3 +163,20 @@ def test_experiment_summary_grid_laws(spark):
     for r in rows.values():
         assert abs(r.carbon_per_query_gco2 - round(r.carbon_total_gco2 / r.num_queries, 6)) < 1e-6
         assert r.makespan_seconds > 0 and r.power_kw == 0.150
+    # overhead_vs_oracle (stats.py:20-40): oracle rows are their own
+    # baseline (0); predicted rows are the relative delta to the same
+    # scheduler's oracle run and can never be negative — oracle knowledge
+    # is at least as good as predictions for these deterministic sims.
+    for name in ("fifo", "greedy"):
+        assert rows[(name, True)].overhead_vs_oracle == 0.0
+        c_oracle = rows[(name, True)].carbon_total_gco2
+        got = rows[(name, False)].overhead_vs_oracle
+        if c_oracle > 0:
+            expected = (
+                rows[(name, False)].carbon_total_gco2 - c_oracle
+            ) / c_oracle
+            assert abs(got - expected) < 1e-6
+        else:  # both-zero workloads define overhead as 0
+            assert rows[(name, False)].carbon_total_gco2 == 0.0
+            assert got == 0.0
+        assert got >= -1e-9
