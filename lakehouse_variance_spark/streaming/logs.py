@@ -54,13 +54,20 @@ def streaming_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     path = os.path.join(sf_dir, "events.parquet")
     schema = _events_schema(spark, path)
-    # The file stream source tails a directory; glob-filter it down to the
-    # events table (on a cluster this is the log-landing prefix instead).
-    stream = (
-        spark.readStream.schema(schema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-    )
+    # The file stream source needs a DIRECTORY (its basePath). Two layouts
+    # exist: events.parquet as a directory of part-files (Spark-written
+    # replicas) streams directly; as a single file (the driver's testdata)
+    # the source tails sf_dir glob-filtered to that file. Branching matters:
+    # the glob filter over sf_dir silently matches NOTHING for the
+    # directory layout — an empty stream, not an error.
+    if os.path.isdir(path):
+        stream = spark.readStream.schema(schema).parquet(path)
+    else:
+        stream = (
+            spark.readStream.schema(schema)
+            .option("pathGlobFilter", "events.parquet")
+            .parquet(sf_dir)
+        )
     ts_type = dict(stream.dtypes).get("ts")
     if ts_type == "bigint":
         stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))

@@ -124,6 +124,21 @@ PROBE_QUERIES = [
     "cohort_retention_matrix",
     "funnel_3step_users",
     "window_time_weighted_avg",
+    # round-5: streaming family (micro-batch pipelines over the key-shifted
+    # 10x events replicas; fixed per-batch machinery should amortize, so
+    # healthy ratios sit well under 10)
+    "session_window_agg",
+    "stream_event_window",
+    "stream_sliding_window",
+    "stream_static_join_dim",
+    "stream_dedup_exactly_once",
+    "batch_sessionize",
+    # round-5: multimodal family (Arrow-batched decode/sample/resize over
+    # the 10x suffixed document replicas)
+    "multimodal_metadata",
+    "media_frame_sample",
+    "media_feature_extract",
+    "media_resize",
 ]
 
 
