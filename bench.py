@@ -94,6 +94,16 @@ HEADLINE_QUERIES = (
     "split_by_group_hash",
     "sql_text_recursive_calendar",
     "hll_intersect_estimate",
+    # round-5 additions: verbatim TPC-DS battery representatives (one per
+    # heavy plan family) + the partsupp-backed TPC-H completions
+    "tpcds_q4",    # 3x year_total CTE self-join quartet
+    "tpcds_q51",   # full-outer join of cumulative windows
+    "tpcds_q64",   # 18-table cross-sales join, two years self-joined
+    "tpcds_q67",   # 8-key rollup + rank within category
+    "tpcds_q78",   # 3-channel unreturned aggregates, full-year facts
+    "tpcds_q95",   # web_sales self-join IN-subqueries
+    "tpch_q2",     # correlated min-supplycost over partsupp
+    "tpch_q21",    # EXISTS/NOT EXISTS other-supplier lines
 )
 
 

@@ -130,8 +130,10 @@ COUNTRIES = ["United States", "Canada", "Mexico", "Brazil", "Germany",
 DAY_NAMES = ["Sunday", "Monday", "Tuesday", "Wednesday", "Thursday",
              "Friday", "Saturday"]
 STORE_NAMES = ["ought", "able", "ese", "anti", "cally", "ation", "eing", "bar"]
+# both capitalizations ship: the reference's query texts are qgen
+# instantiations that spell it 'unknown' (q73) AND 'Unknown%' (q91)
 BUY_POTENTIAL = [">10000", "unknown", "1001-5000", "5001-10000",
-                 "501-1000", "0-500"]
+                 "501-1000", "0-500", "Unknown"]
 EDUCATION = ["Primary", "Secondary", "College", "2 yr Degree",
              "4 yr Degree", "Advanced Degree", "Unknown"]
 MARITAL = ["M", "S", "D", "W", "U"]
@@ -299,8 +301,17 @@ SELECT i AS ca_address_sk,
                          'Drive', 'Court', 'Way'])} AS ca_street_type,
        'Suite ' || CAST(i % 100 AS VARCHAR(3)) AS ca_suite_number,
        {_pick('i * 13', CITIES)} AS ca_city,
-       {_pick('i * 17', COUNTIES)} AS ca_county,
-       {_pick('i * 19', STATES)} AS ca_state,
+       -- every 4th address copies store (i/4 mod N_STORE)'s exact
+       -- (county, state) pair so customer-geo = store-geo joins (q54's
+       -- ca_county = s_county AND ca_state = s_state) have real matches
+       CASE WHEN i % 4 = 0
+            THEN {_pick(f'(CAST(floor(i / 4.0) AS BIGINT) % {N_STORE}) * 11',
+                        COUNTIES[:4])}
+            ELSE {_pick('i * 17', COUNTIES)} END AS ca_county,
+       CASE WHEN i % 4 = 0
+            THEN {_pick(f'(CAST(floor(i / 4.0) AS BIGINT) % {N_STORE}) * 13',
+                        STORE_STATES)}
+            ELSE {_pick('i * 19', STATES)} END AS ca_state,
        {_pick('i * 41', ZIPS)} AS ca_zip,
        CASE WHEN (i * 23) % 20 = 0 THEN {_pick('i * 29', COUNTRIES[1:])}
             ELSE 'United States' END AS ca_country,
@@ -687,8 +698,13 @@ SELECT {_hx('o_orderkey', 59, N_DAYS)} AS cs_sold_date_sk,
        {_hx(lk, 41, N_HD)} AS cs_bill_hdemo_sk,
        {_hx('o_custkey', 43, N_ADDR)} AS cs_bill_addr_sk,
        {_null_every('o_custkey', lk, 19)} AS cs_ship_customer_sk,
-       {_hx(lk, 67, N_CD)} AS cs_ship_cdemo_sk,
-       {_hx(lk, 71, N_HD)} AS cs_ship_hdemo_sk,
+       -- ship-to demographics equal the bill-to demographics 4 rows in 5
+       -- (most buyers ship to themselves); returner-demographic joins
+       -- (q85's cd1 = refunded, cd2 = returning band pairs) depend on it
+       CASE WHEN {lk} % 5 = 0 THEN {_hx(lk, 67, N_CD)}
+            ELSE {_hx(lk, 37, N_CD)} END AS cs_ship_cdemo_sk,
+       CASE WHEN {lk} % 5 = 0 THEN {_hx(lk, 71, N_HD)}
+            ELSE {_hx(lk, 41, N_HD)} END AS cs_ship_hdemo_sk,
        {_null_every(_hx('o_custkey', 73, N_ADDR), lk, 31)}
            AS cs_ship_addr_sk,
        {_null_every(_hx('o_orderkey', 79, N_CC), lk, 37)}
@@ -734,8 +750,10 @@ SELECT {_hx('o_orderkey', 23, N_DAYS)} AS ws_sold_date_sk,
        {_hx(lk, 41, N_HD)} AS ws_bill_hdemo_sk,
        {_hx('o_custkey', 43, N_ADDR)} AS ws_bill_addr_sk,
        {_null_every('o_custkey', lk, 19)} AS ws_ship_customer_sk,
-       {_hx(lk, 67, N_CD)} AS ws_ship_cdemo_sk,
-       {_hx(lk, 71, N_HD)} AS ws_ship_hdemo_sk,
+       CASE WHEN {lk} % 5 = 0 THEN {_hx(lk, 67, N_CD)}
+            ELSE {_hx(lk, 37, N_CD)} END AS ws_ship_cdemo_sk,
+       CASE WHEN {lk} % 5 = 0 THEN {_hx(lk, 71, N_HD)}
+            ELSE {_hx(lk, 41, N_HD)} END AS ws_ship_hdemo_sk,
        {_null_every(_hx('o_custkey', 73, N_ADDR), lk, 31)}
            AS ws_ship_addr_sk,
        {_hx(lk, 13, N_WP)} AS ws_web_page_sk,
