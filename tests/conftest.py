@@ -45,10 +45,25 @@ def duck():
     con.close()
 
 
+_MAIN_SF: dict[int, str] = {}
+
+
 def oracle_frame(duck, sql: str, sf_dir: str) -> pd.DataFrame:
-    """Run oracle SQL against the given scale factor's views."""
+    """Run oracle SQL against the given scale factor's views.
+
+    Unqualified table names resolve through USE <sf schema>; the
+    synthetic-schema preludes (tpcds_schema / tpch_ext) additionally pin
+    base tables as ``main.<t>`` — the driver's layout — so the main views
+    are (re)pointed at the requested sf before running."""
     schema = "sf_" + sf_dir.rsplit("sf", 1)[-1].replace(".", "_")
     duck.sql(f"USE {schema}")
+    if _MAIN_SF.get(id(duck)) != sf_dir:
+        for t in TABLES:
+            duck.sql(
+                f"CREATE OR REPLACE VIEW main.{t} AS "
+                f"SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+            )
+        _MAIN_SF[id(duck)] = sf_dir
     return duck.sql(sql).df()
 
 
