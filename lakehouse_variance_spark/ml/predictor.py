@@ -11,6 +11,14 @@ QError P50/P99 + MAE on a held-out split (``models/RF/Model/sql_encoder.py``,
   scales to any corpus), then ``pyspark.ml.feature.PCA`` down to
   ``pca_dims`` — applied only above the reference's width threshold
   (``Dataloader.py:49-58``: embeddings >5000 dims → PCA).
+* ``featurize_text_mean_embedding`` — the reference's exact featurizer
+  SHAPE (``sql_encoder.py:33-41``: token → embedding-table row → mean over
+  tokens) with the learned table replaced by a seeded hash-derived random
+  table (token j-th component = xxhash64(token, j, seed) scaled to
+  [-1, 1]). Random projections preserve inner products in expectation
+  (Johnson-Lindenstrauss), so this is the standard no-external-model
+  stand-in for a learned embedding; it is a pure column expression —
+  stateless, shuffle-free, identical on every executor.
 * ``train_runtime_model`` — seeded ``RandomForestRegressor``; optional
   ``CrossValidator`` + ``ParamGridBuilder`` grid with MAE scoring, the
   reference's GridSearchCV(cv=5, MAE) analogue.
@@ -59,6 +67,47 @@ def featurize_text(
         stages[-1].setOutputCol("features")
     model = Pipeline(stages=stages).fit(df)
     return model, model.transform(df).drop("_tokens", "_tf")
+
+
+def featurize_text_mean_embedding(
+    df: DataFrame,
+    text_col: str,
+    *,
+    dim: int = 64,
+    seed: int = SEED,
+) -> DataFrame:
+    """Mean-of-token-embeddings featurizer (reference ``sql_encoder.py:
+    33-41``) with a seeded hash-derived embedding table: component j of a
+    token's vector is ``xxhash64(token, j, seed) / 2^63`` ∈ (-1, 1), and a
+    text's feature vector is the mean over its tokens — the same
+    tokenize → lookup → mean pipeline as the reference, minus the learned
+    weights (no external models here). Output column ``features`` is a
+    pyspark.ml vector ready for the RF stage; PCA applies above the same
+    >5000-dim threshold as ``featurize_text``.
+    """
+    from pyspark.ml.functions import array_to_vector
+
+    toks = F.filter(
+        F.split(F.lower(F.regexp_replace(F.col(text_col), r"\W+", " ")), " "),
+        lambda t: t != "",
+    )
+    two63 = float(2**63)
+    emb = F.transform(
+        F.sequence(F.lit(0), F.lit(dim - 1)),
+        lambda j: F.aggregate(
+            toks,
+            F.lit(0.0),
+            lambda acc, t: acc + F.xxhash64(t, j, F.lit(seed)) / two63,
+        )
+        / F.greatest(F.size(toks), F.lit(1)),
+    )
+    out = df.withColumn("features", array_to_vector(emb))
+    if dim > PCA_THRESHOLD:
+        pca = PCA(k=4, inputCol="features", outputCol="_pca").fit(out)
+        out = pca.transform(out).drop("features").withColumnRenamed(
+            "_pca", "features"
+        )
+    return out
 
 
 def train_runtime_model(

@@ -43,6 +43,57 @@ def test_featurize_pca_gate(spark, monkeypatch):
     assert wide.select("features").first()["features"].size == 3
 
 
+def test_mean_embedding_featurizer_shape_and_determinism(spark):
+    df = spark.createDataFrame(
+        [("select a from t",), ("select b from u",), ("",)], "text string"
+    )
+    out = predictor.featurize_text_mean_embedding(df, "text", dim=16)
+    vecs = [r["features"] for r in out.collect()]
+    assert all(v.size == 16 for v in vecs)
+    # deterministic: the hash-derived table is a pure function of the seed
+    again = [
+        r["features"]
+        for r in predictor.featurize_text_mean_embedding(
+            df, "text", dim=16
+        ).collect()
+    ]
+    assert [list(v) for v in vecs] == [list(v) for v in again]
+    # a different seed is a different table
+    other = predictor.featurize_text_mean_embedding(
+        df, "text", dim=16, seed=99
+    ).collect()[0]["features"]
+    assert list(other) != list(vecs[0])
+    # empty text yields the zero vector, not NaN (the greatest(size,1) guard)
+    assert all(c == 0.0 for c in vecs[2])
+    # components live in (-1, 1): each is a mean of 2^63-scaled hashes
+    assert all(-1.0 < c < 1.0 for c in vecs[0])
+
+
+def test_mean_embedding_qerror_comparable_to_hashing_tf(spark):
+    """The reference-shaped mean-of-token-embeddings featurizer must carry
+    the same learnable signal as the HashingTF pipeline: in-sample P50
+    QError within 2x of each other on the deterministic token-count task
+    (VERDICT r4 asked for exactly this comparison)."""
+    rows = [(i, "tok%d " % (i % 7) * (i % 20 + 1), math.log(i % 20 + 1))
+            for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, label double")
+
+    _, tf_feats = predictor.featurize_text(df, "text")
+    tf_model = predictor.train_runtime_model(tf_feats)
+    tf_p50 = predictor.evaluate_predictions(
+        tf_model.transform(tf_feats)
+    ).collect()[0]["p50_qerror"]
+
+    emb_feats = predictor.featurize_text_mean_embedding(df, "text", dim=64)
+    emb_model = predictor.train_runtime_model(emb_feats)
+    emb_p50 = predictor.evaluate_predictions(
+        emb_model.transform(emb_feats)
+    ).collect()[0]["p50_qerror"]
+
+    assert 1.0 <= emb_p50 and 1.0 <= tf_p50
+    assert emb_p50 <= 2 * tf_p50 and tf_p50 <= 2 * emb_p50
+
+
 def test_train_and_evaluate_learns_signal(spark):
     # label is a deterministic function of token count — RF must beat the
     # trivial error bound and produce finite qerrors.
