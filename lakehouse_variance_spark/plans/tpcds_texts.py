@@ -31,6 +31,15 @@ reference text, mirroring the policy of `tpch_texts.py`):
 No structural change is made: FROM/JOIN graphs, subquery shapes, GROUP
 BY/ROLLUP/HAVING, window frames, set operations, and all filter
 literals are the reference's.
+
+Sparsity note: a few queries legitimately return 0 rows at tiny scale
+factors and fill in as data grows — q58/q78/q83 demand the same
+(item[, customer]) to coincide across all three sales channels in a
+narrow window (a cross-channel coincidence real TPC-DS also makes
+vanishingly rare at SF << 1), and q54/q64/q85/q91's deep
+demographic/geo filter chains leave ≲1 expected row below sf0.1
+(q54/q64/q85 are non-empty at sf0.1). The oracle comparison holds at
+every SF either way — 0 rows on both engines is still a verified match.
 """
 
 from __future__ import annotations
