@@ -375,12 +375,154 @@ def text_tfidf_top_term(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.filter(F.col("rn") == 1).drop("rn")
 
 
+_BM25_TERMS = ("join", "scan", "window")
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+
+
+@register(
+    "text_bm25_topk",
+    oracle=f"""
+    WITH dl AS (
+        SELECT doc_id, len(string_split(text, ' ')) AS dl FROM documents),
+    stats AS (
+        SELECT avg(CAST(dl AS DOUBLE)) AS avgdl,
+               CAST(count(*) AS DOUBLE) AS n FROM dl),
+    tf AS (
+        SELECT doc_id, token, CAST(count(*) AS DOUBLE) AS tf
+        FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+              FROM documents)
+        WHERE token IN ('join', 'scan', 'window')
+        GROUP BY doc_id, token),
+    idf AS (
+        SELECT token,
+               ln(1 + (stats.n - df + 0.5) / (df + 0.5)) AS idf
+        FROM (SELECT token, CAST(count(DISTINCT doc_id) AS DOUBLE) AS df
+              FROM tf GROUP BY token), stats),
+    s AS (
+        SELECT tf.doc_id, tf.token,
+               idf.idf * tf.tf * ({_BM25_K1} + 1)
+               / (tf.tf + {_BM25_K1} * (1 - {_BM25_B} + {_BM25_B}
+                  * CAST(dl.dl AS DOUBLE) / stats.avgdl)) AS s
+        FROM tf
+        JOIN idf ON idf.token = tf.token
+        JOIN dl ON dl.doc_id = tf.doc_id, stats),
+    per_doc AS (
+        SELECT doc_id,
+               coalesce(max(CASE WHEN token = 'join' THEN s END), 0)
+               + coalesce(max(CASE WHEN token = 'scan' THEN s END), 0)
+               + coalesce(max(CASE WHEN token = 'window' THEN s END), 0)
+                   AS raw,
+               count(*) AS matched_terms
+        FROM s GROUP BY doc_id)
+    SELECT doc_id, round(raw, 3) AS bm25, matched_terms
+    FROM per_doc
+    ORDER BY round(raw, 3) DESC, doc_id
+    LIMIT 20
+    """,
+)
+def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 retrieval (Robertson-Spärck Jones; k1=1.2, b=0.75) of a fixed
+    3-term query over the corpus, top-20 documents — the ranking stage of
+    a search/RAG pipeline over cleaned training text.
+
+    Determinism across engines: ln() can differ in the last ulp between
+    libm builds (the reason text_tfidf_top_term keeps its idf rational),
+    so the ORDER BY key is the score ROUNDED to 3 decimals with a doc_id
+    tie-break — an ulp of ln noise cannot flip the rounded comparison —
+    and the per-term contributions add in a FIXED textual order (three
+    coalesced pivot columns), never via a float SUM whose partial order
+    the engine picks.
+
+    Scale: query terms filter the exploded token stream BEFORE any
+    aggregation (three terms survive out of the whole vocabulary), idf is
+    a 3-row broadcast, doc lengths join on the doc key, and the top-20 is
+    a TakeOrdered — no corpus-wide shuffle beyond the tf groupBy.
+    """
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    dl = docs.select(
+        "doc_id", F.size(F.split(F.col("text"), " ")).alias("dl")
+    )
+    stats = dl.agg(
+        F.avg(F.col("dl").cast("double")).alias("avgdl"),
+        F.count(F.lit(1)).cast("double").alias("n"),
+    )
+    tok = docs.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("token")
+    )
+    tf = (
+        tok.filter(F.col("token").isin(*_BM25_TERMS))
+        .groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).cast("double").alias("tf"))
+    )
+    idf = (
+        tf.groupBy("token")
+        .agg(F.count_distinct("doc_id").cast("double").alias("df"))
+        .join(stats, F.lit(True))
+        .select(
+            "token",
+            F.log(
+                F.lit(1.0)
+                + (F.col("n") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+            ).alias("idf"),
+        )
+    )
+    s = (
+        tf.join(F.broadcast(idf), "token")
+        .join(dl, "doc_id")
+        .join(F.broadcast(stats), F.lit(True))
+        .select(
+            "doc_id",
+            "token",
+            (
+                F.col("idf")
+                * F.col("tf")
+                * (_BM25_K1 + 1)
+                / (
+                    F.col("tf")
+                    + _BM25_K1
+                    * (
+                        1
+                        - _BM25_B
+                        + _BM25_B
+                        * F.col("dl").cast("double")
+                        / F.col("avgdl")
+                    )
+                )
+            ).alias("s"),
+        )
+    )
+    per_doc = s.groupBy("doc_id").agg(
+        (
+            F.coalesce(
+                F.max(F.when(F.col("token") == "join", F.col("s"))), F.lit(0.0)
+            )
+            + F.coalesce(
+                F.max(F.when(F.col("token") == "scan", F.col("s"))), F.lit(0.0)
+            )
+            + F.coalesce(
+                F.max(F.when(F.col("token") == "window", F.col("s"))),
+                F.lit(0.0),
+            )
+        ).alias("raw"),
+        F.count(F.lit(1)).alias("matched_terms"),
+    )
+    return (
+        per_doc.select(
+            "doc_id", F.round("raw", 3).alias("bm25"), "matched_terms"
+        )
+        .orderBy(F.col("bm25").desc(), "doc_id")
+        .limit(20)
+    )
+
+
 __all__ = [
     "text_repetition_ratio",
     "text_filter_pipeline",
     "dedup_ngram_containment",
     "corpus_vocab_stats",
     "text_tfidf_top_term",
+    "text_bm25_topk",
 ]
 
 
