@@ -648,3 +648,79 @@ def dedup_cc_star(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_a").alias("s"), F.col("doc_b").alias("d")
     )
     return _cc_star_labels(pairs)
+
+
+@register(
+    "dedup_repeated_spans",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+    sh AS (
+        SELECT doc_id, i AS pos, array_to_string(l[i:i+7], ' ') AS s
+        FROM toks, LATERAL unnest(generate_series(1, len(l) - 7)) AS t(i)
+        WHERE len(l) >= 8),
+    shared AS (
+        SELECT s FROM sh GROUP BY s HAVING count(DISTINCT doc_id) >= 2),
+    marked AS (SELECT DISTINCT doc_id, pos FROM sh JOIN shared USING (s)),
+    grp AS (
+        SELECT doc_id, pos,
+               pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos)
+                   AS g
+        FROM marked)
+    SELECT doc_id,
+           min(pos) AS span_start,
+           max(pos) + 7 AS span_end,
+           max(pos) + 7 - min(pos) + 1 AS n_tokens
+    FROM grp GROUP BY doc_id, g
+    """,
+)
+def dedup_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact repeated-SUBSTRING detection (the span-level dedup pass of
+    Lee et al. 2022, "Deduplicating Training Data Makes Language Models
+    Better" — public): every maximal token span of >= 8 tokens that also
+    appears verbatim in ANOTHER document, reported as removal spans
+    (doc_id, 1-based token start/end). Doc-level dedup (dedup_exact /
+    minhash) misses these partial copies — boilerplate headers, quoted
+    passages — which is why the span pass exists as its own operator.
+
+    Shape: one 8-token sliding shingle per position (array slice +
+    concat, pure column exprs), a groupBy on the shingle to find
+    cross-document shingles, then gaps-and-islands (pos minus
+    row_number) to merge overlapping marked positions into maximal
+    spans. At 100 TB the shingle key is xxhash64'd to 8 bytes before the
+    shuffle (the string key here keeps the DuckDB oracle engine-neutral;
+    the plan is identical) and the suffix-array construction of the
+    paper is replaced by this shingle-mark-merge, which needs only
+    groupBy/join/window — no per-node suffix automaton state.
+    """
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    toks = docs.select("doc_id", F.split("text", " ").alias("l")).filter(
+        F.size("l") >= 8
+    )
+    # sequence(1, n) is safe only for n >= 1 (sequence counts DOWN for
+    # n < 1 — the sequence(1,0) trap); the size filter above guarantees it
+    sh = toks.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(l) - 7), "
+                "i -> struct(i AS pos, concat_ws(' ', slice(l, i, 8)) AS s))"
+            )
+        ).alias("x"),
+    ).select("doc_id", F.col("x.pos").alias("pos"), F.col("x.s").alias("s"))
+    shared = (
+        sh.groupBy("s")
+        .agg(F.count_distinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("s")
+    )
+    marked = sh.join(shared, "s").select("doc_id", "pos").distinct()
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    grp = marked.withColumn("g", F.col("pos") - F.row_number().over(w))
+    return grp.groupBy("doc_id", "g").agg(
+        F.min("pos").alias("span_start"),
+        (F.max("pos") + 7).alias("span_end"),
+        (F.max("pos") + 7 - F.min("pos") + 1).alias("n_tokens"),
+    ).drop("g")
