@@ -87,21 +87,37 @@ def featurize_text_mean_embedding(
     """
     from pyspark.ml.functions import array_to_vector
 
-    toks = F.filter(
-        F.split(F.lower(F.regexp_replace(F.col(text_col), r"\W+", " ")), " "),
+    # Tokenize ONCE into a real column: Catalyst does not CSE inside
+    # higher-order-function lambdas, so inlining this expression into
+    # every per-component aggregate would re-tokenize each row O(dim)
+    # times (the collapse trap similarity._prepped documents). NULL text
+    # coalesces to '' so the empty-text zero-vector path covers it —
+    # aggregate over a NULL array would otherwise poison array_to_vector.
+    toks_col = F.filter(
+        F.split(
+            F.lower(
+                F.regexp_replace(F.coalesce(F.col(text_col), F.lit("")),
+                                 r"\W+", " ")
+            ),
+            " ",
+        ),
         lambda t: t != "",
     )
     two63 = float(2**63)
     emb = F.transform(
         F.sequence(F.lit(0), F.lit(dim - 1)),
         lambda j: F.aggregate(
-            toks,
+            F.col("_toks"),
             F.lit(0.0),
             lambda acc, t: acc + F.xxhash64(t, j, F.lit(seed)) / two63,
         )
-        / F.greatest(F.size(toks), F.lit(1)),
+        / F.greatest(F.size(F.col("_toks")), F.lit(1)),
     )
-    out = df.withColumn("features", array_to_vector(emb))
+    out = (
+        df.withColumn("_toks", toks_col)
+        .withColumn("features", array_to_vector(emb))
+        .drop("_toks")
+    )
     if dim > PCA_THRESHOLD:
         pca = PCA(k=4, inputCol="features", outputCol="_pca").fit(out)
         out = pca.transform(out).drop("features").withColumnRenamed(

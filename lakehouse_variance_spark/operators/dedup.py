@@ -298,14 +298,28 @@ def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     from lakehouse_variance_spark.operators.similarity import _prepped, dot
 
     emb = _prepped(load_table(spark, sf_dir, "embeddings"), "vec_id", "embedding")
-    unit = emb.select(
+    # Zero-norm vectors have no direction: cosine is undefined, so they are
+    # their own keepers (the pre-rewrite all-pairs code reached the same
+    # outcome via NULL cosines failing the threshold). Splitting them out
+    # also keeps the unit-normalize division NULL-free — KMeans/
+    # array_to_vector throw on NULL components.
+    degenerate = emb.filter(F.col("nrm") <= 0.0).select("vec_id")
+    unit = emb.filter(F.col("nrm") > 0.0).select(
         "vec_id",
         F.zip_with(
             "v", F.array_repeat("nrm", F.size("v")), lambda x, n: x / n
         ).alias("u"),
     )
     feats = unit.withColumn("features", array_to_vector("u")).localCheckpoint()
-    k = max(2, min(32, feats.count() // 64 + 1))
+    n_unit = feats.count()
+    self_keepers = degenerate.select(
+        "vec_id",
+        F.col("vec_id").alias("keeper_id"),
+        F.lit(0).cast("long").alias("n_similar"),
+    )
+    if n_unit == 0:  # nothing to cluster — KMeans.fit raises on 0 rows
+        return self_keepers
+    k = max(2, min(32, n_unit // 64 + 1))
     model = KMeans(
         k=k, seed=0, featuresCol="features", predictionCol="cluster"
     ).fit(feats)
@@ -359,6 +373,7 @@ def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("keeper_id"),
             F.count("vec_b").alias("n_similar"),
         )
+        .unionByName(self_keepers)
     )
 
 
@@ -662,11 +677,18 @@ def dedup_cc_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     shared AS (
         SELECT s FROM sh GROUP BY s HAVING count(DISTINCT doc_id) >= 2),
     marked AS (SELECT DISTINCT doc_id, pos FROM sh JOIN shared USING (s)),
+    flagged AS (
+        SELECT doc_id, pos,
+               CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id
+                                              ORDER BY pos) <= 7
+                    THEN 0 ELSE 1 END AS brk
+        FROM marked),
     grp AS (
         SELECT doc_id, pos,
-               pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos)
-                   AS g
-        FROM marked)
+               sum(brk) OVER (PARTITION BY doc_id ORDER BY pos
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND CURRENT ROW) AS g
+        FROM flagged)
     SELECT doc_id,
            min(pos) AS span_start,
            max(pos) + 7 AS span_end,
@@ -685,9 +707,11 @@ def dedup_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Shape: one 8-token sliding shingle per position (array slice +
     concat, pure column exprs), a groupBy on the shingle to find
-    cross-document shingles, then gaps-and-islands (pos minus
-    row_number) to merge overlapping marked positions into maximal
-    spans. At 100 TB the shingle key is xxhash64'd to 8 bytes before the
+    cross-document shingles, then gaps-and-islands with a gap tolerance
+    of 7 (two marked shingle STARTS within 7 positions cover overlapping
+    token ranges — a plain pos-minus-row_number island split there would
+    emit overlapping spans and double-count tokens) to merge marked
+    positions into maximal non-overlapping spans. At 100 TB the shingle key is xxhash64'd to 8 bytes before the
     shuffle (the string key here keeps the DuckDB oracle engine-neutral;
     the plan is identical) and the suffix-array construction of the
     paper is replaced by this shingle-mark-merge, which needs only
@@ -718,7 +742,16 @@ def dedup_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     w = Window.partitionBy("doc_id").orderBy("pos")
-    grp = marked.withColumn("g", F.col("pos") - F.row_number().over(w))
+    flagged = marked.withColumn(
+        "brk",
+        F.when(F.col("pos") - F.lag("pos").over(w) <= 7, F.lit(0)).otherwise(
+            F.lit(1)
+        ),
+    )
+    grp = flagged.withColumn(
+        "g",
+        F.sum("brk").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
     return grp.groupBy("doc_id", "g").agg(
         F.min("pos").alias("span_start"),
         (F.max("pos") + 7).alias("span_end"),

@@ -1,0 +1,108 @@
+"""Shared machinery for derived synthetic schemas (tpcds_schema, tpch_ext).
+
+Both modules define tables as self-contained SQL over the driver's base
+tables and need the same four pieces, previously duplicated:
+
+* base-table re-pointing (``FROM customer`` → ``FROM customer_base``) so
+  a derived table may shadow a base table's name;
+* a defs fingerprint keying the parquet cache (schema edits regenerate);
+* the DuckDB WITH-prelude merge (prefix a query text with the schema
+  definition CTEs, folding the query's own WITH-list when present);
+* the Spark-side materialize-once-then-register-views flow.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import re as _re
+from collections.abc import Callable
+
+from pyspark.sql import SparkSession
+
+
+def repoint(sql: str, base: str) -> str:
+    """FROM/JOIN <base> → FROM/JOIN <base>_base (word-boundary safe; defs
+    only reference base tables in FROM/JOIN clauses)."""
+    return _re.sub(
+        rf"\b(FROM|JOIN)\s+{base}\b(?!_base)", rf"\1 {base}_base", sql
+    )
+
+
+def repoint_all(sql: str, bases: tuple[str, ...]) -> str:
+    for base in bases:
+        sql = repoint(sql, base)
+    return sql
+
+
+def defs_fingerprint(defs: dict[str, str]) -> str:
+    blob = "\n".join(f"{k}:{v}" for k, v in defs.items())
+    return hashlib.md5(blob.encode()).hexdigest()[:12]
+
+
+def wrap_with_prelude(prelude: str, query_text: str) -> str:
+    """Prefix a query text with a WITH-prelude, merging WITH-lists when
+    the query itself starts with WITH."""
+    body = query_text.strip()
+    m = _re.match(r"(?is)^with\b", body)
+    if m:
+        body = body[m.end():].lstrip()
+        return f"WITH {prelude},\n{body}"
+    return f"WITH {prelude}\n{body}"
+
+
+def cache_dir(cache_root: str, sf_dir: str, fingerprint: str) -> str:
+    key = hashlib.md5(
+        f"{os.path.abspath(sf_dir)}|{fingerprint}".encode()
+    ).hexdigest()[:16]
+    return os.path.join(cache_root, key)
+
+
+# (session id, cache dir, table) → parquet DataFrame, so re-registration
+# after a shadowing module re-points the names is catalog-only.
+_DF_CACHE: dict[tuple[int, str, str], object] = {}
+
+
+def materialize_and_register(
+    spark: SparkSession,
+    sf_dir: str,
+    defs: dict[str, str],
+    bases: tuple[str, ...],
+    cache_root: str,
+    *,
+    build_sql: Callable[[str], str],
+    register_during_build: bool = False,
+) -> None:
+    """Materialize every def into the fingerprint-keyed parquet cache (once
+    per sf_dir + defs version), then register all defs as temp views.
+
+    ``build_sql`` maps a def's SQL to the statement actually executed
+    during the build (e.g. prefixing a digits CTE). When defs reference
+    EARLIER defs by name (tpcds returns → sales), pass
+    ``register_during_build=True`` so each table's view is visible to the
+    next build statement."""
+    from lakehouse_variance_spark.plans.runner import register_sf_views
+
+    out = cache_dir(cache_root, sf_dir, defs_fingerprint(defs))
+    done = os.path.join(out, "_DONE")
+    register_sf_views(spark, sf_dir)
+    if not os.path.exists(done):
+        for base in bases:
+            spark.table(base).createOrReplaceTempView(f"{base}_base")
+        os.makedirs(out, exist_ok=True)
+        for name, sql in defs.items():
+            df = spark.sql(build_sql(repoint_all(sql, bases)))
+            df.write.mode("overwrite").parquet(os.path.join(out, name))
+            if register_during_build:
+                spark.read.parquet(
+                    os.path.join(out, name)
+                ).createOrReplaceTempView(name)
+        with open(done, "w") as fh:
+            fh.write(defs_fingerprint(defs) + "\n")
+    for name in defs:
+        key = (id(spark), out, name)
+        df = _DF_CACHE.get(key)
+        if df is None:
+            df = spark.read.parquet(os.path.join(out, name))
+            _DF_CACHE[key] = df
+        df.createOrReplaceTempView(name)

@@ -40,11 +40,11 @@ returns-join queries rely on.
 
 from __future__ import annotations
 
-import hashlib
 import os
-import re as _re
 
 from pyspark.sql import SparkSession
+
+from lakehouse_variance_spark.plans import synth_common as synth
 
 # ---------------------------------------------------------------------------
 # Domains
@@ -915,11 +915,6 @@ TPCDS_DEFS: dict[str, str] = {
 _BASE_TABLES = ("lineitem", "orders", "part", "customer")
 
 
-def _defs_fingerprint() -> str:
-    blob = "\n".join(f"{k}:{v}" for k, v in TPCDS_DEFS.items())
-    return hashlib.md5(blob.encode()).hexdigest()[:12]
-
-
 # ---------------------------------------------------------------------------
 # Oracle prelude (DuckDB side)
 # ---------------------------------------------------------------------------
@@ -927,29 +922,16 @@ def _defs_fingerprint() -> str:
 
 def _prelude_ctes() -> str:
     """All 24 defs as a WITH-list, base tables aliased via *_base CTEs so
-    the TPC-DS `customer` CTE can shadow the base `customer` view."""
+    the TPC-DS `customer` CTE can shadow the base `customer` view
+    (main.<t> pins the BASE VIEW: DuckDB CTE names share one namespace,
+    so an unqualified `customer` would circularly bind to the TPC-DS
+    `customer` CTE)."""
     parts = ["digits(a) AS (" + _DIGITS + ")"]
     for base in _BASE_TABLES:
-        # main.<t> pins the BASE VIEW: DuckDB CTE names share one
-        # namespace, so an unqualified `customer` here would circularly
-        # bind to the TPC-DS `customer` CTE below.
         parts.append(f"{base}_base AS (SELECT * FROM main.{base})")
     for name, sql in TPCDS_DEFS.items():
-        body = sql
-        for base in _BASE_TABLES:
-            # whole-word re-point of base table references inside defs
-            body = _repoint(body, base)
-        parts.append(f"{name} AS ({body})")
+        parts.append(f"{name} AS ({synth.repoint_all(sql, _BASE_TABLES)})")
     return ",\n".join(parts)
-
-
-
-def _repoint(sql: str, base: str) -> str:
-    # FROM/JOIN <base> -> FROM/JOIN <base>_base (word-boundary safe; the
-    # defs only reference base tables in FROM/JOIN clauses)
-    return _re.sub(
-        rf"\b(FROM|JOIN)\s+{base}\b(?!_base)", rf"\1 {base}_base", sql
-    )
 
 
 _PRELUDE: str | None = None
@@ -965,12 +947,7 @@ def oracle_prelude() -> str:
 def oracle_sql_for(query_text: str) -> str:
     """Wrap a verbatim TPC-DS query text with the schema prelude, merging
     WITH-lists when the query itself starts with WITH."""
-    body = query_text.strip()
-    m = _re.match(r"(?is)^with\b", body)
-    if m:
-        body = body[m.end():].lstrip()
-        return f"WITH {oracle_prelude()},\n{body}"
-    return f"WITH {oracle_prelude()}\n{body}"
+    return synth.wrap_with_prelude(oracle_prelude(), query_text)
 
 
 # ---------------------------------------------------------------------------
@@ -982,21 +959,6 @@ _REPO_ROOT = os.path.dirname(
 )
 _CACHE_ROOT = os.path.join(_REPO_ROOT, ".tpcds_cache")
 
-def _cache_dir(sf_dir: str) -> str:
-    key = hashlib.md5(
-        f"{os.path.abspath(sf_dir)}|{_defs_fingerprint()}".encode()
-    ).hexdigest()[:16]
-    return os.path.join(_CACHE_ROOT, key)
-
-
-def _repoint_all(sql: str) -> str:
-    for base in _BASE_TABLES:
-        sql = _repoint(sql, base)
-    return sql
-
-
-_DF_CACHE: dict[tuple[int, str, str], object] = {}
-
 
 def register_tpcds_views(spark: SparkSession, sf_dir: str) -> None:
     """Materialize (if needed) and register all 24 TPC-DS tables as temp
@@ -1006,31 +968,14 @@ def register_tpcds_views(spark: SparkSession, sf_dir: str) -> None:
     shadows the base TPC-H `customer` view, and interleaved TPC-H /
     TPC-DS queries in one session would otherwise read the wrong one.
     The parquet DataFrames are cached per session so re-registration is
-    a catalog-only operation."""
-    from lakehouse_variance_spark.plans.runner import register_sf_views
-
-    out = _cache_dir(sf_dir)
-    done = os.path.join(out, "_DONE")
-    if not os.path.exists(done):
-        register_sf_views(spark, sf_dir)
-        for base in _BASE_TABLES:
-            spark.table(base).createOrReplaceTempView(f"{base}_base")
-        os.makedirs(out, exist_ok=True)
-        for name, sql in TPCDS_DEFS.items():
-            df = spark.sql(
-                "WITH digits(a) AS (" + _DIGITS + ")\n" + _repoint_all(sql)
-            )
-            df.write.mode("overwrite").parquet(os.path.join(out, name))
-            # later defs (returns) reference earlier ones (sales) by name
-            spark.read.parquet(os.path.join(out, name)).createOrReplaceTempView(
-                name
-            )
-        with open(done, "w") as fh:
-            fh.write(_defs_fingerprint() + "\n")
-    for name in TPCDS_DEFS:
-        key = (id(spark), out, name)
-        df = _DF_CACHE.get(key)
-        if df is None:
-            df = spark.read.parquet(os.path.join(out, name))
-            _DF_CACHE[key] = df
-        df.createOrReplaceTempView(name)
+    a catalog-only operation. register_during_build: later defs
+    (returns) reference earlier ones (sales) by name."""
+    synth.materialize_and_register(
+        spark,
+        sf_dir,
+        TPCDS_DEFS,
+        _BASE_TABLES,
+        _CACHE_ROOT,
+        build_sql=lambda sql: "WITH digits(a) AS (" + _DIGITS + ")\n" + sql,
+        register_during_build=True,
+    )

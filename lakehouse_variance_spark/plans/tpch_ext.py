@@ -31,11 +31,11 @@ exists so all 22 TPC-H texts can run unmodified in `tpch_texts.py`.
 
 from __future__ import annotations
 
-import hashlib
 import os
-import re as _re
 
 from pyspark.sql import SparkSession
+
+from lakehouse_variance_spark.plans import synth_common as synth
 
 # value domains (public TPC-H spec lists; subset)
 CONTAINERS = [
@@ -57,22 +57,38 @@ _LK = "(l_orderkey * 7 + l_linenumber)"
 
 
 def _partsupp() -> str:
-    # seq 0..3 as a literal derived table; S from a scalar subquery so the
-    # definition is sf-independent. The base residue is decorrelated
-    # across parts by a large-prime mix (a bare p*4 base gives only S/4
-    # distinct supplier quadruples), then four CONSECUTIVE residues mod S
-    # — always distinct for S >= 4 — keep (ps_partkey, ps_suppkey) a true
-    # key at every scale factor, like the spec's partsupp primary key.
-    sup = "(SELECT count(*) AS s_cnt FROM supplier)"
-    return f"""
-SELECT p_partkey AS ps_partkey,
-       ((p_partkey * 7919) % 1000000007 + q.i) % s.s_cnt AS ps_suppkey,
-       1 + (p_partkey * 17 + q.i * 4999) % 9999 AS ps_availqty,
-       1 + (p_partkey * 7919 + q.i * 104729) % 99999 AS ps_supplycost
-FROM part,
-     (SELECT 0 AS i UNION ALL SELECT 1 UNION ALL SELECT 2
-      UNION ALL SELECT 3) q,
-     {sup} s
+    # The spec's referential contract drives the shape: every
+    # (l_partkey, l_suppkey) pair in lineitem MUST exist in partsupp (or
+    # q9/q20-style partsupp joins silently drop most of the fact table),
+    # and every part carries (at least) four canonical suppliers. So
+    # partsupp is the UNION of the observed distinct lineitem pairs and
+    # four per-part canonical suppliers, the latter picked by POSITION
+    # over the actual supplier table (row_number join) — never by
+    # assuming s_suppkey is a dense 0..S-1 range, which key-shifted
+    # replicas (the 10x probe) and re-keyed datasets break. The
+    # positional index decorrelates across parts via a large-prime mix;
+    # four consecutive residues mod S are distinct for S >= 4.
+    # ps_availqty/ps_supplycost are functions of (partkey, suppkey) so
+    # both union arms value them identically.
+    return """
+SELECT ps_partkey,
+       ps_suppkey,
+       1 + (ps_partkey * 17 + ps_suppkey * 4999) % 9999 AS ps_availqty,
+       1 + (ps_partkey * 7919 + ps_suppkey * 104729) % 99999 AS ps_supplycost
+FROM (
+    SELECT DISTINCT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey
+    FROM lineitem
+    UNION
+    SELECT p_partkey, sup.s_suppkey
+    FROM part,
+         (SELECT 0 AS i UNION ALL SELECT 1 UNION ALL SELECT 2
+          UNION ALL SELECT 3) q,
+         (SELECT count(*) AS s_cnt FROM supplier) c,
+         (SELECT s_suppkey,
+                 row_number() OVER (ORDER BY s_suppkey) - 1 AS s_idx
+          FROM supplier) sup
+    WHERE sup.s_idx = ((p_partkey * 7919) % 1000000007 + q.i) % c.s_cnt
+) pairs
 """
 
 
@@ -148,25 +164,10 @@ TPCH_EXT_DEFS: dict[str, str] = {
 
 _BASE_TABLES = ("lineitem", "part", "supplier", "orders", "customer")
 
-
-def _repoint(sql: str, base: str) -> str:
-    return _re.sub(
-        rf"\b(FROM|JOIN)\s+{base}\b(?!_base)", rf"\1 {base}_base", sql
-    )
-
-
-def _repoint_all(sql: str) -> str:
-    for base in _BASE_TABLES:
-        sql = _repoint(sql, base)
-    return sql
-
-
-def _defs_fingerprint() -> str:
-    blob = "\n".join(f"{k}:{v}" for k, v in TPCH_EXT_DEFS.items())
-    return hashlib.md5(blob.encode()).hexdigest()[:12]
-
-
-# --- DuckDB oracle prelude --------------------------------------------------
+_REPO_ROOT = os.path.dirname(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+)
+_CACHE_ROOT = os.path.join(_REPO_ROOT, ".tpch_ext_cache")
 
 _PRELUDE: str | None = None
 
@@ -182,36 +183,15 @@ def oracle_prelude() -> str:
             for base in _BASE_TABLES
         ]
         for name, sql in TPCH_EXT_DEFS.items():
-            parts.append(f"{name} AS ({_repoint_all(sql)})")
+            parts.append(
+                f"{name} AS ({synth.repoint_all(sql, _BASE_TABLES)})"
+            )
         _PRELUDE = ",\n".join(parts)
     return _PRELUDE
 
 
 def oracle_sql_for_tpch(query_text: str) -> str:
-    body = query_text.strip()
-    m = _re.match(r"(?is)^with\b", body)
-    if m:
-        body = body[m.end():].lstrip()
-        return f"WITH {oracle_prelude()},\n{body}"
-    return f"WITH {oracle_prelude()}\n{body}"
-
-
-# --- Spark side: materialize once per (sf_dir, defs version) ----------------
-
-_REPO_ROOT = os.path.dirname(
-    os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-)
-_CACHE_ROOT = os.path.join(_REPO_ROOT, ".tpch_ext_cache")
-
-
-def _cache_dir(sf_dir: str) -> str:
-    key = hashlib.md5(
-        f"{os.path.abspath(sf_dir)}|{_defs_fingerprint()}".encode()
-    ).hexdigest()[:16]
-    return os.path.join(_CACHE_ROOT, key)
-
-
-_DF_CACHE: dict[tuple[int, str, str], object] = {}
+    return synth.wrap_with_prelude(oracle_prelude(), query_text)
 
 
 def register_tpch_ext_views(spark: SparkSession, sf_dir: str) -> None:
@@ -222,24 +202,11 @@ def register_tpch_ext_views(spark: SparkSession, sf_dir: str) -> None:
     interleaved base-table queries) can shadow these names in the same
     session; parquet DataFrames are cached so re-registration is
     catalog-only."""
-    from lakehouse_variance_spark.plans.runner import register_sf_views
-
-    out = _cache_dir(sf_dir)
-    done = os.path.join(out, "_DONE")
-    register_sf_views(spark, sf_dir)
-    if not os.path.exists(done):
-        for base in _BASE_TABLES:
-            spark.table(base).createOrReplaceTempView(f"{base}_base")
-        os.makedirs(out, exist_ok=True)
-        for name, sql in TPCH_EXT_DEFS.items():
-            df = spark.sql(_repoint_all(sql))
-            df.write.mode("overwrite").parquet(os.path.join(out, name))
-        with open(done, "w") as fh:
-            fh.write(_defs_fingerprint() + "\n")
-    for name in TPCH_EXT_DEFS:
-        key = (id(spark), out, name)
-        df = _DF_CACHE.get(key)
-        if df is None:
-            df = spark.read.parquet(os.path.join(out, name))
-            _DF_CACHE[key] = df
-        df.createOrReplaceTempView(name)
+    synth.materialize_and_register(
+        spark,
+        sf_dir,
+        TPCH_EXT_DEFS,
+        _BASE_TABLES,
+        _CACHE_ROOT,
+        build_sql=lambda sql: sql,
+    )

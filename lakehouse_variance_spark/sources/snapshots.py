@@ -129,16 +129,22 @@ def _advance_branch(table_dir: str, branch: str, version: int) -> None:
     refs["branches"][branch] = version
     _write_refs(table_dir, refs)
     # Optimistic lost-race check, mirroring the manifest _commit contract:
-    # refs updates are read-modify-write of one file, so two concurrent
-    # committers (e.g. a streaming micro-batch on main plus a branch
-    # commit) can interleave and the first writer's ref advance silently
-    # vanishes — leaving that branch's readers behind a committed version.
-    # Re-reading after os.replace turns the silent drop into an error.
+    # refs updates are read-modify-write of one file, so a concurrent
+    # committer holding a STALE read can clobber this advance — leaving
+    # the branch's readers behind a committed version. Re-reading after
+    # os.replace catches the clobber when it lands before the re-read; a
+    # NEWER version observed here is monotonic progress (a later commit
+    # already superseded ours), not a loss, so only a missing or OLDER
+    # value raises. This is best-effort detection on a single-writer-per-
+    # branch design, not a lock — a stale clobber landing after the
+    # re-read window still wins, which full protection would need a
+    # compare-and-swap (or refs sequence numbers) to close.
     seen = _read_refs(table_dir)["branches"].get(branch)
-    if seen != version:
+    if seen is None or seen < version:
         raise RuntimeError(
             f"lost refs race advancing branch {branch!r} to v{version}: "
-            f"refs.json now shows {seen!r} (concurrent ref update)"
+            f"refs.json now shows {seen!r} (clobbered by a stale "
+            "concurrent ref update)"
         )
 
 
@@ -338,11 +344,14 @@ def history(table_dir: str) -> list[dict]:
 
 
 def expire_snapshots(table_dir: str, keep_last: int = 2) -> list[str]:
-    """Physically delete data files referenced ONLY by expired versions
-    (all but the ``keep_last`` most recent); returns the deleted paths.
-    The manifests themselves stay as tombstones so the commit log remains
-    contiguous — reading an expired version raises on the missing files,
-    matching Iceberg's expire-snapshots semantics."""
+    """Physically delete data files referenced ONLY by expired versions;
+    returns the deleted paths. Retention is PER REF: the ``keep_last``
+    most recent ancestors along each ref head's parent chain (plus the
+    global head) survive — Iceberg's ref-level retention — so heavy
+    branch activity cannot evict main's recent history. The manifests
+    themselves stay as tombstones so the commit log remains contiguous —
+    reading an expired version raises on the missing files, matching
+    Iceberg's expire-snapshots semantics."""
     latest = current_version(table_dir)
     # The keep window is PER REF: keep_last ancestors along each ref's
     # parent chain (plus the global head), the way Iceberg's ref-level
