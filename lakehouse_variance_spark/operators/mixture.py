@@ -310,3 +310,49 @@ def split_by_group_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("user_id").alias("n_users"),
         )
     )
+
+
+SAMPLE_PER_STRATUM = 20
+SAMPLE_SEED = "lvs-r5"
+
+
+@register(
+    "sample_stratified_per_source",
+    oracle=f"""
+    WITH ranked AS (
+        SELECT source, lang, doc_id, n_chars,
+               row_number() OVER (
+                   PARTITION BY source
+                   ORDER BY md5(CAST(doc_id AS VARCHAR) || '{SAMPLE_SEED}'),
+                            doc_id) AS rn
+        FROM documents)
+    SELECT source, lang, doc_id, n_chars, rn AS sample_rank
+    FROM ranked WHERE rn <= {SAMPLE_PER_STRATUM}
+    """,
+)
+def sample_stratified_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling: exactly min(n, 20) documents per
+    source, chosen by a seeded content-independent pseudo-random order —
+    the reproducible eval/inspection sample every corpus pipeline needs
+    (rand()-based sampling is neither reproducible across retries nor
+    auditable).
+
+    The "random" order is the md5 of the key + seed, identical on every
+    engine and run: changing the seed string redraws the sample, keeping
+    it is a frozen artifact. One window per stratum — at 100 TB this is a
+    single shuffle on `source` with partial top-k unnecessary only
+    because k is tiny; for large k swap the row_number window for a
+    per-partition top-k + merge.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(
+        F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(SAMPLE_SEED))),
+        "doc_id",
+    )
+    return (
+        docs.select(
+            "source", "lang", "doc_id", "n_chars",
+            F.row_number().over(w).alias("sample_rank"),
+        )
+        .filter(F.col("sample_rank") <= SAMPLE_PER_STRATUM)
+    )
