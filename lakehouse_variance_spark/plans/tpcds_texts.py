@@ -26,7 +26,14 @@ reference text, mirroring the policy of `tpch_texts.py`):
 * **aggregate type pinning**: output-level integer sums are wrapped in
   `CAST(... AS BIGINT)` — DuckDB widens BIGINT sums to HUGEINT, which
   pandas renders as float64 and the driver's value hash then rejects
-  against Spark's int64 (same policy as `tpch_texts.py`).
+  against Spark's int64 (same policy as `tpch_texts.py`);
+* **zero-divisor pinning**: unguarded ratio denominators that CAN be a
+  zero aggregate (q2/q31/q58/q59's same-period sums, the q12/q20/q98
+  in-class revenue shares) are wrapped in `nullif(..., 0)` with the
+  numerator cast to DOUBLE — Spark's ANSI mode throws DIVIDE_BY_ZERO
+  for every numeric type (doubles included) where DuckDB yields inf,
+  and a zero sum first appears at sf0.1 (q59 bit exactly this);
+  CASE-guarded ratios (q4/q21/q31/q74 filters) stay verbatim.
 
 No structural change is made: FROM/JOIN graphs, subquery shapes, GROUP
 BY/ROLLUP/HAVING, window frames, set operations, and all filter
@@ -128,13 +135,13 @@ WITH wscs AS
   GROUP BY d_week_seq)
 SELECT
   d_week_seq1,
-  round(sun_sales1 / sun_sales2, 2) AS sun_ratio,
-  round(mon_sales1 / mon_sales2, 2) AS mon_ratio,
-  round(tue_sales1 / tue_sales2, 2) AS tue_ratio,
-  round(wed_sales1 / wed_sales2, 2) AS wed_ratio,
-  round(thu_sales1 / thu_sales2, 2) AS thu_ratio,
-  round(fri_sales1 / fri_sales2, 2) AS fri_ratio,
-  round(sat_sales1 / sat_sales2, 2) AS sat_ratio
+  round(CAST(sun_sales1 AS DOUBLE) / nullif(sun_sales2, 0), 2) AS sun_ratio,
+  round(CAST(mon_sales1 AS DOUBLE) / nullif(mon_sales2, 0), 2) AS mon_ratio,
+  round(CAST(tue_sales1 AS DOUBLE) / nullif(tue_sales2, 0), 2) AS tue_ratio,
+  round(CAST(wed_sales1 AS DOUBLE) / nullif(wed_sales2, 0), 2) AS wed_ratio,
+  round(CAST(thu_sales1 AS DOUBLE) / nullif(thu_sales2, 0), 2) AS thu_ratio,
+  round(CAST(fri_sales1 AS DOUBLE) / nullif(fri_sales2, 0), 2) AS fri_ratio,
+  round(CAST(sat_sales1 AS DOUBLE) / nullif(sat_sales2, 0), 2) AS sat_ratio
 FROM
   (SELECT
     wswscs.d_week_seq d_week_seq1,
@@ -750,9 +757,9 @@ SELECT
   i_class,
   i_current_price,
   CAST(sum(ws_ext_sales_price) AS BIGINT) AS itemrevenue,
-  sum(ws_ext_sales_price) * 100 / sum(sum(ws_ext_sales_price))
+  CAST(sum(ws_ext_sales_price) * 100 AS DOUBLE) / nullif(sum(sum(ws_ext_sales_price))
   OVER
-  (PARTITION BY i_class) AS revenueratio
+  (PARTITION BY i_class), 0) AS revenueratio
 FROM
   web_sales, item, date_dim
 WHERE
@@ -1093,9 +1100,9 @@ SELECT
   i_class,
   i_current_price,
   CAST(sum(cs_ext_sales_price) AS BIGINT) AS itemrevenue,
-  sum(cs_ext_sales_price) * 100 / sum(sum(cs_ext_sales_price))
+  CAST(sum(cs_ext_sales_price) * 100 AS DOUBLE) / nullif(sum(sum(cs_ext_sales_price))
   OVER
-  (PARTITION BY i_class) AS revenueratio
+  (PARTITION BY i_class), 0) AS revenueratio
 FROM catalog_sales, item, date_dim
 WHERE cs_item_sk = i_item_sk
   AND i_category IN ('Sports', 'Books', 'Home')
@@ -1498,10 +1505,10 @@ WITH ss AS
 SELECT
   ss1.ca_county,
   ss1.d_year,
-  ws2.web_sales / ws1.web_sales web_q1_q2_increase,
-  ss2.store_sales / ss1.store_sales store_q1_q2_increase,
-  ws3.web_sales / ws2.web_sales web_q2_q3_increase,
-  ss3.store_sales / ss2.store_sales store_q2_q3_increase
+  CAST(ws2.web_sales AS DOUBLE) / nullif(ws1.web_sales, 0) web_q1_q2_increase,
+  CAST(ss2.store_sales AS DOUBLE) / nullif(ss1.store_sales, 0) store_q1_q2_increase,
+  CAST(ws3.web_sales AS DOUBLE) / nullif(ws2.web_sales, 0) web_q2_q3_increase,
+  CAST(ss3.store_sales AS DOUBLE) / nullif(ss2.store_sales, 0) store_q2_q3_increase
 FROM
   ss ss1, ss ss2, ss ss3, ws ws1, ws ws2, ws ws3
 WHERE
@@ -2787,11 +2794,14 @@ WITH ss_items AS
 SELECT
   ss_items.item_id,
   ss_item_rev,
-  ss_item_rev / (ss_item_rev + cs_item_rev + ws_item_rev) / 3 * 100 ss_dev,
+  CAST(ss_item_rev AS DOUBLE) / nullif(ss_item_rev + cs_item_rev + ws_item_rev, 0)
+      / 3 * 100 ss_dev,
   cs_item_rev,
-  cs_item_rev / (ss_item_rev + cs_item_rev + ws_item_rev) / 3 * 100 cs_dev,
+  CAST(cs_item_rev AS DOUBLE) / nullif(ss_item_rev + cs_item_rev + ws_item_rev, 0)
+      / 3 * 100 cs_dev,
   ws_item_rev,
-  ws_item_rev / (ss_item_rev + cs_item_rev + ws_item_rev) / 3 * 100 ws_dev,
+  CAST(ws_item_rev AS DOUBLE) / nullif(ss_item_rev + cs_item_rev + ws_item_rev, 0)
+      / 3 * 100 ws_dev,
   (ss_item_rev + cs_item_rev + ws_item_rev) / 3 average
 FROM ss_items, cs_items, ws_items
 WHERE ss_items.item_id = cs_items.item_id
@@ -2806,7 +2816,10 @@ ORDER BY ss_items.item_id, ss_item_rev
 LIMIT 100
 """
 
-# --- q59: week-over-year per-store daily ratios (aliases added) -----------
+# --- q59: week-over-year per-store daily ratios (aliases added; ratio
+# numerators pinned to DOUBLE — a zero same-day sum in the denominator is
+# IEEE inf under double division on both engines, where Spark's ANSI
+# integral division would throw) ------------------------------------------
 TPCDS_TEXTS["tpcds_q59"] = """
 WITH wss AS
 (SELECT
@@ -2841,13 +2854,13 @@ SELECT
   s_store_name1,
   s_store_id1,
   d_week_seq1,
-  sun_sales1 / sun_sales2 AS sun_ratio,
-  mon_sales1 / mon_sales2 AS mon_ratio,
-  tue_sales1 / tue_sales2 AS tue_ratio,
-  wed_sales1 / wed_sales2 AS wed_ratio,
-  thu_sales1 / thu_sales2 AS thu_ratio,
-  fri_sales1 / fri_sales2 AS fri_ratio,
-  sat_sales1 / sat_sales2 AS sat_ratio
+  CAST(sun_sales1 AS DOUBLE) / nullif(sun_sales2, 0) AS sun_ratio,
+  CAST(mon_sales1 AS DOUBLE) / nullif(mon_sales2, 0) AS mon_ratio,
+  CAST(tue_sales1 AS DOUBLE) / nullif(tue_sales2, 0) AS tue_ratio,
+  CAST(wed_sales1 AS DOUBLE) / nullif(wed_sales2, 0) AS wed_ratio,
+  CAST(thu_sales1 AS DOUBLE) / nullif(thu_sales2, 0) AS thu_ratio,
+  CAST(fri_sales1 AS DOUBLE) / nullif(fri_sales2, 0) AS fri_ratio,
+  CAST(sat_sales1 AS DOUBLE) / nullif(sat_sales2, 0) AS sat_ratio
 FROM
   (SELECT
     s_store_name s_store_name1,
@@ -4897,9 +4910,9 @@ SELECT
   i_class,
   i_current_price,
   CAST(sum(ss_ext_sales_price) AS BIGINT) AS itemrevenue,
-  sum(ss_ext_sales_price) * 100 / sum(sum(ss_ext_sales_price))
+  CAST(sum(ss_ext_sales_price) * 100 AS DOUBLE) / nullif(sum(sum(ss_ext_sales_price))
   OVER
-  (PARTITION BY i_class) AS revenueratio
+  (PARTITION BY i_class), 0) AS revenueratio
 FROM
   store_sales, item, date_dim
 WHERE
