@@ -104,6 +104,8 @@ HEADLINE_QUERIES = (
     "tpcds_q95",   # web_sales self-join IN-subqueries
     "tpch_q2",     # correlated min-supplycost over partsupp
     "tpch_q21",    # EXISTS/NOT EXISTS other-supplier lines
+    "dedup_url_canonical",   # URL-alias collapse (ingest front door)
+    "dedup_incremental",     # batch-vs-seen fingerprint anti-join gate
 )
 
 

@@ -1,0 +1,127 @@
+"""Unit gates for the ingestion operators (operators/ingest.py).
+
+The oracle equivalence of the three registered queries is covered by the
+slow registry sweep / driver_sim; these tests pin the behaviors an oracle
+diff would not localize: per-alias-class canonicalization rules, the
+incremental gate's set laws, and the Gini formula's boundary values.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from lakehouse_variance_spark.operators.ingest import (
+    canonicalize_url,
+    corpus_gini_by_source,
+    dedup_incremental,
+)
+from lakehouse_variance_spark.tables import load_table
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _canon(spark, url: str) -> str:
+    df = spark.createDataFrame([(url,)], "url string")
+    return df.select(canonicalize_url("url").alias("c")).collect()[0]["c"]
+
+
+class TestCanonicalizeUrl:
+    def test_case_and_www_and_default_port(self, spark):
+        assert (
+            _canon(spark, "HTTPS://WWW.Example.COM:443/Path/Item")
+            == "https://example.com/Path/Item"
+        )
+
+    def test_path_case_preserved(self, spark):
+        # Hosts are case-insensitive; paths are NOT — /Path must survive.
+        assert _canon(spark, "https://a.com/CaseSensitive").endswith(
+            "/CaseSensitive"
+        )
+
+    def test_non_default_port_kept(self, spark):
+        assert (
+            _canon(spark, "https://a.com:8443/x") == "https://a.com:8443/x"
+        )
+
+    def test_http_default_port_stripped(self, spark):
+        assert _canon(spark, "http://a.com:80/x") == "http://a.com/x"
+        # 443 is NOT http's default port — must be kept.
+        assert _canon(spark, "http://a.com:443/x") == "http://a.com:443/x"
+
+    def test_tracking_params_dropped_and_rest_sorted(self, spark):
+        assert (
+            _canon(spark, "https://a.com/x?z=1&utm_source=tw&a=2&fbclid=abc")
+            == "https://a.com/x?a=2&z=1"
+        )
+
+    def test_tracking_only_query_drops_question_mark(self, spark):
+        assert _canon(spark, "https://a.com/x?utm_medium=m") == "https://a.com/x"
+
+    def test_fragment_stripped(self, spark):
+        assert _canon(spark, "https://a.com/x?b=1#section-2") == (
+            "https://a.com/x?b=1"
+        )
+
+    def test_empty_query_and_no_path(self, spark):
+        assert _canon(spark, "https://WWW.A.com?") == "https://a.com"
+
+
+class TestDedupIncremental:
+    def test_set_laws(self, spark):
+        out = dedup_incremental(spark, SF_DIR)
+        ingested = out.toPandas()
+        docs = load_table(spark, SF_DIR, "documents")
+        fp_expr = F.md5(
+            F.array_join(
+                F.array_sort(F.array_distinct(F.split("text", " "))), " "
+            )
+        ).alias("fingerprint")
+        fp = docs.select("doc_id", fp_expr)
+        seen = {
+            r["fingerprint"]
+            for r in fp.filter(F.col("doc_id") % 10 != 0).collect()
+        }
+        batch = fp.filter(F.col("doc_id") % 10 == 0).toPandas()
+        # 1. Nothing ingested was already seen.
+        assert not (set(ingested["fingerprint"]) & seen)
+        # 2. Ingested fingerprints are unique (within-batch dedup held).
+        assert ingested["fingerprint"].is_unique
+        # 3. Exactly the batch's unseen distinct fingerprints were ingested.
+        expected = set(batch["fingerprint"]) - seen
+        assert set(ingested["fingerprint"]) == expected
+        # 4. Keeper is the batch-min doc_id of its fingerprint.
+        firsts = batch.groupby("fingerprint")["doc_id"].min()
+        for _, row in ingested.iterrows():
+            assert row["doc_id"] == firsts[row["fingerprint"]]
+
+
+class TestGini:
+    def test_uniform_sizes_give_zero(self, spark, monkeypatch):
+        import lakehouse_variance_spark.operators.ingest as mod
+
+        uniform = spark.createDataFrame(
+            [("s", 100)] * 8, "source string, n_chars long"
+        )
+        monkeypatch.setattr(
+            mod, "load_table", lambda spark, sf_dir, name: uniform
+        )
+        row = corpus_gini_by_source(spark, SF_DIR).collect()[0]
+        assert row["gini_num"] == 0 and row["gini"] == 0.0
+
+    def test_total_concentration_approaches_one(self, spark, monkeypatch):
+        import lakehouse_variance_spark.operators.ingest as mod
+
+        skewed = spark.createDataFrame(
+            [("s", 0)] * 9 + [("s", 1000)], "source string, n_chars long"
+        )
+        monkeypatch.setattr(
+            mod, "load_table", lambda spark, sf_dir, name: skewed
+        )
+        row = corpus_gini_by_source(spark, SF_DIR).collect()[0]
+        # G = (n-1)/n when one doc holds all mass.
+        assert row["gini"] == (10 - 1) / 10
+
+    def test_registered_output_bounds(self, spark):
+        pdf = corpus_gini_by_source(spark, SF_DIR).toPandas()
+        assert (pdf["gini"] >= 0).all() and (pdf["gini"] < 1).all()
+        assert (pdf["gini_den"] > 0).all()
