@@ -300,6 +300,72 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Deterministic corpus shuffle + shard
+# ---------------------------------------------------------------------------
+
+N_SHARDS = 8
+# Seeded LCG permutation key: (a·x + c) mod m with m prime — a bijection on
+# [0, m) for a ⊥ m, i.e. a reproducible pseudo-random global order. At real
+# scale the key would be xxhash64(doc_id); the LCG is used here because both
+# engines evaluate it bit-identically (pure int64 arithmetic, no engine hash
+# functions), which is what makes the oracle exact. The multiplier is ~φ·m
+# (golden-ratio fraction of the modulus), so consecutive doc_ids wrap the
+# modulus ~62% of the time — a small multiplier would leave the "shuffle"
+# locally monotonic in doc_id. ANSI-overflow bound: doc_id·a < 2^63 holds
+# for doc_id < 1.4e10 (a thousand-fold margin over the 100 TB corpus).
+_LCG_A = 618_033_988
+_LCG_C = 17
+_LCG_M = 999_999_937  # prime
+
+
+@register(
+    "corpus_shuffle_shard",
+    oracle=f"""
+    WITH keyed AS (
+        SELECT doc_id, n_chars,
+               (doc_id * {_LCG_A} + {_LCG_C}) % {_LCG_M} AS perm
+        FROM documents)
+    SELECT doc_id,
+           CAST(perm % {N_SHARDS} AS BIGINT) AS shard,
+           CAST(row_number() OVER (PARTITION BY perm % {N_SHARDS}
+                                   ORDER BY perm, doc_id) AS BIGINT)
+               AS pos_in_shard,
+           n_chars
+    FROM keyed
+    """,
+)
+def corpus_shuffle_shard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global shuffle + shard of the corpus — the step that
+    turns a curated dataset into training shards: every document gets a
+    seeded pseudo-random permutation key, a shard (key mod N), and its
+    position within the shard. Re-running with the same seed reproduces
+    the exact training order; changing the seed constants reshuffles.
+
+    Scale: NO global sort exists anywhere — the permutation key is a pure
+    per-row expression, sharding is a mod, and the only shuffle is the
+    within-shard window partitioned by shard (N_SHARDS-way, each shard
+    sorted distributed + spillable). This is the standard trick for
+    shuffling 100 TB: a keyed bijection replaces the impossible global
+    random sort, and writers then emit shard files independently. Shard
+    sizes concentrate tightly around n/N because the LCG output is
+    equidistributed mod N (balance law tested).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    keyed = docs.select(
+        "doc_id",
+        "n_chars",
+        ((F.col("doc_id") * _LCG_A + _LCG_C) % _LCG_M).alias("perm"),
+    )
+    w = Window.partitionBy(F.col("perm") % N_SHARDS).orderBy("perm", "doc_id")
+    return keyed.select(
+        "doc_id",
+        (F.col("perm") % N_SHARDS).cast("bigint").alias("shard"),
+        F.row_number().over(w).cast("bigint").alias("pos_in_shard"),
+        "n_chars",
+    )
+
+
+# ---------------------------------------------------------------------------
 # Per-source size concentration (Gini)
 # ---------------------------------------------------------------------------
 

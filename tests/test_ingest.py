@@ -95,6 +95,40 @@ class TestDedupIncremental:
             assert row["doc_id"] == firsts[row["fingerprint"]]
 
 
+class TestShuffleShard:
+    def test_permutation_and_balance_laws(self, spark):
+        from lakehouse_variance_spark.operators.ingest import (
+            N_SHARDS,
+            corpus_shuffle_shard,
+        )
+
+        pdf = corpus_shuffle_shard(spark, SF_DIR).toPandas()
+        n_docs = load_table(spark, SF_DIR, "documents").count()
+        # Every doc assigned exactly once.
+        assert pdf["doc_id"].is_unique and len(pdf) == n_docs
+        # Positions are 1..k contiguous within each shard.
+        for _, grp in pdf.groupby("shard"):
+            assert sorted(grp["pos_in_shard"]) == list(range(1, len(grp) + 1))
+        # Equidistribution: no shard more than 3x the ideal share.
+        assert pdf.groupby("shard").size().max() <= 3 * (len(pdf) / N_SHARDS)
+        # Determinism: a second run reproduces the training order exactly.
+        pdf2 = corpus_shuffle_shard(spark, SF_DIR).toPandas()
+        key = ["doc_id", "shard", "pos_in_shard"]
+        assert pdf.sort_values("doc_id")[key].values.tolist() == (
+            pdf2.sort_values("doc_id")[key].values.tolist()
+        )
+
+    def test_order_is_shuffled_not_sequential(self, spark):
+        from lakehouse_variance_spark.operators.ingest import (
+            corpus_shuffle_shard,
+        )
+
+        pdf = corpus_shuffle_shard(spark, SF_DIR).toPandas()
+        shard0 = pdf[pdf["shard"] == 0].sort_values("pos_in_shard")
+        ids = shard0["doc_id"].tolist()
+        assert ids != sorted(ids)  # training order != crawl order
+
+
 class TestGini:
     def test_uniform_sizes_give_zero(self, spark, monkeypatch):
         import lakehouse_variance_spark.operators.ingest as mod
