@@ -311,8 +311,10 @@ N_SHARDS = 8
 # functions), which is what makes the oracle exact. The multiplier is ~φ·m
 # (golden-ratio fraction of the modulus), so consecutive doc_ids wrap the
 # modulus ~62% of the time — a small multiplier would leave the "shuffle"
-# locally monotonic in doc_id. ANSI-overflow bound: doc_id·a < 2^63 holds
-# for doc_id < 1.4e10 (a thousand-fold margin over the 100 TB corpus).
+# locally monotonic in doc_id. doc_id is reduced mod m BEFORE the multiply:
+# (doc_id % m)·a < m·a ≈ 6.2e17 < 2^63, so the expression cannot overflow
+# under ANSI mode for ANY int64 doc_id (the 10× probe's key-shifted
+# replicas reach 9e10, which a raw doc_id·a would not survive).
 _LCG_A = 618_033_988
 _LCG_C = 17
 _LCG_M = 999_999_937  # prime
@@ -323,7 +325,7 @@ _LCG_M = 999_999_937  # prime
     oracle=f"""
     WITH keyed AS (
         SELECT doc_id, n_chars,
-               (doc_id * {_LCG_A} + {_LCG_C}) % {_LCG_M} AS perm
+               ((doc_id % {_LCG_M}) * {_LCG_A} + {_LCG_C}) % {_LCG_M} AS perm
         FROM documents)
     SELECT doc_id,
            CAST(perm % {N_SHARDS} AS BIGINT) AS shard,
@@ -354,7 +356,9 @@ def corpus_shuffle_shard(spark: SparkSession, sf_dir: str) -> DataFrame:
     keyed = docs.select(
         "doc_id",
         "n_chars",
-        ((F.col("doc_id") * _LCG_A + _LCG_C) % _LCG_M).alias("perm"),
+        (((F.col("doc_id") % _LCG_M) * _LCG_A + _LCG_C) % _LCG_M).alias(
+            "perm"
+        ),
     )
     w = Window.partitionBy(F.col("perm") % N_SHARDS).orderBy("perm", "doc_id")
     return keyed.select(

@@ -139,6 +139,13 @@ PROBE_QUERIES = [
     "media_frame_sample",
     "media_feature_extract",
     "media_resize",
+    # round-5: ingestion tier (URL-alias collapse, batch-vs-seen gate,
+    # shuffle+shard, Gini — all single-shuffle shapes; ratios should track
+    # data volume, not blow up)
+    "dedup_url_canonical",
+    "dedup_incremental",
+    "corpus_shuffle_shard",
+    "corpus_gini_by_source",
 ]
 
 
