@@ -265,8 +265,9 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
        batch may repeat itself;
     2. left-anti join against the seen fingerprint set — the snapshot gate.
 
-    Scale: both stages shuffle on the 16-byte fingerprint only — never the
-    document text; the heavy `text` column is pruned before any exchange.
+    Scale: the fingerprint is computed in the scan projection, so the
+    heavy `text` column is consumed map-side and NEVER crosses an
+    exchange — both stages shuffle on the 16-byte fingerprint only.
     The seen side reduces to DISTINCT fingerprints (partial-agg'd), so its
     shuffle volume is bounded by corpus cardinality, not size. With AQE's
     runtime bloom filter (`spark.sql.optimizer.runtime.bloomFilter.enabled`)
@@ -275,9 +276,14 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     the exact join. In steady state the seen set is a maintained fingerprint
     table (a `sources/snapshots.py` snapshot), not a re-derivation.
     """
-    docs = spread(load_table(spark, sf_dir, "documents"))
-    fp = docs.select(
-        "doc_id", "source", _fingerprint_col().alias("fingerprint")
+    # Fingerprint FIRST (in the scan tasks), spread the narrow result:
+    # spreading the raw docs would round-robin the full text column through
+    # an exchange just to parallelize cheap per-row hashing.
+    docs = load_table(spark, sf_dir, "documents")
+    fp = spread(
+        docs.select(
+            "doc_id", "source", _fingerprint_col().alias("fingerprint")
+        )
     )
     seen = (
         fp.filter(F.col("doc_id") % 10 != 0).select("fingerprint").distinct()
@@ -389,7 +395,7 @@ def corpus_shuffle_shard(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(count(*) * sum(n_chars) AS BIGINT) AS gini_den,
            CAST(CAST(2 * sum(rn * n_chars) - (count(*) + 1) * sum(n_chars)
                      AS BIGINT) AS DOUBLE)
-               / CAST(count(*) * sum(n_chars) AS BIGINT) AS gini
+               / nullif(CAST(count(*) * sum(n_chars) AS BIGINT), 0) AS gini
     FROM ranked
     GROUP BY source
     """,
@@ -426,11 +432,15 @@ def corpus_gini_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         "bigint"
     )
     den = (F.col("n_docs") * F.col("total_chars")).cast("bigint")
+    # nullif guard: a source whose docs all have n_chars = 0 has den = 0 —
+    # ANSI mode would throw DIVIDE_BY_ZERO where DuckDB yields NaN; NULL is
+    # the agreed cross-engine value (and the honest answer: Gini of an
+    # all-empty source is undefined).
     return agg.select(
         "source",
         "n_docs",
         "total_chars",
         num.alias("gini_num"),
         den.alias("gini_den"),
-        (num.cast("double") / den).alias("gini"),
+        (num.cast("double") / F.nullif(den, F.lit(0))).alias("gini"),
     )

@@ -33,7 +33,13 @@ reference text, mirroring the policy of `tpch_texts.py`):
   numerator cast to DOUBLE — Spark's ANSI mode throws DIVIDE_BY_ZERO
   for every numeric type (doubles included) where DuckDB yields inf,
   and a zero sum first appears at sf0.1 (q59 bit exactly this);
-  CASE-guarded ratios (q4/q21/q31/q74 filters) stay verbatim.
+  CASE-guarded ratios (q4/q21/q31/q74 filters) stay verbatim;
+* **round pinning over DOUBLE**: q2's `round(ratio, 2)` becomes
+  `floor(ratio * 100 + 0.5) / 100` — Spark rounds doubles HALF_UP on the
+  shortest decimal representation (round(0.285, 2) = 0.29) where DuckDB
+  rounds the binary value (= 0.28); floor/mul/add are bit-identical IEEE
+  ops on both engines, and the ratios are non-negative so HALF_UP and
+  floor(+0.5) agree. Verified divergence class — not hypothetical.
 
 No structural change is made: FROM/JOIN graphs, subquery shapes, GROUP
 BY/ROLLUP/HAVING, window frames, set operations, and all filter
@@ -135,13 +141,13 @@ WITH wscs AS
   GROUP BY d_week_seq)
 SELECT
   d_week_seq1,
-  round(CAST(sun_sales1 AS DOUBLE) / nullif(sun_sales2, 0), 2) AS sun_ratio,
-  round(CAST(mon_sales1 AS DOUBLE) / nullif(mon_sales2, 0), 2) AS mon_ratio,
-  round(CAST(tue_sales1 AS DOUBLE) / nullif(tue_sales2, 0), 2) AS tue_ratio,
-  round(CAST(wed_sales1 AS DOUBLE) / nullif(wed_sales2, 0), 2) AS wed_ratio,
-  round(CAST(thu_sales1 AS DOUBLE) / nullif(thu_sales2, 0), 2) AS thu_ratio,
-  round(CAST(fri_sales1 AS DOUBLE) / nullif(fri_sales2, 0), 2) AS fri_ratio,
-  round(CAST(sat_sales1 AS DOUBLE) / nullif(sat_sales2, 0), 2) AS sat_ratio
+  floor(CAST(sun_sales1 AS DOUBLE) / nullif(sun_sales2, 0) * 100 + 0.5) / 100 AS sun_ratio,
+  floor(CAST(mon_sales1 AS DOUBLE) / nullif(mon_sales2, 0) * 100 + 0.5) / 100 AS mon_ratio,
+  floor(CAST(tue_sales1 AS DOUBLE) / nullif(tue_sales2, 0) * 100 + 0.5) / 100 AS tue_ratio,
+  floor(CAST(wed_sales1 AS DOUBLE) / nullif(wed_sales2, 0) * 100 + 0.5) / 100 AS wed_ratio,
+  floor(CAST(thu_sales1 AS DOUBLE) / nullif(thu_sales2, 0) * 100 + 0.5) / 100 AS thu_ratio,
+  floor(CAST(fri_sales1 AS DOUBLE) / nullif(fri_sales2, 0) * 100 + 0.5) / 100 AS fri_ratio,
+  floor(CAST(sat_sales1 AS DOUBLE) / nullif(sat_sales2, 0) * 100 + 0.5) / 100 AS sat_ratio
 FROM
   (SELECT
     wswscs.d_week_seq d_week_seq1,

@@ -155,6 +155,19 @@ class TestGini:
         # G = (n-1)/n when one doc holds all mass.
         assert row["gini"] == (10 - 1) / 10
 
+    def test_all_empty_source_yields_null_not_throw(self, spark, monkeypatch):
+        import lakehouse_variance_spark.operators.ingest as mod
+
+        empties = spark.createDataFrame(
+            [("s", 0)] * 4, "source string, n_chars long"
+        )
+        monkeypatch.setattr(
+            mod, "load_table", lambda spark, sf_dir, name: empties
+        )
+        row = corpus_gini_by_source(spark, SF_DIR).collect()[0]
+        # den = 0: ANSI division must not throw; NULL is the agreed value.
+        assert row["gini_den"] == 0 and row["gini"] is None
+
     def test_registered_output_bounds(self, spark):
         pdf = corpus_gini_by_source(spark, SF_DIR).toPandas()
         assert (pdf["gini"] >= 0).all() and (pdf["gini"] < 1).all()
