@@ -397,3 +397,120 @@ def vocab_zipf_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("doc_freq").alias("min_df"),
         F.max("doc_freq").alias("max_df"),
     )
+
+
+@register(
+    "vocab_source_keywords",
+    oracle="""
+    WITH pairs AS (
+        SELECT DISTINCT doc_id, source, token
+        FROM (SELECT doc_id, source, unnest(string_split(text, ' ')) AS token
+              FROM documents WHERE length(text) > 0)),
+    a_tab AS (
+        SELECT source, token, count(*) AS df_in
+        FROM pairs GROUP BY source, token),
+    df_tab AS (
+        SELECT token, count(*) AS df_all
+        FROM (SELECT DISTINCT doc_id, token FROM pairs) GROUP BY token),
+    ns_tab AS (
+        SELECT source, count(*) AS n_src
+        FROM documents WHERE length(text) > 0 GROUP BY source),
+    n_tab AS (
+        SELECT count(*) AS n_all FROM documents WHERE length(text) > 0),
+    cells AS (
+        SELECT a.source, a.token, a.df_in,
+               CAST(d.df_all - a.df_in AS BIGINT) AS df_out,
+               CAST(a.df_in AS DOUBLE) AS fa,
+               CAST(d.df_all - a.df_in AS DOUBLE) AS fb,
+               CAST(s.n_src - a.df_in AS DOUBLE) AS fc,
+               CAST(n.n_all - s.n_src - (d.df_all - a.df_in) AS DOUBLE) AS fd,
+               CAST(d.df_all AS DOUBLE) AS fdf,
+               CAST(s.n_src AS DOUBLE) AS fns,
+               CAST(n.n_all AS DOUBLE) AS fn
+        FROM a_tab a JOIN df_tab d ON a.token = d.token
+                     JOIN ns_tab s ON a.source = s.source
+                     CROSS JOIN n_tab n),
+    scored AS (
+        SELECT source, token, df_in, df_out,
+               (fn * ((fa * fd - fb * fc) * (fa * fd - fb * fc)))
+                   / (((fdf * (fn - fdf)) * fns) * (fn - fns)) AS chi2
+        FROM cells
+        WHERE fa * fd - fb * fc > 0)
+    SELECT source, token, df_in, df_out, chi2
+    FROM (SELECT *, row_number() OVER (PARTITION BY source
+                                       ORDER BY chi2 DESC, token) AS rn
+          FROM scored)
+    WHERE rn <= 5
+    """,
+)
+def vocab_source_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source-signature keywords: per source, the 5 tokens most
+    over-represented vs the rest of the corpus by the 2x2 chi-square
+    statistic over document frequencies — the standard corpus-linguistics
+    keyness measure, and the mixture-QA dashboard that spots a source
+    whose vocabulary is drifting from the pool (boilerplate injection,
+    scraper breakage, language drift).
+
+    Determinism: all four contingency cells are exact int64 counts; chi2
+    is computed in DOUBLE with one FIXED parenthesization mirrored
+    verbatim in the oracle — every int64->double conversion is exact and
+    both engines evaluate the identical IEEE expression tree, so the
+    doubles are bit-equal (the positivity filter runs in double space too,
+    avoiding a*d int64 overflow at web-corpus document frequencies).
+
+    Scale: one explode -> distinct triple, one (source, token) groupBy;
+    the token document-frequency table is vocabulary-sized and the
+    per-source totals are |sources| rows — both broadcast. Top-5 per
+    source is a WindowGroupLimit (partial top-k before the exchange).
+    """
+    docs = load_table(spark, sf_dir, "documents").filter(F.length("text") > 0)
+    pairs = docs.select(
+        "doc_id", "source", F.explode(F.split("text", " ")).alias("token")
+    ).distinct()
+    a_tab = pairs.groupBy("source", "token").agg(
+        F.count(F.lit(1)).alias("df_in")
+    )
+    df_tab = (
+        pairs.select("doc_id", "token")
+        .distinct()
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("df_all"))
+    )
+    ns_tab = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n_src"))
+    n_tab = docs.agg(F.count(F.lit(1)).alias("n_all"))
+    cells = (
+        a_tab.join(df_tab, "token")
+        .join(F.broadcast(ns_tab), "source")
+        .crossJoin(F.broadcast(n_tab))
+        .select(
+            "source",
+            "token",
+            "df_in",
+            (F.col("df_all") - F.col("df_in")).cast("bigint").alias("df_out"),
+            F.col("df_in").cast("double").alias("fa"),
+            (F.col("df_all") - F.col("df_in")).cast("double").alias("fb"),
+            (F.col("n_src") - F.col("df_in")).cast("double").alias("fc"),
+            (
+                F.col("n_all") - F.col("n_src") - (F.col("df_all") - F.col("df_in"))
+            ).cast("double").alias("fd"),
+            F.col("df_all").cast("double").alias("fdf"),
+            F.col("n_src").cast("double").alias("fns"),
+            F.col("n_all").cast("double").alias("fn"),
+        )
+    )
+    delta = F.col("fa") * F.col("fd") - F.col("fb") * F.col("fc")
+    chi2 = (F.col("fn") * (delta * delta)) / (
+        ((F.col("fdf") * (F.col("fn") - F.col("fdf"))) * F.col("fns"))
+        * (F.col("fn") - F.col("fns"))
+    )
+    scored = cells.filter(delta > 0).select(
+        "source", "token", "df_in", "df_out", chi2.alias("chi2")
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("source").orderBy(F.col("chi2").desc(), "token")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .select("source", "token", "df_in", "df_out", "chi2")
+    )

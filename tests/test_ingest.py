@@ -172,3 +172,20 @@ class TestGini:
         pdf = corpus_gini_by_source(spark, SF_DIR).toPandas()
         assert (pdf["gini"] >= 0).all() and (pdf["gini"] < 1).all()
         assert (pdf["gini_den"] > 0).all()
+
+
+class TestSourceKeywords:
+    def test_keyness_laws(self, spark):
+        from lakehouse_variance_spark.operators.textops import (
+            vocab_source_keywords,
+        )
+
+        pdf = vocab_source_keywords(spark, SF_DIR).toPandas()
+        # At most 5 keywords per source, all positively associated.
+        assert pdf.groupby("source").size().max() <= 5
+        assert (pdf["chi2"] > 0).all()
+        assert (pdf["df_in"] >= 1).all() and (pdf["df_out"] >= 0).all()
+        # Ranked descending within each source.
+        for _, grp in pdf.groupby("source"):
+            vals = grp["chi2"].tolist()
+            assert vals == sorted(vals, reverse=True)
