@@ -40,6 +40,7 @@ def load_all() -> None:
         behavior,
         cleaning,
         dedup,
+        graph,
         ingest,
         mixture,
         multimodal,
