@@ -106,6 +106,9 @@ HEADLINE_QUERIES = (
     "tpch_q21",    # EXISTS/NOT EXISTS other-supplier lines
     "dedup_url_canonical",   # URL-alias collapse (ingest front door)
     "dedup_incremental",     # batch-vs-seen fingerprint anti-join gate
+    "corpus_shuffle_shard",  # seeded permutation -> training shards
+    "graph_pagerank_fixedpoint",  # 8 iterations, exact int64 fixed point
+    "vocab_source_keywords",      # chi-square keyness per source
 )
 
 
