@@ -1,0 +1,120 @@
+"""Workload-runner CLI — the engine's equivalent of the reference's
+`docker/trino-client/src/run_workload.py` entry point.
+
+Runs a query battery (the built-in verbatim TPC-DS / TPC-H texts, or any
+directory of `q*.sql` files) against a scale-factor directory, one or
+more attempts, sequentially or as N concurrent streams, and writes the
+reference's NDJSON workload-log records (`Workload_log_BASE_<n>.ndjson`
+with `query_id / Runtime (s) / elapsed_s / execution_s / planning_s /
+resource_waiting_s` — `traces/README.md:34-44`) that the trace-analytics
+layer (`analytics/traces.py`) loads directly.
+
+Examples:
+    python scripts/run_workload.py --battery tpcds --attempts 2
+    python scripts/run_workload.py --battery tpch --streams 4
+    python scripts/run_workload.py --queries-dir my_sql/ --sf-dir /root/testdata/sf0.1
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from lakehouse_variance_spark.plans import runner
+from lakehouse_variance_spark.session import build_session
+
+
+def _battery(name: str) -> list[tuple[str, str]]:
+    if name == "tpcds":
+        from lakehouse_variance_spark.plans.tpcds_texts import TPCDS_TEXTS
+
+        return sorted(TPCDS_TEXTS.items())
+    if name == "tpch":
+        from lakehouse_variance_spark.plans.tpch_texts import TPCH_TEXTS
+
+        return sorted(TPCH_TEXTS.items())
+    raise SystemExit(f"unknown battery {name!r} (tpcds | tpch)")
+
+
+def _register(battery: str | None, spark, sf_dir: str) -> None:
+    if battery == "tpcds":
+        from lakehouse_variance_spark.plans.tpcds_schema import (
+            register_tpcds_views,
+        )
+
+        register_tpcds_views(spark, sf_dir)
+    elif battery == "tpch":
+        from lakehouse_variance_spark.plans.tpch_ext import (
+            register_tpch_ext_views,
+        )
+
+        register_tpch_ext_views(spark, sf_dir)
+    else:  # plain q*.sql directory: the base testdata views
+        runner.register_sf_views(spark, sf_dir)
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser(description=__doc__)
+    src = ap.add_mutually_exclusive_group(required=True)
+    src.add_argument("--battery", choices=("tpcds", "tpch"))
+    src.add_argument("--queries-dir", help="directory of q*.sql files")
+    ap.add_argument(
+        "--sf-dir",
+        default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"),
+    )
+    ap.add_argument("--attempts", type=int, default=1)
+    ap.add_argument("--streams", type=int, default=1)
+    ap.add_argument("--log-dir", default="workload_logs")
+    args = ap.parse_args()
+
+    queries = (
+        _battery(args.battery)
+        if args.battery
+        else runner.load_queries_from_directory(args.queries_dir)
+    )
+    if not queries:
+        raise SystemExit("no queries to run")
+
+    spark = build_session(app_name="lvs-run-workload")
+    spark.sparkContext.setLogLevel("ERROR")
+    _register(args.battery, spark, args.sf_dir)
+
+    all_records = []
+    if args.streams > 1:
+        records = runner.run_workload_concurrent(
+            spark, queries, streams=args.streams, log_dir=args.log_dir
+        )
+        all_records.extend(records)
+    else:
+        for attempt in range(1, args.attempts + 1):
+            records = runner.run_workload(
+                spark, queries, log_dir=args.log_dir, attempt=attempt
+            )
+            all_records.extend(records)
+            ok = sum(1 for r in records if r["Runtime (s)"] >= 0)
+            print(
+                f"# attempt {attempt}: {ok}/{len(records)} ok, "
+                f"{sum(r['Runtime (s)'] for r in records if r['Runtime (s)'] >= 0):.1f}s",
+                file=sys.stderr,
+            )
+
+    ok = [r for r in all_records if r["Runtime (s)"] >= 0]
+    print(
+        json.dumps(
+            {
+                "queries": len(queries),
+                "records": len(all_records),
+                "failed": len(all_records) - len(ok),
+                "total_runtime_s": round(sum(r["Runtime (s)"] for r in ok), 3),
+                "log_dir": args.log_dir,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

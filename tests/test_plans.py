@@ -138,3 +138,44 @@ def test_concurrent_workload_streams_overlap_and_log(spark, tmp_path):
     # the logs load through the same path as the reference's 5-run traces
     loaded = load_workload_logs(spark, str(tmp_path))
     assert loaded.count() == 9
+
+
+def test_run_workload_cli_on_sql_directory(spark, tmp_path, monkeypatch, capsys):
+    """The CLI wrapper end-to-end on a q*.sql directory: arg parsing, view
+    registration, NDJSON log layout, and the summary JSON line."""
+    import json
+    import sys
+
+    qdir = tmp_path / "sql"
+    qdir.mkdir()
+    (qdir / "q1.sql").write_text(
+        "SELECT r_name, count(*) AS n FROM region GROUP BY r_name"
+    )
+    sys.path.insert(0, "/root/repo/scripts")
+    import run_workload as cli
+
+    monkeypatch.setattr(
+        sys,
+        "argv",
+        [
+            "run_workload.py",
+            "--queries-dir",
+            str(qdir),
+            "--sf-dir",
+            "/root/testdata/sf0.001",
+            "--log-dir",
+            str(tmp_path / "logs"),
+        ],
+    )
+    # Reuse the session-fixture Spark (build_session is a getOrCreate).
+    cli.main()
+    out = capsys.readouterr().out.strip().splitlines()[-1]
+    summary = json.loads(out)
+    assert summary["failed"] == 0 and summary["records"] == 1
+    log = tmp_path / "logs" / "Workload_log_BASE_1.ndjson"
+    rec = json.loads(log.read_text().splitlines()[0])
+    assert rec["query_id"] == "q1" and rec["Runtime (s)"] >= 0
+    assert set(rec) >= {
+        "query_id", "Runtime (s)", "elapsed_s", "execution_s",
+        "planning_s", "resource_waiting_s",
+    }
