@@ -189,3 +189,68 @@ class TestSourceKeywords:
         for _, grp in pdf.groupby("source"):
             vals = grp["chi2"].tolist()
             assert vals == sorted(vals, reverse=True)
+
+
+class TestStreamIncrementalIngest:
+    def test_matches_batch_semantics_and_dedups_across_batches(self, spark):
+        from lakehouse_variance_spark.streaming.ingest_stream import (
+            K_BATCHES,
+            stream_incremental_ingest,
+        )
+
+        out = stream_incremental_ingest(spark, SF_DIR).toPandas()
+        docs = load_table(spark, SF_DIR, "documents")
+        fp = docs.select(
+            "doc_id",
+            F.md5(
+                F.array_join(
+                    F.array_sort(F.array_distinct(F.split("text", " "))), " "
+                )
+            ).alias("fingerprint"),
+            (F.col("doc_id") % K_BATCHES).alias("b"),
+        ).toPandas()
+        # Keeper per fingerprint = smallest (arrival batch, doc_id).
+        expected = (
+            fp.sort_values(["fingerprint", "b", "doc_id"])
+            .groupby("fingerprint")
+            .first()["doc_id"]
+        )
+        assert out["fingerprint"].is_unique
+        got = out.set_index("fingerprint")["doc_id"].sort_index()
+        assert got.equals(expected.sort_index())
+
+    def test_replayed_batch_is_a_noop(self, spark, tmp_path):
+        import pyspark.sql.functions as SF
+
+        from lakehouse_variance_spark.sources import snapshots
+        from lakehouse_variance_spark.streaming.ingest_stream import (
+            incremental_ingest_writer,
+        )
+
+        table = str(tmp_path / "tbl")
+        writer = incremental_ingest_writer(table)
+        b0 = spark.createDataFrame(
+            [(1, "s", "fpA"), (2, "s", "fpA"), (3, "s", "fpB")],
+            "doc_id long, source string, fingerprint string",
+        )
+        writer(b0, 0)
+        v_after_first = snapshots.current_version(table)
+        writer(b0, 0)  # replay: must not commit a new version
+        assert snapshots.current_version(table) == v_after_first
+        # Within-batch dedup kept min doc_id for fpA.
+        rows = {
+            r["fingerprint"]: r["doc_id"]
+            for r in snapshots.read_snapshot(spark, table).collect()
+        }
+        assert rows == {"fpA": 1, "fpB": 3}
+        # A later batch only lands unseen fingerprints.
+        b1 = spark.createDataFrame(
+            [(9, "s", "fpA"), (10, "s", "fpC")],
+            "doc_id long, source string, fingerprint string",
+        )
+        writer(b1, 1)
+        rows = {
+            r["fingerprint"]: r["doc_id"]
+            for r in snapshots.read_snapshot(spark, table).collect()
+        }
+        assert rows == {"fpA": 1, "fpB": 3, "fpC": 10}
