@@ -109,6 +109,7 @@ HEADLINE_QUERIES = (
     "corpus_shuffle_shard",  # seeded permutation -> training shards
     "graph_pagerank_fixedpoint",  # 8 iterations, exact int64 fixed point
     "vocab_source_keywords",      # chi-square keyness per source
+    "stream_incremental_ingest",  # file batches -> gate -> snapshot commits
 )
 
 

@@ -470,12 +470,10 @@ def vocab_source_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     a_tab = pairs.groupBy("source", "token").agg(
         F.count(F.lit(1)).alias("df_in")
     )
-    df_tab = (
-        pairs.select("doc_id", "token")
-        .distinct()
-        .groupBy("token")
-        .agg(F.count(F.lit(1)).alias("df_all"))
-    )
+    # Each doc has exactly one source, so the corpus-wide doc frequency is
+    # the per-source sum — one aggregation over the already-small a_tab
+    # instead of a second full explode+distinct pass over the corpus.
+    df_tab = a_tab.groupBy("token").agg(F.sum("df_in").alias("df_all"))
     ns_tab = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n_src"))
     n_tab = docs.agg(F.count(F.lit(1)).alias("n_all"))
     cells = (

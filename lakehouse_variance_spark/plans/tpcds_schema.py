@@ -607,7 +607,13 @@ def _hx(expr: str, salt: int, m: int) -> str:
     # (a bare quadratic of a 5-digit key never exceeds P, making mod P the
     # identity and leaving the small-modulus structure intact); then one
     # quadratic round over the wrapped residue breaks linear relations.
-    r = f"((({expr}) * 2654435761 + {salt}) % {_P})"
+    # The key is reduced mod P BEFORE the multiply: (P-1)·2654435761 ≈
+    # 2.7e18 < 2^63, so the expression is ANSI-overflow-safe for any int64
+    # key (the 10× probe's key-shifted replicas reach 9e10, where the raw
+    # product would throw). Identical values for keys < P — every real
+    # scale factor — so oracle parity is untouched by construction (both
+    # engines evaluate this same string).
+    r = f"(((({expr}) % {_P}) * 2654435761 + {salt}) % {_P})"
     return f"((({r} * {r} + {r}) % {_P}) % {m})"
 
 

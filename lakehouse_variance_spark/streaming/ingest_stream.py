@@ -21,6 +21,7 @@ this streaming pipeline is oracle-checked end-to-end, not rows-only.
 from __future__ import annotations
 
 import os
+import shutil
 import tempfile
 import time
 
@@ -48,15 +49,14 @@ def incremental_ingest_writer(table_dir: str):
     """``foreachBatch`` function: dedup the batch against the ingested
     snapshot, commit only the survivors, exactly-once.
 
-    Replay guard: the same high-water-mark contract as
-    `snapshots.snapshot_batch_writer` — a replayed batch_id is already
-    visible and must not re-commit (its survivors were computed against
-    the pre-batch snapshot; re-running them against the post-batch
-    snapshot would drop everything and still burn a version)."""
+    The dedup transform is built LAZILY and the commit is delegated to
+    `snapshots.snapshot_batch_writer`, which contributes its O(1)
+    high-water-mark replay guard: a replayed batch_id returns before the
+    transform ever evaluates — essential here, because re-running the
+    anti-join against the post-commit snapshot would drop everything."""
+    commit = snapshots.snapshot_batch_writer(table_dir)
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
-        if int(batch_id) in snapshots.committed_stream_batches(table_dir):
-            return  # replay — already committed
         spark = batch_df.sparkSession
         first = (
             batch_df.groupBy("fingerprint")
@@ -74,15 +74,7 @@ def incremental_ingest_writer(table_dir: str):
                 .distinct()
             )
             first = first.join(seen, "fingerprint", "left_anti")
-        snapshots._commit_dataframe(
-            first,
-            table_dir,
-            parent=snapshots._main_head(table_dir),
-            operation="stream-append",
-            mode="append",
-            ref="main",
-            extra={"stream_batch_id": int(batch_id)},
-        )
+        commit(first, batch_id)
 
     return write_batch
 
@@ -92,8 +84,14 @@ def _stage_batches(spark: SparkSession, sf_dir: str) -> str:
     docs with doc_id % K == b), modification times strictly increasing so
     the file source delivers them oldest-first, one per micro-batch."""
     staging = tempfile.mkdtemp(prefix="lvs_ingest_staging_")
-    docs = load_table(spark, sf_dir, "documents").select(
-        "doc_id", "source", _fingerprint_col().alias("fingerprint")
+    # Null text => null fingerprint, and a NULL equality key silently
+    # bypasses the left_anti gate every batch (NULL = NULL never matches)
+    # where the oracle's row_number keeps exactly one — so null-text rows
+    # are excluded from the gate on BOTH sides by contract.
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("text").isNotNull())
+        .select("doc_id", "source", _fingerprint_col().alias("fingerprint"))
     )
     now = time.time()
     for b in range(K_BATCHES):
@@ -118,7 +116,7 @@ def _stage_batches(spark: SparkSession, sf_dir: str) -> str:
     WITH fp AS (
         SELECT doc_id, source, {_FP_SQL} AS fingerprint,
                doc_id % {K_BATCHES} AS b
-        FROM documents)
+        FROM documents WHERE text IS NOT NULL)
     SELECT doc_id, source, fingerprint
     FROM (SELECT *, row_number() OVER (PARTITION BY fingerprint
                                        ORDER BY b, doc_id) AS rn
@@ -156,6 +154,10 @@ def stream_incremental_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .start()
     )
     query.awaitTermination()
+    # Staging (a corpus-sized copy) and the checkpoint are dead once the
+    # stream drains; only table_dir backs the returned DataFrame.
+    shutil.rmtree(staging, ignore_errors=True)
+    shutil.rmtree(checkpoint, ignore_errors=True)
     return snapshots.read_snapshot(spark, table_dir).select(
         "doc_id", "source", "fingerprint"
     )

@@ -84,23 +84,29 @@ def main() -> None:
     _register(args.battery, spark, args.sf_dir)
 
     all_records = []
-    if args.streams > 1:
-        records = runner.run_workload_concurrent(
-            spark, queries, streams=args.streams, log_dir=args.log_dir
-        )
-        all_records.extend(records)
-    else:
-        for attempt in range(1, args.attempts + 1):
+    for attempt in range(1, args.attempts + 1):
+        if args.streams > 1:
+            # Per-stream logs are named Workload_log_BASE_<stream>; give
+            # each attempt its own directory so attempts don't overwrite.
+            log_dir = (
+                args.log_dir
+                if args.attempts == 1
+                else os.path.join(args.log_dir, f"attempt_{attempt}")
+            )
+            records = runner.run_workload_concurrent(
+                spark, queries, streams=args.streams, log_dir=log_dir
+            )
+        else:
             records = runner.run_workload(
                 spark, queries, log_dir=args.log_dir, attempt=attempt
             )
-            all_records.extend(records)
-            ok = sum(1 for r in records if r["Runtime (s)"] >= 0)
-            print(
-                f"# attempt {attempt}: {ok}/{len(records)} ok, "
-                f"{sum(r['Runtime (s)'] for r in records if r['Runtime (s)'] >= 0):.1f}s",
-                file=sys.stderr,
-            )
+        all_records.extend(records)
+        ok = sum(1 for r in records if r["Runtime (s)"] >= 0)
+        print(
+            f"# attempt {attempt}: {ok}/{len(records)} ok, "
+            f"{sum(r['Runtime (s)'] for r in records if r['Runtime (s)'] >= 0):.1f}s",
+            file=sys.stderr,
+        )
 
     ok = [r for r in all_records if r["Runtime (s)"] >= 0]
     print(

@@ -146,6 +146,17 @@ PROBE_QUERIES = [
     "dedup_incremental",
     "corpus_shuffle_shard",
     "corpus_gini_by_source",
+    # round-5: verbatim TPC-DS texts over the synthetic schema DERIVED from
+    # the key-shifted replicas (facts scale 10x, dimensions stay fixed —
+    # the real TPC-DS scaling shape). One per heavy plan family.
+    "tpcds_q1",
+    "tpcds_q4",
+    "tpcds_q51",
+    "tpcds_q64",
+    "tpcds_q67",
+    "tpcds_q78",
+    "tpcds_q95",
+    "tpcds_q98",
 ]
 
 

@@ -151,7 +151,10 @@ def test_run_workload_cli_on_sql_directory(spark, tmp_path, monkeypatch, capsys)
     (qdir / "q1.sql").write_text(
         "SELECT r_name, count(*) AS n FROM region GROUP BY r_name"
     )
-    sys.path.insert(0, "/root/repo/scripts")
+    from pathlib import Path
+
+    scripts_dir = str(Path(__file__).resolve().parents[1] / "scripts")
+    monkeypatch.syspath_prepend(scripts_dir)
     import run_workload as cli
 
     monkeypatch.setattr(
