@@ -5,6 +5,7 @@ reference semantics (traces/tools/helpers.py, make_lakehouse_workload_logs.sh).
 from __future__ import annotations
 
 import json
+import os
 import math
 
 import numpy as np
@@ -172,3 +173,81 @@ def test_latex_row_rejects_multirow(spark):
     two = _log_df(spark).select("run").distinct()
     with _pytest.raises(ValueError):
         table1_latex_row(two, "AWS")
+
+
+REF_TRACES = "/root/reference/traces/study_1"
+
+
+@pytest.mark.skipif(
+    not os.path.isdir(REF_TRACES),
+    reason="reference trace artifacts not present",
+)
+@pytest.mark.parametrize(
+    "cfg_dir",
+    ["AWS/SF_100", "GCP/SF_100", "Azure/SF_100", "Self_Hosted/SF_100"],
+)
+def test_summary_on_reference_real_traces(spark, cfg_dir):
+    """Parity on the reference's OWN published workload logs: the engine's
+    distributed summary over traces/study_1/<cloud>/SF_100 must equal a
+    pandas re-derivation of helpers.py:10-90's semantics (per-run means,
+    per-query std under the exactly-required_samples Bessel rule, linear-
+    interpolation percentiles) to float precision."""
+    import glob
+    import json as _json
+
+    import numpy as np
+    import pandas as pd
+
+    from lakehouse_variance_spark.analytics.traces import (
+        load_workload_logs,
+        summarize_single_config,
+    )
+
+    path = os.path.join(REF_TRACES, cfg_dir)
+    if not glob.glob(os.path.join(path, "Workload_log_BASE_*.ndjson")):
+        pytest.skip(f"no logs under {path}")
+
+    got = summarize_single_config(
+        load_workload_logs(spark, path)
+    ).toPandas().iloc[0]
+
+    frames = []
+    for f in sorted(glob.glob(os.path.join(path, "Workload_log_BASE_*.ndjson"))):
+        run = f.rsplit("_", 1)[-1].split(".")[0]
+        rows = [_json.loads(line) for line in open(f) if line.strip()]
+        df = pd.DataFrame(rows)
+        df["run"] = f"Run {run}"
+        frames.append(df)
+    log = pd.concat(frames, ignore_index=True)
+    rt = pd.to_numeric(log["Runtime (s)"], errors="coerce")
+    log["runtime_s"] = rt.where(rt >= 0)
+    sub = log[log["runtime_s"].notna()]
+
+    run_means = sub.groupby("run")["runtime_s"].mean()
+    assert got["runs"] == len(run_means)
+    np.testing.assert_allclose(got["mean_runtime_avg_s"], run_means.mean(), rtol=1e-9)
+    np.testing.assert_allclose(
+        got["mean_runtime_std_s"], run_means.std(ddof=1), rtol=1e-9
+    )
+    np.testing.assert_allclose(
+        got["mean_runtime_p50_s"], np.percentile(run_means, 50), rtol=1e-9
+    )
+    np.testing.assert_allclose(
+        got["mean_runtime_p99_s"], np.percentile(run_means, 99), rtol=1e-9
+    )
+
+    g = sub.groupby("query_id")["runtime_s"]
+    per_q = pd.DataFrame({"q_mean": g.mean(), "q_std": g.std(ddof=1), "n": g.count()})
+    per_q = per_q[per_q["n"] == 5]
+    per_q["q_cv"] = 100.0 * per_q["q_std"] / per_q["q_mean"]
+    assert got["queries"] == len(per_q)
+    np.testing.assert_allclose(got["std_avg_s"], per_q["q_std"].mean(), rtol=1e-9)
+    np.testing.assert_allclose(
+        got["std_p50_s"], np.percentile(per_q["q_std"], 50), rtol=1e-9
+    )
+    np.testing.assert_allclose(
+        got["cv_avg_pct"], per_q["q_cv"].mean(), rtol=1e-9
+    )
+    np.testing.assert_allclose(
+        got["cv_p99_pct"], np.percentile(per_q["q_cv"], 99), rtol=1e-9
+    )
