@@ -4,6 +4,7 @@ QError semantics, end-to-end training signal.
 
 from __future__ import annotations
 
+import os
 import math
 
 import pytest
@@ -105,3 +106,57 @@ def test_train_and_evaluate_learns_signal(spark):
     assert summary["n"] == 200
     assert summary["mae"] < 0.2  # in-sample fit on a deterministic signal
     assert 1.0 <= summary["p50_qerror"] <= summary["p99_qerror"]
+
+
+REF_RF_RESULTS = "/root/reference/models/RF/Results"
+
+
+@pytest.mark.skipif(
+    not os.path.isdir(REF_RF_RESULTS),
+    reason="reference RF result artifacts not present",
+)
+@pytest.mark.parametrize(
+    "results_dir",
+    [
+        "Baseline_TPCDS", "Local_TPCDS", "Baseline_SSB",
+        "Local_SSB", "Baseline_IMDB", "Local_IMDB",
+    ],
+)
+def test_metrics_reproduce_reference_golden_results(spark, results_dir):
+    """Golden-metric parity on the reference's OWN published artifacts:
+    recomputing MAE / P50 QError / P99 QError from each values.csv with
+    the engine's column expressions must reproduce the numbers the
+    reference wrote to results_text.txt (train.ipynb evaluate_model:
+    MAE over all pairs; qerror = max/max(min, 1e-3) over the
+    y>0 & p>0 mask; linear-interpolation percentiles)."""
+    import os.path as osp
+
+    from pyspark.sql import functions as SF
+
+    from lakehouse_variance_spark.ml.predictor import qerror
+
+    d = osp.join(REF_RF_RESULTS, results_dir)
+    golden = {}
+    for line in open(osp.join(d, "results_text.txt")):
+        k, v = line.rsplit(":", 1)
+        golden[k.strip()] = float(v)
+
+    vals = (
+        spark.read.option("header", True)
+        .csv(osp.join(d, "values.csv"))
+        .select(
+            SF.col("prediction").cast("double").alias("p"),
+            SF.col("label").cast("double").alias("y"),
+        )
+    )
+    mae = vals.agg(SF.avg(SF.abs(SF.col("y") - SF.col("p")))).first()[0]
+    masked = vals.filter((SF.col("y") > 0) & (SF.col("p") > 0))
+    q = qerror(SF.col("y"), SF.col("p"))
+    row = masked.agg(
+        SF.percentile(q, SF.lit(0.5)).alias("p50"),
+        SF.percentile(q, SF.lit(0.99)).alias("p99"),
+    ).first()
+
+    assert abs(mae - golden["MAE"]) < 2e-3
+    assert abs(row["p50"] - golden["P50 QError"]) < 2e-3
+    assert abs(row["p99"] - golden["P99 QError"]) < 2e-3
