@@ -37,11 +37,10 @@ METRIC_COLUMNS = (
     "resource_waiting_s",
 )
 
-_RUN_FILE_RE = r"Workload_log_BASE_(\d+)\.ndjson"
-
-
-def load_workload_logs(spark: SparkSession, path: str) -> DataFrame:
-    """Read ``Workload_log_BASE_<run>.ndjson`` files under ``path``.
+def load_workload_logs(
+    spark: SparkSession, path: str, tag: str = "BASE"
+) -> DataFrame:
+    """Read ``Workload_log_<tag>_<run>.ndjson`` files under ``path``.
 
     Distributed equivalent of reference ``helpers.py:97-169``: the run tag
     comes from the file name (via ``input_file_name`` — no driver-side
@@ -49,15 +48,21 @@ def load_workload_logs(spark: SparkSession, path: str) -> DataFrame:
     normalize ``"q96"``/``96`` → 96, and negative metric values (the
     reference's failure sentinel ``-1``, ``run_workload.py:62-64``) become
     NULL before any statistics.
+
+    ``tag`` defaults to ``BASE`` (the reference loader's hardcoded match,
+    ``helpers.py:93``) but is parameterized because the reference's own
+    study_2 artifacts use per-config tags (``Workload_log_LOAD_2.ndjson``,
+    ``…_LOCAL_…``, ``…_WARM_…``) that the published helper cannot load.
     """
-    df = spark.read.json(f"{path}/Workload_log_BASE_*.ndjson")
+    run_file_re = rf"Workload_log_{tag}_(\d+)\.ndjson"
+    df = spark.read.json(f"{path}/Workload_log_{tag}_*.ndjson")
     if "Runtime (s)" in df.columns:
         df = df.withColumnRenamed("Runtime (s)", "runtime_s")
     df = df.withColumn(
         "run",
         F.concat(
             F.lit("Run "),
-            F.regexp_extract(F.input_file_name(), _RUN_FILE_RE, 1),
+            F.regexp_extract(F.input_file_name(), run_file_re, 1),
         ),
     ).withColumn(
         "query_id",

@@ -251,3 +251,54 @@ def test_summary_on_reference_real_traces(spark, cfg_dir):
     np.testing.assert_allclose(
         got["cv_p99_pct"], np.percentile(per_q["q_cv"], 99), rtol=1e-9
     )
+
+
+REF_STUDY2 = "/root/reference/traces/study_2"
+
+
+@pytest.mark.skipif(
+    not os.path.isdir(REF_STUDY2),
+    reason="reference study_2 artifacts not present",
+)
+def test_summary_on_reference_study2_tagged_logs(spark):
+    """study_2's per-config tags (Workload_log_LOAD_<n>.ndjson etc.) load
+    via the parameterized tag — artifacts the reference's own helper
+    (hardcoded to BASE, helpers.py:93) cannot read — and the summary
+    matches the pandas re-derivation."""
+    import glob
+    import json as _json
+
+    import numpy as np
+    import pandas as pd
+
+    from lakehouse_variance_spark.analytics.traces import (
+        load_workload_logs,
+        summarize_single_config,
+    )
+
+    path = os.path.join(REF_STUDY2, "Self_Hosted", "Lower_Load")
+    files = sorted(glob.glob(os.path.join(path, "Workload_log_LOAD_*.ndjson")))
+    if not files:
+        pytest.skip("no LOAD logs present")
+
+    got = summarize_single_config(
+        load_workload_logs(spark, path, tag="LOAD")
+    ).toPandas().iloc[0]
+
+    frames = []
+    for f in files:
+        run = f.rsplit("_", 1)[-1].split(".")[0]
+        df = pd.DataFrame([_json.loads(l) for l in open(f) if l.strip()])
+        df["run"] = f"Run {run}"
+        frames.append(df)
+    log = pd.concat(frames, ignore_index=True)
+    rt = pd.to_numeric(log["Runtime (s)"], errors="coerce")
+    sub = log[rt.where(rt >= 0).notna()].assign(runtime_s=rt)
+
+    run_means = sub.groupby("run")["runtime_s"].mean()
+    assert got["runs"] == len(run_means) == len(files)
+    np.testing.assert_allclose(got["mean_runtime_avg_s"], run_means.mean(), rtol=1e-9)
+    g = sub.groupby("query_id")["runtime_s"]
+    per_q_std = g.std(ddof=1)[g.count() == 5]
+    assert got["queries"] == len(per_q_std)
+    np.testing.assert_allclose(got["std_p50_s"], np.percentile(per_q_std, 50), rtol=1e-9)
