@@ -444,3 +444,86 @@ def corpus_gini_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         den.alias("gini_den"),
         (num.cast("double") / F.nullif(den, F.lit(0))).alias("gini"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Weighted systematic (PPS) sampling
+# ---------------------------------------------------------------------------
+
+K_SAMPLE = 100
+
+
+@register(
+    "sample_weighted_systematic",
+    oracle=f"""
+    WITH keyed AS (
+        SELECT doc_id, source, n_chars,
+               ((doc_id % {_LCG_M}) * {_LCG_A} + {_LCG_C}) % {_LCG_M} AS perm
+        FROM documents),
+    pre AS (
+        SELECT doc_id, source, n_chars,
+               sum(n_chars) OVER (ORDER BY perm
+                                  ROWS UNBOUNDED PRECEDING) AS w_incl
+        FROM keyed),
+    tot AS (SELECT sum(n_chars) AS t FROM documents)
+    SELECT doc_id, source, n_chars,
+           CAST((2 * {K_SAMPLE} * (w_incl - n_chars) + t - 1) // (2 * t)
+                AS BIGINT) AS first_point
+    FROM pre, tot
+    WHERE (2 * {K_SAMPLE} * w_incl + t - 1) // (2 * t)
+          > (2 * {K_SAMPLE} * (w_incl - n_chars) + t - 1) // (2 * t)
+    """,
+)
+def sample_weighted_systematic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted (PPS) systematic sample: K points spaced
+    evenly along the weighted cumulative axis of the LCG-permuted corpus;
+    a document is selected iff a point lands in its weight interval, so
+    inclusion probability is proportional to n_chars (size-proportional
+    sampling — the corpus-audit staple: inspect K docs holding a
+    representative share of the TOKEN mass, not K uniformly tiny ones).
+    Points sit at odd multiples of total/(2K), so f(x) = floor((2Kx+T-1)
+    / (2T)) counts points below x and selection is f(w_incl) > f(w_excl)
+    — pure int64 arithmetic, engine-exact and order-free (the permuted
+    order is itself deterministic, [[corpus_shuffle_shard]]'s bijection).
+
+    Scale: the cumulative weights come from `distributed_prefix_sum`
+    (scheduling/carbon.py) — a bucket-partitioned window plus one
+    broadcast offset join; NO global single-partition window anywhere.
+    Overflow bound: 2K·T < 2^63 holds to T ≈ 4.6e16 total chars at
+    K=100 (≈ a 46 PB text corpus).
+    """
+    from lakehouse_variance_spark.scheduling.carbon import (
+        distributed_prefix_sum,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    keyed = docs.select(
+        "doc_id",
+        "source",
+        "n_chars",
+        (((F.col("doc_id") % _LCG_M) * _LCG_A + _LCG_C) % _LCG_M).alias(
+            "perm"
+        ),
+    )
+    pre = distributed_prefix_sum(
+        keyed, "perm", "n_chars", "w_incl", bucket_width=_LCG_M // 256
+    )
+    total = docs.agg(F.sum("n_chars").cast("bigint").alias("t"))
+    joined = pre.crossJoin(F.broadcast(total))
+    f_incl = F.expr(
+        f"(2 * {K_SAMPLE} * w_incl + t - 1) div (2 * t)"
+    )
+    f_excl = F.expr(
+        f"(2 * {K_SAMPLE} * (w_incl - n_chars) + t - 1) div (2 * t)"
+    )
+    return (
+        joined.withColumn("_fi", f_incl)
+        .withColumn("_fe", f_excl)
+        .filter(F.col("_fi") > F.col("_fe"))
+        .select(
+            "doc_id",
+            "source",
+            "n_chars",
+            F.col("_fe").cast("bigint").alias("first_point"),
+        )
+    )

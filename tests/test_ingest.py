@@ -254,3 +254,39 @@ class TestStreamIncrementalIngest:
             for r in snapshots.read_snapshot(spark, table).collect()
         }
         assert rows == {"fpA": 1, "fpB": 3, "fpC": 10}
+
+
+class TestWeightedSystematicSample:
+    def test_pps_laws(self, spark):
+        from lakehouse_variance_spark.operators.ingest import (
+            K_SAMPLE,
+            sample_weighted_systematic,
+        )
+
+        pdf = sample_weighted_systematic(spark, SF_DIR).toPandas()
+        docs = load_table(spark, SF_DIR, "documents").toPandas()
+        total = docs["n_chars"].sum()
+        step = total / K_SAMPLE
+        # Every selected doc is real, selected at most once.
+        assert pdf["doc_id"].is_unique
+        assert set(pdf["doc_id"]) <= set(docs["doc_id"])
+        # Exactly K sample points land; with max weight < step each point
+        # hits a distinct doc, so the sample size is exactly K.
+        assert docs["n_chars"].max() < step
+        assert len(pdf) == K_SAMPLE
+        # first_point indices are exactly 0..K-1 (every point consumed).
+        assert sorted(pdf["first_point"]) == list(range(K_SAMPLE))
+        # Size-proportional: the sample's mean doc length must exceed the
+        # corpus mean (PPS favors heavy docs; equality only if uniform).
+        assert pdf["n_chars"].mean() > docs["n_chars"].mean()
+
+    def test_deterministic(self, spark):
+        from lakehouse_variance_spark.operators.ingest import (
+            sample_weighted_systematic,
+        )
+
+        a = sample_weighted_systematic(spark, SF_DIR).toPandas()
+        b = sample_weighted_systematic(spark, SF_DIR).toPandas()
+        assert a.sort_values("doc_id").values.tolist() == (
+            b.sort_values("doc_id").values.tolist()
+        )

@@ -39,6 +39,7 @@ BNLJ_ALLOWED: set[str] = {
     "text_bigram_pmi",              # bigrams x token total (1 row)
     "text_doc_rarity_score",        # docs x n_total (1 row)
     "vocab_source_keywords",        # cells x corpus-count n_tab (1 row)
+    "sample_weighted_systematic",   # prefix rows x total-chars agg (1 row)
     "frequent_items_revenue",       # agg x global threshold (1 row)
     "text_bm25_topk",               # tf x corpus stats (1 row) + idf (3 rows)
     "cross_channel_items_rollup",   # rollup x grand total (1 row)
