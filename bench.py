@@ -110,6 +110,7 @@ HEADLINE_QUERIES = (
     "graph_pagerank_fixedpoint",  # 8 iterations, exact int64 fixed point
     "vocab_source_keywords",      # chi-square keyness per source
     "stream_incremental_ingest",  # file batches -> gate -> snapshot commits
+    "sample_weighted_systematic", # PPS sample via distributed prefix sum
 )
 
 
