@@ -462,7 +462,7 @@ K_SAMPLE = 100
         FROM documents),
     pre AS (
         SELECT doc_id, source, n_chars,
-               sum(n_chars) OVER (ORDER BY perm
+               sum(n_chars) OVER (ORDER BY perm, doc_id
                                   ROWS UNBOUNDED PRECEDING) AS w_incl
         FROM keyed),
     tot AS (SELECT sum(n_chars) AS t FROM documents)
@@ -506,7 +506,15 @@ def sample_weighted_systematic(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     pre = distributed_prefix_sum(
-        keyed, "perm", "n_chars", "w_incl", bucket_width=_LCG_M // 256
+        keyed,
+        "perm",
+        "n_chars",
+        "w_incl",
+        bucket_width=_LCG_M // 256,
+        # perm is only injective for doc_id < LCG_M; tie-break by doc_id
+        # (unique) so the cumulative order stays total for key-shifted
+        # replicas — mirrored in the oracle's ORDER BY perm, doc_id.
+        tie_col="doc_id",
     )
     total = docs.agg(F.sum("n_chars").cast("bigint").alias("t"))
     joined = pre.crossJoin(F.broadcast(total))

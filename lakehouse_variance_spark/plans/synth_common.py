@@ -87,18 +87,36 @@ def materialize_and_register(
     done = os.path.join(out, "_DONE")
     register_sf_views(spark, sf_dir)
     if not os.path.exists(done):
+        # Concurrency-safe build: write into a pid-suffixed temp dir and
+        # os.rename it into place, so the cache dir only ever appears
+        # fully built — two sessions racing here each build privately and
+        # exactly one rename wins (the loser's tree is discarded); readers
+        # never observe a half-written or overwritten-in-place cache.
+        tmp = f"{out}.build-{os.getpid()}"
         for base in bases:
             spark.table(base).createOrReplaceTempView(f"{base}_base")
-        os.makedirs(out, exist_ok=True)
+        os.makedirs(tmp, exist_ok=True)
         for name, sql in defs.items():
             df = spark.sql(build_sql(repoint_all(sql, bases)))
-            df.write.mode("overwrite").parquet(os.path.join(out, name))
+            df.write.mode("overwrite").parquet(os.path.join(tmp, name))
             if register_during_build:
                 spark.read.parquet(
-                    os.path.join(out, name)
+                    os.path.join(tmp, name)
                 ).createOrReplaceTempView(name)
-        with open(done, "w") as fh:
+        with open(os.path.join(tmp, "_DONE"), "w") as fh:
             fh.write(defs_fingerprint(defs) + "\n")
+        import shutil
+
+        if os.path.isdir(out) and not os.path.exists(done):
+            # stale half-built tree from a pre-rename-scheme run
+            shutil.rmtree(out, ignore_errors=True)
+        try:
+            os.rename(tmp, out)
+        except OSError:
+            if os.path.exists(done):  # a concurrent builder won the race
+                shutil.rmtree(tmp, ignore_errors=True)
+            else:
+                raise
     for name in defs:
         key = (id(spark), out, name)
         df = _DF_CACHE.get(key)

@@ -89,6 +89,7 @@ def distributed_prefix_sum(
     value_col: str,
     out_col: str,
     bucket_width: int = PREFIX_BUCKET_WIDTH,
+    tie_col: str | None = None,
 ) -> DataFrame:
     """Running sum over a dense integer ``order_col`` WITHOUT a global
     single-partition window — the two-pass scan algorithm:
@@ -105,11 +106,17 @@ def distributed_prefix_sum(
     sees a partitioned window plus a broadcast join. Exact for integer
     values; for doubles the bucket-order re-association can differ from a
     sequential scan by float noise.
+
+    When ``order_col`` is not unique, pass ``tie_col`` (a unique column)
+    so the within-bucket scan order — and hence every row's running sum —
+    is total and engine/partitioning-independent; the caller's oracle
+    must ORDER BY the same (order_col, tie_col) pair.
     """
     bucket = F.floor(F.col(order_col) / bucket_width)
+    order_exprs = [order_col] + ([tie_col] if tie_col else [])
     w_in = (
         W.partitionBy("_b")
-        .orderBy(order_col)
+        .orderBy(*order_exprs)
         .rowsBetween(W.unboundedPreceding, W.currentRow)
     )
     stage1 = df.withColumn("_b", bucket).withColumn(

@@ -77,7 +77,13 @@ def main() -> None:
         "| query | ours (s) | " + " | ".join(f"{c} (s)" for c in ref) + " |",
         "|---|---|" + "|".join("---" for _ in ref) + "|",
     ]
+    # Totals are computed over the INTERSECTION of query ids per reference
+    # cloud (a cloud's logs can miss queries), and each total row states
+    # its covered-query count, so the headline compares like-for-like
+    # sets instead of silently summing different query subsets.
     totals = {c: 0.0 for c in ref}
+    ours_vs = {c: 0.0 for c in ref}
+    covered = {c: 0 for c in ref}
     our_total = 0.0
     for q in qids:
         our_total += ours[q]
@@ -85,11 +91,17 @@ def main() -> None:
         for c in ref:
             v = ref[c].get(q)
             cells.append(f"{v:.2f}" if v is not None else "—")
-            totals[c] += v or 0.0
+            if v is not None:
+                totals[c] += v
+                ours_vs[c] += ours[q]
+                covered[c] += 1
         lines.append(f"| {q} | {ours[q]:.2f} | " + " | ".join(cells) + " |")
     lines.append(
-        f"| **total** | **{our_total:.1f}** | "
-        + " | ".join(f"**{totals[c]:.1f}**" for c in ref)
+        f"| **total ({len(qids)}q)** | **{our_total:.1f}** | "
+        + " | ".join(
+            f"**{totals[c]:.1f}** ({covered[c]}q; ours {ours_vs[c]:.1f})"
+            for c in ref
+        )
         + " |"
     )
     lines.append("")
@@ -98,6 +110,10 @@ def main() -> None:
         "ours_total_s": round(our_total, 2),
         "ours_per_query_s": round(our_total / len(qids), 3),
         "reference_totals_s": {c: round(t, 1) for c, t in totals.items()},
+        "reference_covered_queries": dict(covered),
+        "ours_total_on_covered_s": {
+            c: round(t, 2) for c, t in ours_vs.items()
+        },
         "queries": len(qids),
         "reference_sf": args.sf,
     }
