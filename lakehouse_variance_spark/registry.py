@@ -63,6 +63,7 @@ def load_all() -> None:
     from lakehouse_variance_spark.plans import (  # noqa: F401
         features,
         runner,
+        ssb_texts,
         tpcds_texts,
         tpch_texts,
     )
