@@ -21,6 +21,43 @@ from collections.abc import Callable
 from pyspark.sql import SparkSession
 
 
+def sql_quoted_idents(spark: SparkSession, text: str):
+    """spark.sql() for ANSI texts whose identifiers are double-quoted
+    (the reference's generated SSB/IMDB workloads quote every column).
+
+    Spark parses double quotes as string literals unless
+    ``spark.sql.ansi.doubleQuotedIdentifiers`` is on; the flag is flipped
+    only around the PARSE (parsing happens eagerly inside spark.sql) and
+    restored, so other query texts in the session — where ``"..."`` may
+    be a string literal — keep their meaning."""
+    key = "spark.sql.ansi.doubleQuotedIdentifiers"
+    old = spark.conf.get(key, "false")
+    spark.conf.set(key, "true")
+    try:
+        return spark.sql(text)
+    finally:
+        spark.conf.set(key, old)
+
+
+def normalize_workload_sql(sql: str) -> str:
+    """Mechanical dialect normalization for the reference's generated
+    workload texts (`models/Queries/Baseline_*/*.ndjson`), applied ONCE
+    at embed time so the SAME normalized string runs on both engines:
+
+    * ``CAST(x AS varchar)`` -> ``CAST(x AS string)`` — Spark requires a
+      length for VARCHAR; both engines accept STRING;
+    * ``sum(expr)`` -> ``CAST(sum(expr) AS BIGINT)`` — DuckDB widens
+      BIGINT sums to HUGEINT (rendered as float by pandas) while Spark
+      returns int64; the cast pins both to int64.  Generated sum args
+      never nest parentheses (verified over all 3,951 texts).
+    """
+    sql = _re.sub(r"(?i)\bAS\s+varchar\s*\)", "AS string)", sql)
+    sql = _re.sub(
+        r"(?i)\bsum\(([^()]*)\)", r"CAST(sum(\1) AS BIGINT)", sql
+    )
+    return sql.strip().rstrip(";")
+
+
 def repoint(sql: str, base: str) -> str:
     """FROM/JOIN <base> → FROM/JOIN <base>_base (word-boundary safe; defs
     only reference base tables in FROM/JOIN clauses)."""

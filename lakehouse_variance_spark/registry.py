@@ -64,6 +64,7 @@ def load_all() -> None:
         features,
         runner,
         ssb_texts,
+        ssb_workload_texts,
         tpcds_texts,
         tpch_texts,
     )
