@@ -62,6 +62,7 @@ def load_all() -> None:
     from lakehouse_variance_spark.ml import predictor  # noqa: F401
     from lakehouse_variance_spark.plans import (  # noqa: F401
         features,
+        job_workload_texts,
         runner,
         ssb_texts,
         ssb_workload_texts,
