@@ -638,42 +638,48 @@ def vocab_cms_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     The sketch (eps=0.001, conf=0.99, seed=42 -> ~2.7k x 5 int64 cells,
     ~100 KB) is a fixed-size MERGEABLE state: partials build map-side and
     merge in one reduce, cost independent of both corpus size and
-    cardinality. Candidate tokens come from a SAMPLED pre-pass whose
-    top-CMS_CAND is a distributed TakeOrderedAndProject — the driver never
-    sees more than CMS_CAND candidate rows regardless of vocabulary size —
-    and only candidates get exact counts (broadcast semi-reduce) and
-    driver-side sketch scoring. Registered rows-only (the estimate is
+    cardinality. Candidates come from ONE exact token aggregation whose
+    top-CMS_CAND is a distributed TakeOrderedAndProject — partial
+    aggregation combines map-side so the shuffle carries |vocab| x
+    |partitions| partials and the driver never sees more than CMS_CAND
+    rows.  Exactly two scans of the token stream total (sketch pass +
+    count pass; the r4-era third scan — a sampled candidate pre-pass
+    feeding a broadcast re-count — was strictly dominated by counting
+    once).  Registered rows-only (the estimate is
     implementation-specific); the CMS envelope (never undercounts;
     overcount <= eps * stream length w.h.p.) is asserted in
     tests/test_redaction.py.
     """
+    from pyspark import InheritableThread
+
     docs = load_table(spark, sf_dir, "documents")
     toks = docs.select(F.explode(F.split("text", " ")).alias("w"))
-    agg = toks.agg(
-        F.count_min_sketch("w", F.lit(0.001), F.lit(0.99), F.lit(42)).alias(
-            "cms"
-        ),
-        F.count("*").cast("bigint").alias("n_total"),
-    ).collect()[0]
+    # The sketch pass and the exact-count pass are independent Spark jobs
+    # over the same scan; submitting them concurrently overlaps their
+    # stages across the executor cores (wall ~= max, not sum).
+    box: dict[str, object] = {}
+
+    def _cms_job() -> None:
+        box["agg"] = toks.agg(
+            F.count_min_sketch(
+                "w", F.lit(0.001), F.lit(0.99), F.lit(42)
+            ).alias("cms"),
+            F.count("*").cast("bigint").alias("n_total"),
+        ).collect()[0]
+
+    th = InheritableThread(target=_cms_job)
+    th.start()
+    exact = (
+        toks.groupBy("w")
+        .agg(F.count("*").cast("bigint").alias("n_exact"))
+        .orderBy(F.desc("n_exact"), "w")
+        .limit(CMS_CAND)
+        .collect()
+    )
+    th.join()
+    agg = box["agg"]
     sketch = spark.sparkContext._jvm.org.apache.spark.util.sketch.CountMinSketch.readFrom(
         bytes(agg["cms"])
-    )
-    # Bounded candidate set: sampled counts -> distributed top-CMS_CAND.
-    # A heavy hitter with true share phi appears in a 50% sample's top-256
-    # w.h.p.; the exact-count pass below then touches only candidates.
-    cand = (
-        toks.sample(fraction=0.5, seed=42)
-        .groupBy("w")
-        .agg(F.count("*").alias("n_sampled"))
-        .orderBy(F.desc("n_sampled"), "w")
-        .limit(CMS_CAND)
-        .select("w")
-    )
-    exact = (
-        toks.join(F.broadcast(cand), "w")
-        .groupBy("w")
-        .agg(F.count("*").cast("bigint").alias("n_exact"))
-        .collect()
     )
     rows = [
         (r["w"], r["n_exact"], int(sketch.estimateCount(r["w"])), agg["n_total"])

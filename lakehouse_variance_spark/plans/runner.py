@@ -47,22 +47,47 @@ def _utc_now() -> str:
     return datetime.now(timezone.utc).strftime("%Y-%m-%dT%H:%M:%SZ")
 
 
-def run_query(spark: SparkSession, name: str, sql: str) -> dict[str, Any]:
+def run_query(
+    spark: SparkSession,
+    name: str,
+    sql: str,
+    timeout_s: float | None = None,
+) -> dict[str, Any]:
     """Execute one SQL statement, drain it, and return a log record
     (semantics of reference ``run_workload.py:32-64``).
 
     Draining uses the ``noop`` DSv2 sink: every result row is produced by the
     executors and discarded, the distributed analogue of the reference's
     ``for _ in cursor: pass``, without funnelling rows to the driver.
+
+    ``timeout_s`` enforces the reference's per-query kill budget
+    (``docker/trino-client/src/config.py:6`` — 5 minutes): the query runs
+    under its own job group and a daemon watchdog cancels the group when
+    the budget expires, so a hung query yields the ``-1`` sentinel record
+    (the reference's SF_1000 logs show 93-98/99 queries completing — the
+    rest are exactly these sentinel rows) instead of stalling the run.
     """
+    import threading
+
     start_stamp = _utc_now()
     t0 = time.perf_counter()
+    sc = spark.sparkContext
+    watchdog: threading.Timer | None = None
+    group: str | None = None
     try:
         df = spark.sql(sql)
         # Forcing the executed plan materializes analysis + optimization +
         # physical planning without running a job.
         df._jdf.queryExecution().executedPlan()
         t_planned = time.perf_counter()
+        if timeout_s is not None:
+            group = f"lvs-timeout-{name}-{start_stamp}"
+            sc.setJobGroup(group, name, interruptOnCancel=True)
+            watchdog = threading.Timer(
+                timeout_s, lambda: sc.cancelJobGroup(group)
+            )
+            watchdog.daemon = True
+            watchdog.start()
         df.write.format("noop").mode("overwrite").save()
         t1 = time.perf_counter()
         return {
@@ -87,6 +112,11 @@ def run_query(spark: SparkSession, name: str, sql: str) -> dict[str, Any]:
             "resource_waiting_s": SENTINEL,
             "error": str(exc).split("\n", 1)[0][:500],
         }
+    finally:
+        if watchdog is not None:
+            watchdog.cancel()
+        if group is not None:
+            sc.setJobGroup("", "")
 
 
 def run_workload(
@@ -94,11 +124,15 @@ def run_workload(
     queries: list[tuple[str, str]],
     log_dir: str | Path | None = None,
     attempt: int = 1,
+    timeout_s: float | None = None,
 ) -> list[dict[str, Any]]:
     """Run a query list sequentially and optionally write the NDJSON run log
     (reference ``run_workload.py:66-80``). The log file name matches the
     ``Workload_log_BASE_<attempt>.ndjson`` pattern the trace loader globs."""
-    records = [run_query(spark, name, sql) for name, sql in queries]
+    records = [
+        run_query(spark, name, sql, timeout_s=timeout_s)
+        for name, sql in queries
+    ]
     if log_dir is not None:
         log_dir = Path(log_dir)
         log_dir.mkdir(parents=True, exist_ok=True)

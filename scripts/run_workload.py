@@ -13,6 +13,10 @@ Examples:
     python scripts/run_workload.py --battery tpcds --attempts 2
     python scripts/run_workload.py --battery tpch --streams 4
     python scripts/run_workload.py --queries-dir my_sql/ --sf-dir /root/testdata/sf0.1
+    python scripts/run_workload.py --battery ssb --timeout-s 300
+    python scripts/run_workload.py \
+        --workload-ndjson <ref>/models/Queries/Baseline_SSB/ssb_Baseline_test.ndjson \
+        --workload-schema ssb --timeout-s 300
 """
 
 from __future__ import annotations
@@ -37,7 +41,24 @@ def _battery(name: str) -> list[tuple[str, str]]:
         from lakehouse_variance_spark.plans.tpch_texts import TPCH_TEXTS
 
         return sorted(TPCH_TEXTS.items())
-    raise SystemExit(f"unknown battery {name!r} (tpcds | tpch)")
+    if name == "ssb":
+        from lakehouse_variance_spark.plans.ssb_texts import SSB_TEXTS
+
+        return sorted(SSB_TEXTS.items())
+    if name == "ssb_wl":
+        from lakehouse_variance_spark.plans.ssb_workload_texts import TEXTS
+
+        return sorted(TEXTS.items())
+    if name == "imdb_wl":
+        from lakehouse_variance_spark.plans.job_workload_texts import TEXTS
+
+        return sorted(TEXTS.items())
+    raise SystemExit(
+        f"unknown battery {name!r} (tpcds | tpch | ssb | ssb_wl | imdb_wl)"
+    )
+
+
+_BATTERY_SCHEMAS = ("tpcds", "tpch", "ssb", "ssb_wl", "imdb_wl")
 
 
 def _register(battery: str | None, spark, sf_dir: str) -> None:
@@ -53,15 +74,57 @@ def _register(battery: str | None, spark, sf_dir: str) -> None:
         )
 
         register_tpch_ext_views(spark, sf_dir)
+    elif battery in ("ssb", "ssb_wl"):
+        from lakehouse_variance_spark.plans.ssb_schema import (
+            register_ssb_views,
+        )
+
+        register_ssb_views(spark, sf_dir)
+    elif battery == "imdb_wl":
+        from lakehouse_variance_spark.plans.job_schema import (
+            register_job_views,
+        )
+
+        register_job_views(spark, sf_dir)
     else:  # plain q*.sql directory: the base testdata views
         runner.register_sf_views(spark, sf_dir)
+
+
+def _load_ndjson_workload(path: str) -> list[tuple[str, str]]:
+    """Load a FULL reference workload file (query_id + SQL per line,
+    `models/Queries/Baseline_*/*.ndjson` layout), normalized once so the
+    texts parse on Spark (`synth_common.normalize_workload_sql`)."""
+    import json as _json
+
+    from lakehouse_variance_spark.plans import synth_common as synth
+
+    out = []
+    with open(path, encoding="utf-8") as fh:
+        for line in fh:
+            if not line.strip():
+                continue
+            rec = _json.loads(line)
+            out.append(
+                (rec["query_id"], synth.normalize_workload_sql(rec["SQL"]))
+            )
+    return out
 
 
 def main() -> None:
     ap = argparse.ArgumentParser(description=__doc__)
     src = ap.add_mutually_exclusive_group(required=True)
-    src.add_argument("--battery", choices=("tpcds", "tpch"))
+    src.add_argument("--battery", choices=_BATTERY_SCHEMAS)
     src.add_argument("--queries-dir", help="directory of q*.sql files")
+    src.add_argument(
+        "--workload-ndjson",
+        help="full reference workload file (query_id+SQL NDJSON); pair "
+        "with --workload-schema",
+    )
+    ap.add_argument(
+        "--workload-schema",
+        choices=("ssb", "imdb"),
+        help="derived schema to register for --workload-ndjson",
+    )
     ap.add_argument(
         "--sf-dir",
         default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"),
@@ -69,19 +132,39 @@ def main() -> None:
     ap.add_argument("--attempts", type=int, default=1)
     ap.add_argument("--streams", type=int, default=1)
     ap.add_argument("--log-dir", default="workload_logs")
+    ap.add_argument(
+        "--timeout-s",
+        type=float,
+        default=None,
+        help="per-query kill budget (reference config.py:6 uses 300)",
+    )
+    ap.add_argument("--limit", type=int, default=None,
+                    help="run only the first N queries")
     args = ap.parse_args()
 
-    queries = (
-        _battery(args.battery)
-        if args.battery
-        else runner.load_queries_from_directory(args.queries_dir)
-    )
+    if args.workload_ndjson:
+        if not args.workload_schema:
+            raise SystemExit("--workload-ndjson requires --workload-schema")
+        queries = _load_ndjson_workload(args.workload_ndjson)
+    elif args.battery:
+        queries = _battery(args.battery)
+    else:
+        queries = runner.load_queries_from_directory(args.queries_dir)
+    if args.limit:
+        queries = queries[: args.limit]
     if not queries:
         raise SystemExit("no queries to run")
 
     spark = build_session(app_name="lvs-run-workload")
     spark.sparkContext.setLogLevel("ERROR")
-    _register(args.battery, spark, args.sf_dir)
+    battery_key = args.battery or (
+        "ssb_wl" if args.workload_schema == "ssb"
+        else "imdb_wl" if args.workload_schema == "imdb" else None
+    )
+    _register(battery_key, spark, args.sf_dir)
+    if battery_key in ("ssb_wl", "imdb_wl"):
+        # generated workload texts double-quote every identifier
+        spark.conf.set("spark.sql.ansi.doubleQuotedIdentifiers", "true")
 
     all_records = []
     for attempt in range(1, args.attempts + 1):
@@ -98,7 +181,11 @@ def main() -> None:
             )
         else:
             records = runner.run_workload(
-                spark, queries, log_dir=args.log_dir, attempt=attempt
+                spark,
+                queries,
+                log_dir=args.log_dir,
+                attempt=attempt,
+                timeout_s=args.timeout_s,
             )
         all_records.extend(records)
         ok = sum(1 for r in records if r["Runtime (s)"] >= 0)

@@ -195,6 +195,27 @@ def build_dataset(spark) -> None:
 
 
 def main() -> None:
+    import argparse
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument(
+        "--battery",
+        choices=("default", "tpcds", "ssb"),
+        default="default",
+        help="default = the cross-tier headline list; tpcds = all 99 "
+        "verbatim texts; ssb = the 13 flights",
+    )
+    args = ap.parse_args()
+    queries = PROBE_QUERIES
+    if args.battery == "tpcds":
+        queries = [f"tpcds_q{i}" for i in range(1, 100)]
+    elif args.battery == "ssb":
+        queries = [
+            f"ssb_q{f}_{s}"
+            for f, ns in ((1, 3), (2, 3), (3, 4), (4, 3))
+            for s in range(1, ns + 1)
+        ]
+
     registry.load_all()
     spark = build_session(app_name="scale-probe")
     # Completion sentinel, written AFTER the last table: checking for
@@ -215,7 +236,7 @@ def main() -> None:
     total_small = total_big = 0.0
     import gc
 
-    for name in PROBE_QUERIES:
+    for name in queries:
         fn = registry.QUERIES[name]
         # Release the previous query's localCheckpoint RDD blocks before
         # timing: checkpointed intermediates free on Python GC, and letting

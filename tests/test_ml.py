@@ -160,3 +160,72 @@ def test_metrics_reproduce_reference_golden_results(spark, results_dir):
     assert abs(mae - golden["MAE"]) < 2e-3
     assert abs(row["p50"] - golden["P50 QError"]) < 2e-3
     assert abs(row["p99"] - golden["P99 QError"]) < 2e-3
+
+
+REF_GNN_RESULTS = "/root/reference/models/GNN/Results"
+
+
+@pytest.mark.skipif(
+    not os.path.isdir(REF_GNN_RESULTS),
+    reason="reference GNN result artifacts not present",
+)
+@pytest.mark.parametrize(
+    "config",
+    [
+        ("Baseline", "TPCDS"), ("Local", "TPCDS"), ("Baseline", "SSB"),
+        ("Local", "SSB"), ("Baseline", "IMDB"), ("Local", "IMDB"),
+    ],
+    ids=lambda c: f"{c[0]}_{c[1]}",
+)
+def test_gnn_table3_metrics_reproduce_reference_artifacts(spark, config):
+    """Golden-metric parity for the GNN half of Study 3: the reference's
+    `models/GNN/table3.ipynb` (cells 0-1) recomputes MAE / Med QError /
+    P99 QError from the committed `Results/{Type}_{DB}/test_*.csv`
+    prediction lists; the engine's column expressions over the same
+    artifacts must reproduce those numbers exactly.
+
+    Notebook semantics (which differ from the RF variant,
+    test_metrics_reproduce_reference_golden_results): MAE is computed
+    over the SAME y>0 & p>0 mask as the qerrors, and the qerror
+    denominator is clamped at min_runtime=1e-3; percentiles are numpy's
+    linear interpolation, which Spark's `percentile` matches."""
+    import ast
+    import os.path as osp
+
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import functions as SF
+
+    from lakehouse_variance_spark.ml.predictor import qerror
+
+    typ, db = config
+    path = osp.join(
+        REF_GNN_RESULTS, f"{typ}_{db}",
+        f"test_{typ}_{db}_MSELoss_3090_{typ}.csv",
+    )
+    row0 = pd.read_csv(path).loc[0]
+    y = np.asarray(ast.literal_eval(row0["val_labels"]), float)
+    p = np.asarray(ast.literal_eval(row0["val_preds"]), float)
+
+    # the notebook's numpy recompute (the published Table-3 numbers)
+    mask = (y > 0) & (p > 0)
+    ym, pm = y[mask], p[mask]
+    golden_mae = float(np.mean(np.abs(pm - ym)))
+    qe = np.maximum(ym, pm) / np.maximum(np.minimum(ym, pm), 1e-3)
+    golden_p50 = float(np.percentile(qe, 50))
+    golden_p99 = float(np.percentile(qe, 99))
+
+    # the engine's recompute: same mask + clamp as column expressions
+    vals = spark.createDataFrame(
+        [(float(a), float(b)) for a, b in zip(y, p)], "y double, p double"
+    ).filter((SF.col("y") > 0) & (SF.col("p") > 0))
+    q = qerror(SF.col("y"), SF.col("p"))
+    got = vals.agg(
+        SF.avg(SF.abs(SF.col("p") - SF.col("y"))).alias("mae"),
+        SF.percentile(q, SF.lit(0.5)).alias("p50"),
+        SF.percentile(q, SF.lit(0.99)).alias("p99"),
+    ).first()
+
+    assert abs(got["mae"] - golden_mae) < 1e-9
+    assert abs(got["p50"] - golden_p50) < 1e-9
+    assert abs(got["p99"] - golden_p99) < 1e-9

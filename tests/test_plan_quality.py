@@ -267,3 +267,23 @@ def test_rank_filter_gets_window_group_limit(spark):
             .toString()
         )
         assert "WindowGroupLimit" in plan, f"{q} lost WindowGroupLimit"
+
+
+def test_q72_inventory_pruned_before_fact_fact_join(spark):
+    """q72's transitive date prune (tpcds_texts._q72_transitive_date_prune):
+    the inventory side must be reduced by the broadcast 1999-week semi-join
+    BEFORE the catalog_sales fact-fact join, i.e. the plan contains a
+    LeftSemi broadcast join on inventory below the cs⋈inv join."""
+    plan = _plan(spark, "tpcds_q72")
+    # the semi-join that implements the runtime date filter
+    assert "LeftSemi" in plan
+    semi_pos = plan.index("LeftSemi")
+    # the fact-fact join on item keys sits ABOVE (earlier in the string =
+    # higher in the tree than) the semi-join that feeds its probe side
+    fact_join = re.search(
+        r"BroadcastHashJoin \[cs_item_sk[^\]]*\], \[inv_item_sk", plan
+    )
+    assert fact_join, "cs ⋈ inventory join not found"
+    assert fact_join.start() < semi_pos, (
+        "inventory must be semi-join-pruned below the fact-fact join"
+    )

@@ -35,6 +35,30 @@ def test_run_workload_log_roundtrip(spark, tmp_path):
     assert rows[2]["runtime_s"] is None
 
 
+def test_run_query_timeout_watchdog_kills_hung_query(spark):
+    """The per-query budget (reference config.py:6's 5-minute kill):
+    a deliberately huge cross-product is cancelled by the job-group
+    watchdog and yields the sentinel record within the budget, and a
+    normal query under an armed watchdog is untouched."""
+    import time
+
+    slow = (
+        "SELECT count(*) AS n FROM range(100000000) a, range(1000000) b "
+        "WHERE a.id + b.id < 0"
+    )
+    t0 = time.perf_counter()
+    rec = runner.run_query(spark, "slow", slow, timeout_s=2.0)
+    wall = time.perf_counter() - t0
+    assert rec["Runtime (s)"] == runner.SENTINEL
+    assert "error" in rec
+    assert wall < 30  # killed promptly, not run to completion
+
+    fast = runner.run_query(
+        spark, "fast", "SELECT count(*) AS n FROM range(10)", timeout_s=60.0
+    )
+    assert fast["Runtime (s)"] >= 0
+
+
 def test_plan_features_shape(spark):
     df = spark.range(100).filter("id > 5").selectExpr("id * 2 AS d")
     feats = features.plan_feature_rows(df)
