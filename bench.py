@@ -111,6 +111,15 @@ HEADLINE_QUERIES = (
     "vocab_source_keywords",      # chi-square keyness per source
     "stream_incremental_ingest",  # file batches -> gate -> snapshot commits
     "sample_weighted_systematic", # PPS sample via distributed prefix sum
+    # round-6 additions: the SSB flight battery + reference-generated
+    # SSB/IMDB workload-text representatives over the derived schemas
+    "ssb_q1_1",    # scan-heavy discount-band revenue (flight 1)
+    "ssb_q2_1",    # brand rollup over 4-table star (flight 2)
+    "ssb_q3_1",    # geography revenue flows, 6-year window (flight 3)
+    "ssb_q4_3",    # city-level profit drill-down (flight 4)
+    "ssb_wl_137",  # widest generated SSB group-by (504 groups at sf0.01)
+    "imdb_wl_49",  # generated IMDB left-join chain with LIKE battery
+    "imdb_wl_937", # generated IMDB fact-side aggregation
 )
 
 

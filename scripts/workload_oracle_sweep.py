@@ -1,0 +1,128 @@
+"""Oracle-sweep ENTIRE reference workload files over the derived schemas.
+
+Where gen_workload_battery.py embeds a diverse subset as registered
+queries, this sweep cross-checks EVERY text of a reference workload file
+(Spark vs DuckDB, canon value-hash) and writes a JSON artifact — the
+full-battery correctness evidence for the SSB/IMDB workload surface.
+
+Usage:
+    python scripts/workload_oracle_sweep.py ssb   [--sf /root/testdata/sf0.001]
+    python scripts/workload_oracle_sweep.py imdb  [--limit 800]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import duckdb  # noqa: E402
+
+from lakehouse_variance_spark.plans import synth_common as synth  # noqa: E402
+from lakehouse_variance_spark.session import build_session  # noqa: E402
+from scripts.canon import canon_hash, register_views  # noqa: E402
+
+FILES = {
+    "ssb": "/root/reference/models/Queries/Baseline_SSB/"
+           "ssb_Baseline_test.ndjson",
+    "imdb": "/root/reference/models/Queries/Baseline_IMDB/"
+            "imdb_Baseline_test.ndjson",
+    "imdb_train": "/root/reference/models/Queries/Baseline_IMDB/"
+                  "imdb_Baseline_train.ndjson",
+}
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("suite", choices=list(FILES))
+    ap.add_argument("--sf", default="/root/testdata/sf0.001")
+    ap.add_argument("--limit", type=int, default=None)
+    ap.add_argument("--out", default=None)
+    args = ap.parse_args()
+
+    if args.suite == "ssb":
+        from lakehouse_variance_spark.plans.ssb_schema import (
+            oracle_sql_for_ssb as oracle_for,
+            register_ssb_views as register_schema,
+        )
+    else:
+        from lakehouse_variance_spark.plans.job_schema import (
+            oracle_sql_for_job as oracle_for,
+            register_job_views as register_schema,
+        )
+
+    spark = build_session(
+        app_name=f"wl-sweep-{args.suite}", shuffle_partitions=8
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    register_schema(spark, args.sf)
+    con = duckdb.connect()
+    register_views(con, args.sf)
+
+    rows = [json.loads(line) for line in open(FILES[args.suite])]
+    if args.limit:
+        rows = rows[: args.limit]
+
+    t0 = time.perf_counter()
+    ok = fail = err = rows_only = 0
+    failures = []
+    for i, q in enumerate(rows):
+        text = synth.normalize_workload_sql(q["SQL"])
+        try:
+            s = synth.sql_quoted_idents(spark, text).toPandas()
+            o = con.sql(oracle_for(text)).df()
+        except Exception as ex:
+            err += 1
+            failures.append({"query_id": q["query_id"],
+                             "error": str(ex)[:200]})
+            continue
+        try:
+            match = canon_hash(s) == canon_hash(o) and len(s) == len(o)
+        except ValueError:
+            # duplicate output column names (the generator sometimes
+            # repeats a projection) — the canonicalizer can't column-sort;
+            # fall back to a rows-only check, like the driver does for
+            # non-hashable results
+            if len(s) == len(o):
+                rows_only += 1
+            else:
+                fail += 1
+                failures.append({"query_id": q["query_id"],
+                                 "rows": [len(s), len(o)],
+                                 "note": "dup-columns rows-only"})
+            continue
+        if match:
+            ok += 1
+        else:
+            fail += 1
+            failures.append({"query_id": q["query_id"],
+                             "rows": [len(s), len(o)]})
+        if (i + 1) % 50 == 0:
+            print(f"  {i+1}/{len(rows)}: {ok} ok, {fail} fail, {err} err",
+                  file=sys.stderr)
+
+    result = {
+        "suite": args.suite,
+        "file": FILES[args.suite],
+        "sf_dir": args.sf,
+        "queries": len(rows),
+        "hash_match": ok,
+        "rows_only_match": rows_only,
+        "mismatch": fail,
+        "engine_error": err,
+        "wall_s": round(time.perf_counter() - t0, 1),
+        "failures": failures[:20],
+    }
+    out = args.out or f"WORKLOAD_SWEEP_{args.suite}.json"
+    with open(out, "w") as fh:
+        json.dump(result, fh, indent=1)
+    print(json.dumps({k: v for k, v in result.items() if k != "failures"}))
+    sys.exit(1 if (fail or err) else 0)
+
+
+if __name__ == "__main__":
+    main()
