@@ -32,7 +32,10 @@ reference text, mirroring the policy of `tpch_texts.py`):
   in-class revenue shares) are wrapped in `nullif(..., 0)` with the
   numerator cast to DOUBLE — Spark's ANSI mode throws DIVIDE_BY_ZERO
   for every numeric type (doubles included) where DuckDB yields inf,
-  and a zero sum first appears at sf0.1 (q59 bit exactly this);
+  and a zero sum first appears at sf0.1 (q59 bit exactly this; q75's
+  prev-year sales_cnt — quantities minus returns — first sums to zero
+  at the 10x probe scale, so its year-over-year ratio is pinned too:
+  a NULL ratio fails the `< 0.9` filter exactly like DuckDB's inf/nan);
   CASE-guarded ratios (q4/q21/q31/q74 filters) stay verbatim;
 * **round pinning over DOUBLE**: q2's `round(ratio, 2)` becomes
   `floor(ratio * 100 + 0.5) / 100` — Spark rounds doubles HALF_UP on the
@@ -3888,7 +3891,7 @@ WHERE curr_yr.i_brand_id = prev_yr.i_brand_id
   AND curr_yr.i_manufact_id = prev_yr.i_manufact_id
   AND curr_yr.d_year = 2002
   AND prev_yr.d_year = 2002 - 1
-  AND CAST(curr_yr.sales_cnt AS DOUBLE) / CAST(prev_yr.sales_cnt AS DOUBLE) < 0.9
+  AND CAST(curr_yr.sales_cnt AS DOUBLE) / nullif(CAST(prev_yr.sales_cnt AS DOUBLE), 0.0) < 0.9
 ORDER BY sales_cnt_diff, curr_yr.i_brand_id, curr_yr.i_class_id,
   curr_yr.i_category_id, curr_yr.i_manufact_id
 LIMIT 100

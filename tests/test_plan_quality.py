@@ -287,3 +287,22 @@ def test_q72_inventory_pruned_before_fact_fact_join(spark):
     assert fact_join.start() < semi_pos, (
         "inventory must be semi-join-pruned below the fact-fact join"
     )
+
+
+def test_ssb_flights_broadcast_all_dimensions(spark):
+    """SSB flights are the canonical star shape: every dimension side
+    (dim_date / part / supplier / customer) must broadcast — a single
+    lineorder scan with map-side joins and no sort-merge join anywhere."""
+    for name, min_bhj in (("ssb_q2_1", 3), ("ssb_q3_1", 3), ("ssb_q4_3", 4)):
+        plan = _plan(spark, name)
+        assert plan.count("BroadcastHashJoin") >= min_bhj, name
+        assert "SortMergeJoin" not in plan, name
+        assert "CartesianProduct" not in plan, name
+
+
+def test_ssb_q1_predicates_push_into_fact_scan(spark):
+    """Flight 1's discount/quantity bands must reach the lineorder scan
+    as pushed parquet filters, not post-scan filters only."""
+    plan = _plan(spark, "ssb_q1_1")
+    pushed = re.findall(r"PushedFilters: \[([^\]]*)\]", plan)
+    assert any("lo_discount" in p or "lo_quantity" in p for p in pushed)
