@@ -67,6 +67,7 @@ def load_all() -> None:
         ssb_texts,
         ssb_workload_texts,
         tpcds_texts,
+        tpcds_workload_texts,
         tpch_texts,
     )
     from lakehouse_variance_spark.scheduling import queries  # noqa: F401

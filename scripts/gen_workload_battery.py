@@ -45,6 +45,13 @@ SUITES = {
         "module": "lakehouse_variance_spark/plans/job_workload_texts.py",
         "prefix": "imdb_wl_",
     },
+    "tpcds": {
+        "ndjson": "/root/reference/models/Queries/Baseline_TPCDS/"
+                  "tpcds_Baseline_train.ndjson",
+        "tables": None,  # filled from tpcds_schema
+        "module": "lakehouse_variance_spark/plans/tpcds_workload_texts.py",
+        "prefix": "tpcds_wl_",
+    },
 }
 
 
@@ -75,6 +82,13 @@ def main() -> None:
             register_ssb_views as register_schema,
         )
         tables = cfg["tables"]
+    elif args.suite == "tpcds":
+        from lakehouse_variance_spark.plans.tpcds_schema import (
+            TPCDS_DEFS,
+            oracle_sql_for as oracle_for,
+            register_tpcds_views as register_schema,
+        )
+        tables = list(TPCDS_DEFS)
     else:
         from lakehouse_variance_spark.plans.job_schema import (
             JOB_DEFS,
@@ -143,11 +157,12 @@ def main() -> None:
             picked.append(g)
     picked.sort(key=lambda g: int(g["qid"].lstrip("q")))
 
-    reg_mod = ("ssb_schema" if args.suite == "ssb" else "job_schema")
-    reg_fn = ("register_ssb_views" if args.suite == "ssb"
-              else "register_job_views")
-    orc_fn = ("oracle_sql_for_ssb" if args.suite == "ssb"
-              else "oracle_sql_for_job")
+    reg_mod = {"ssb": "ssb_schema", "imdb": "job_schema",
+               "tpcds": "tpcds_schema"}[args.suite]
+    reg_fn = {"ssb": "register_ssb_views", "imdb": "register_job_views",
+              "tpcds": "register_tpcds_views"}[args.suite]
+    orc_fn = {"ssb": "oracle_sql_for_ssb", "imdb": "oracle_sql_for_job",
+              "tpcds": "oracle_sql_for"}[args.suite]
     name_of = lambda g: cfg["prefix"] + g["qid"].lstrip("q")  # noqa: E731
 
     lines = [

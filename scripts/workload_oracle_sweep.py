@@ -8,6 +8,7 @@ full-battery correctness evidence for the SSB/IMDB workload surface.
 Usage:
     python scripts/workload_oracle_sweep.py ssb   [--sf /root/testdata/sf0.001]
     python scripts/workload_oracle_sweep.py imdb  [--limit 800]
+    python scripts/workload_oracle_sweep.py tpcds_train
 """
 
 from __future__ import annotations
@@ -26,13 +27,21 @@ from lakehouse_variance_spark.plans import synth_common as synth  # noqa: E402
 from lakehouse_variance_spark.session import build_session  # noqa: E402
 from scripts.canon import canon_hash, register_views  # noqa: E402
 
+_Q = "/root/reference/models/Queries"
+# suite -> (ndjson path, schema key)
 FILES = {
-    "ssb": "/root/reference/models/Queries/Baseline_SSB/"
-           "ssb_Baseline_test.ndjson",
-    "imdb": "/root/reference/models/Queries/Baseline_IMDB/"
-            "imdb_Baseline_test.ndjson",
-    "imdb_train": "/root/reference/models/Queries/Baseline_IMDB/"
-                  "imdb_Baseline_train.ndjson",
+    "ssb": (f"{_Q}/Baseline_SSB/ssb_Baseline_test.ndjson", "ssb"),
+    "ssb_local": (f"{_Q}/Local_SSB/ssb_Local_test.ndjson", "ssb"),
+    "imdb": (f"{_Q}/Baseline_IMDB/imdb_Baseline_test.ndjson", "job"),
+    "imdb_train": (f"{_Q}/Baseline_IMDB/imdb_Baseline_train.ndjson", "job"),
+    "imdb_local": (f"{_Q}/Local_IMDB/imdb_Local_test.ndjson", "job"),
+    "imdb_local_train": (f"{_Q}/Local_IMDB/imdb_Local_train.ndjson", "job"),
+    "tpcds": (f"{_Q}/Baseline_TPCDS/tpcds_Baseline_test.ndjson", "tpcds"),
+    "tpcds_train": (
+        f"{_Q}/Baseline_TPCDS/tpcds_Baseline_train.ndjson", "tpcds"),
+    "tpcds_local": (f"{_Q}/Local_TPCDS/tpcds_Local_test.ndjson", "tpcds"),
+    "tpcds_local_train": (
+        f"{_Q}/Local_TPCDS/tpcds_Local_train.ndjson", "tpcds"),
 }
 
 
@@ -44,10 +53,16 @@ def main() -> None:
     ap.add_argument("--out", default=None)
     args = ap.parse_args()
 
-    if args.suite == "ssb":
+    path, schema = FILES[args.suite]
+    if schema == "ssb":
         from lakehouse_variance_spark.plans.ssb_schema import (
             oracle_sql_for_ssb as oracle_for,
             register_ssb_views as register_schema,
+        )
+    elif schema == "tpcds":
+        from lakehouse_variance_spark.plans.tpcds_schema import (
+            oracle_sql_for as oracle_for,
+            register_tpcds_views as register_schema,
         )
     else:
         from lakehouse_variance_spark.plans.job_schema import (
@@ -63,7 +78,7 @@ def main() -> None:
     con = duckdb.connect()
     register_views(con, args.sf)
 
-    rows = [json.loads(line) for line in open(FILES[args.suite])]
+    rows = [json.loads(line) for line in open(path)]
     if args.limit:
         rows = rows[: args.limit]
 
@@ -107,7 +122,7 @@ def main() -> None:
 
     result = {
         "suite": args.suite,
-        "file": FILES[args.suite],
+        "file": path,
         "sf_dir": args.sf,
         "queries": len(rows),
         "hash_match": ok,
