@@ -287,3 +287,98 @@ def bpe_first_merge_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("merge_count"), "pair")
         .limit(15)
     )
+
+
+# Quantization grid for the bigram-LM conditional probabilities: each
+# p(w2|w1) = c_bg/c_pre is stored as floor(c_bg·2^20 / c_pre) — EXACT
+# int64 arithmetic on both engines (Spark `DIV`, DuckDB `//`; positive
+# operands, so truncation == floor). c_bg ≤ c_pre always (a bigram's
+# count cannot exceed its prefix's continuation count), so the product
+# c_bg·2^20 stays below int64 until a single prefix word exceeds 2^43 ≈
+# 8.8e12 bigram instances — beyond a 100 TB corpus's most common word.
+# Under ANSI mode an overflow would THROW, not corrupt (fail-loud).
+_LM_GRID = 1 << 20
+
+
+@register(
+    "text_bigram_lm_fluency",
+    oracle=f"""
+    WITH bg AS (
+        SELECT doc_id,
+               split_part(b, ' ', 1) AS w1,
+               b
+        FROM (SELECT doc_id, unnest({_BIGRAMS_SQL}) AS b FROM documents)),
+    pre AS (
+        SELECT w1, CAST(count(*) AS BIGINT) AS c_pre FROM bg GROUP BY w1),
+    bgc AS (
+        SELECT b, CAST(count(*) AS BIGINT) AS c_bg FROM bg GROUP BY b),
+    q AS (
+        SELECT bgc.b, (bgc.c_bg * {_LM_GRID}) // pre.c_pre AS q
+        FROM bgc
+        JOIN pre ON pre.w1 = split_part(bgc.b, ' ', 1))
+    SELECT bg.doc_id,
+           CAST(count(*) AS BIGINT) AS n_bigrams,
+           CAST(sum(q.q) AS BIGINT) AS q_sum,
+           CAST(sum(q.q) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+               / {_LM_GRID} AS lm_fluency
+    FROM bg JOIN q ON q.b = bg.b
+    GROUP BY bg.doc_id
+    """,
+)
+def text_bigram_lm_fluency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style language-model document scoring (Wenzek et al. 2020
+    filter low-quality web text by LM perplexity): train a bigram LM on
+    the corpus itself — p(w2|w1) = c(w1 w2)/c(w1 ·) — and score each
+    document by its mean conditional bigram probability. High
+    ``lm_fluency`` = word sequences the corpus-level LM finds likely
+    (fluent, formulaic); near 0 = sequences never seen elsewhere
+    (noise, boilerplate-breaking garbage). The arithmetic-mean-of-
+    probabilities form replaces the geometric mean of perplexity so the
+    score is a ratio of EXACT integers: probabilities are quantized to
+    a 2^20 grid by floor division (see ``_LM_GRID``), the per-doc sum of
+    quantized int64s is partition-order-free, and the only IEEE ops are
+    two final divisions of exact operands — bit-equal across engines and
+    partitionings, no log()/exp() libm divergence.
+
+    Documents with fewer than two tokens have no bigrams and are
+    excluded (no LM evidence either way).
+
+    Scale: one corpus-sized explode; two vocabulary-sized groupBys
+    (prefix counts, bigram counts) joined at |bigram vocab| granularity;
+    the scored bigram table joins back onto the instance stream keyed on
+    the bigram (AQE broadcasts it when small). Ultra-common bigrams skew
+    the join-back the same way stop-shingles skew dedup — frequency-cap
+    the vocabulary before the join at 100 TB.
+    """
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    bg = docs.select(
+        "doc_id", F.explode(_bigrams_col()).alias("b")
+    ).select("doc_id", F.split("b", " ").getItem(0).alias("w1"), "b")
+    pre = bg.groupBy("w1").agg(F.count("*").cast("bigint").alias("c_pre"))
+    bgc = bg.groupBy("b").agg(F.count("*").cast("bigint").alias("c_bg"))
+    q = (
+        bgc.withColumn("w1", F.split("b", " ").getItem(0))
+        .join(pre, "w1")
+        .select(
+            "b",
+            F.expr(f"(c_bg * {_LM_GRID}) DIV c_pre").alias("q"),
+        )
+    )
+    return (
+        bg.join(q, "b")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_bigrams"),
+            F.sum("q").cast("bigint").alias("q_sum"),
+        )
+        .select(
+            "doc_id",
+            "n_bigrams",
+            "q_sum",
+            (
+                F.col("q_sum").cast("double")
+                / F.col("n_bigrams").cast("double")
+                / F.lit(float(_LM_GRID))
+            ).alias("lm_fluency"),
+        )
+    )

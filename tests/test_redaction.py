@@ -131,3 +131,29 @@ def test_cms_topk_envelope(spark):
     assert ((pdf.n_est - pdf.n_exact) <= 0.001 * pdf.n_total.iloc[0] + 1).all()
     keys = list(zip(-pdf.n_est, pdf.w))
     assert keys == sorted(keys)
+
+
+def test_bigram_lm_fluency_laws(spark):
+    from lakehouse_variance_spark.operators.redaction import _LM_GRID
+
+    rows = registry.QUERIES["text_bigram_lm_fluency"](spark, SF_DIR).collect()
+    assert rows, "every multi-token document scores"
+    docs = {
+        r.doc_id: r.n_tokens
+        for r in spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        .select("doc_id", F.size(F.split("text", " ")).alias("n_tokens"))
+        .collect()
+    }
+    scored = {r.doc_id for r in rows}
+    for doc_id, n_tokens in docs.items():
+        # exactly the >=2-token documents are scored, with n-1 bigrams
+        assert (doc_id in scored) == (n_tokens >= 2)
+    for r in rows:
+        assert r.n_bigrams == docs[r.doc_id] - 1
+        # quantized probabilities live on [0, 2^20]; the mean in [0, 1]
+        assert 0 <= r.q_sum <= r.n_bigrams * _LM_GRID
+        assert 0.0 <= r.lm_fluency <= 1.0
+        # exact IEEE recomputation from the reported integers
+        assert r.lm_fluency == float(r.q_sum) / float(r.n_bigrams) / float(
+            _LM_GRID
+        )
