@@ -356,3 +356,164 @@ def sample_stratified_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("sample_rank") <= SAMPLE_PER_STRATUM)
     )
+
+
+# ---------------------------------------------------------------------------
+# DSIR-style importance weighting (Xie et al. 2023, "Data Selection for
+# Language Models via Importance Resampling"): score each raw document by
+# how target-like its hashed n-gram feature distribution is.
+# ---------------------------------------------------------------------------
+
+# Feature space: bigrams hashed into _DSIR_BUCKETS buckets by the same
+# engine-exact polynomial rolling hash text_fingerprint uses (libm-free,
+# identical fold on both engines). 4096 buckets keeps the per-bucket
+# count tables broadcastable at any corpus size — that bound is the whole
+# point of DSIR's hashing.
+_DSIR_BUCKETS = 4096
+_DSIR_MOD = 1_000_000_007
+# Likelihood-ratio grid and clip: each bucket's p_target/p_raw ratio is
+# floor-quantized to a 2^20 grid and clipped at 2^10 (DSIR
+# implementations clip importance weights for variance control; here the
+# clip also bounds q <= 2^30 so a document's int64 q-sum cannot overflow
+# below 2^33 bigrams per doc). The ratio itself is an IEEE double
+# multiply/divide tree over exact int64 counts — deterministic on both
+# engines (the text_bigram_pmi argument); floor() of a double is exact.
+_DSIR_GRID = 1 << 20
+_DSIR_QCAP = 1 << 30
+
+# DuckDB / Spark shared fold: polynomial hash of a bigram string -> bucket.
+_DSIR_BUCKET_DUCK = f"""
+    list_reduce(
+        list_prepend(CAST(7 AS BIGINT),
+            list_transform(generate_series(1, length(b)),
+                           i -> CAST(ascii(substr(b, i, 1)) AS BIGINT))),
+        (acc, c) -> (acc * 31 + c) % {_DSIR_MOD}) % {_DSIR_BUCKETS}
+"""
+_DSIR_BUCKET_SPARK = f"""
+    aggregate(
+        transform(sequence(1, length(b)), i -> ascii(substring(b, i, 1))),
+        CAST(7 AS BIGINT),
+        (acc, c) -> (acc * 31 + c) % {_DSIR_MOD}) % {_DSIR_BUCKETS}
+"""
+_DSIR_BIGRAMS_SQL = (
+    "list_transform(generate_series(1, len(string_split(text, ' ')) - 1),"
+    " i -> array_to_string(list_slice(string_split(text, ' '), i, i + 1), ' '))"
+)
+
+
+@register(
+    "select_dsir_importance",
+    oracle=f"""
+    WITH inst AS (
+        SELECT doc_id, lang, {_DSIR_BUCKET_DUCK} AS bucket
+        FROM (SELECT doc_id, lang, unnest({_DSIR_BIGRAMS_SQL}) AS b
+              FROM documents)),
+    raw AS (
+        SELECT bucket, CAST(count(*) AS BIGINT) AS c_r FROM inst GROUP BY 1),
+    tgt AS (
+        SELECT bucket, CAST(count(*) AS BIGINT) AS c_t
+        FROM inst WHERE lang = 'en' GROUP BY 1),
+    tot AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_r,
+               CAST(count(*) FILTER (WHERE lang = 'en') AS BIGINT) AS n_t
+        FROM inst),
+    ratio AS (
+        SELECT raw.bucket,
+               LEAST(CAST(floor(
+                   (CAST(COALESCE(tgt.c_t, 0) AS DOUBLE) * CAST(tot.n_r AS DOUBLE))
+                   / (CAST(raw.c_r AS DOUBLE) * CAST(tot.n_t AS DOUBLE))
+                   * {_DSIR_GRID}) AS BIGINT), {_DSIR_QCAP}) AS q
+        FROM raw LEFT JOIN tgt ON tgt.bucket = raw.bucket CROSS JOIN tot)
+    SELECT inst.doc_id,
+           CAST(count(*) AS BIGINT) AS n_features,
+           CAST(sum(ratio.q) AS BIGINT) AS q_sum,
+           CAST(sum(ratio.q) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+               / {_DSIR_GRID} AS importance
+    FROM inst JOIN ratio ON ratio.bucket = inst.bucket
+    GROUP BY inst.doc_id
+    """,
+)
+def select_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance weighting (Xie et al. 2023): estimate hashed-bigram
+    unigram-of-features distributions for a TARGET domain (here the
+    ``lang = 'en'`` slice — the stand-in for "looks like Wikipedia") and
+    for the RAW corpus, then score every document by its mean per-feature
+    likelihood ratio p_target(f)/p_raw(f). Documents whose feature mix
+    resembles the target score above 1; off-domain documents score near
+    0. Resampling the corpus with these weights IS the DSIR pipeline;
+    the weights compose with `sample_weighted_systematic` for the draw.
+
+    Determinism: the ratio-sum form replaces DSIR's log-ratio sum (same
+    ordering for per-doc means under a monotone transform of each term;
+    log() is libm and diverges across engines). Each bucket ratio is one
+    IEEE multiply/divide tree over exact int64 counts, floor-quantized to
+    a 2^20 grid and clipped at 2^10 (`_DSIR_QCAP`); per-doc sums are
+    exact int64, so the result is bit-equal across engines and
+    partitionings. Zero-target buckets score 0 without -inf handling.
+
+    Scale: one corpus explode into bigram instances; the character-fold
+    hash runs only on the Zipf-bounded DISTINCT bigram vocabulary, which
+    joins back onto the instance stream; the raw/target count tables are
+    exactly 4096 rows — broadcast — and the final agg is one doc-keyed
+    groupBy.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    from lakehouse_variance_spark.operators.redaction import _bigrams_col
+
+    inst = docs.select(
+        "doc_id", "lang", F.explode(_bigrams_col()).alias("b")
+    )
+    # hash the vocabulary once, not every instance: distinct bigrams are
+    # Zipf-bounded while instances are corpus-sized
+    vocab = (
+        inst.select("b")
+        .distinct()
+        .select("b", F.expr(_DSIR_BUCKET_SPARK).cast("bigint").alias("bucket"))
+    )
+    inst_b = inst.join(vocab, "b").select("doc_id", "lang", "bucket")
+    raw = inst_b.groupBy("bucket").agg(
+        F.count("*").cast("bigint").alias("c_r")
+    )
+    tgt = inst_b.filter(F.col("lang") == "en").groupBy("bucket").agg(
+        F.count("*").cast("bigint").alias("c_t")
+    )
+    tot = inst_b.agg(
+        F.count("*").cast("bigint").alias("n_r"),
+        F.count(F.when(F.col("lang") == "en", 1)).cast("bigint").alias("n_t"),
+    )
+    ratio = (
+        raw.join(tgt, "bucket", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "bucket",
+            F.least(
+                F.floor(
+                    (
+                        F.coalesce("c_t", F.lit(0)).cast("double")
+                        * F.col("n_r").cast("double")
+                    )
+                    / (F.col("c_r").cast("double") * F.col("n_t").cast("double"))
+                    * F.lit(float(_DSIR_GRID))
+                ).cast("bigint"),
+                F.lit(_DSIR_QCAP),
+            ).alias("q"),
+        )
+    )
+    return (
+        inst_b.join(F.broadcast(ratio), "bucket")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_features"),
+            F.sum("q").cast("bigint").alias("q_sum"),
+        )
+        .select(
+            "doc_id",
+            "n_features",
+            "q_sum",
+            (
+                F.col("q_sum").cast("double")
+                / F.col("n_features").cast("double")
+                / F.lit(float(_DSIR_GRID))
+            ).alias("importance"),
+        )
+    )

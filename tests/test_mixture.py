@@ -110,3 +110,30 @@ def test_group_split_is_leakage_free_and_exhaustive(spark):
         "user_id"
     ).distinct().count()  # every user in exactly one split
     assert agg["train"][1] > agg["val"][1]  # 80/10/10 ordering holds
+
+
+def test_dsir_importance_separates_target_domain(spark):
+    from lakehouse_variance_spark.operators.mixture import (
+        _DSIR_GRID,
+        _DSIR_QCAP,
+    )
+
+    rows = registry.QUERIES["select_dsir_importance"](spark, SF_DIR).collect()
+    assert rows
+    langs = {
+        r.doc_id: r.lang
+        for r in spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        .select("doc_id", "lang")
+        .collect()
+    }
+    by_lang: dict[str, list[float]] = {}
+    for r in rows:
+        # clipped quantized ratios: 0 <= q_sum <= n * QCAP, exact recompute
+        assert 0 <= r.q_sum <= r.n_features * _DSIR_QCAP
+        assert r.importance == float(r.q_sum) / float(r.n_features) / float(
+            _DSIR_GRID
+        )
+        by_lang.setdefault(langs[r.doc_id], []).append(r.importance)
+    means = {k: sum(v) / len(v) for k, v in by_lang.items()}
+    # the target domain (en) must outscore every other language on average
+    assert all(means["en"] > m for k, m in means.items() if k != "en"), means
