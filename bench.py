@@ -120,6 +120,9 @@ HEADLINE_QUERIES = (
     "ssb_wl_137",  # widest generated SSB group-by (504 groups at sf0.01)
     "imdb_wl_49",  # generated IMDB left-join chain with LIKE battery
     "imdb_wl_937", # generated IMDB fact-side aggregation
+    "tpcds_wl_321",           # widest generated TPC-DS left-join chain
+    "text_bigram_lm_fluency", # bigram-LM doc scoring (CCNet-style)
+    "select_dsir_importance", # DSIR hashed-bigram importance weights
 )
 
 

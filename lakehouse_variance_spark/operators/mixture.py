@@ -517,3 +517,95 @@ def select_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("importance"),
         )
     )
+
+
+@register(
+    "curriculum_training_order",
+    oracle="""
+    WITH scored AS (
+        SELECT doc_id, source,
+               CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT)
+                   AS quality
+        FROM documents),
+    tiers AS (
+        SELECT doc_id, source, quality,
+               CAST(ntile(4) OVER (PARTITION BY source
+                                   ORDER BY quality DESC, doc_id)
+                    AS BIGINT) AS tier
+        FROM scored),
+    ranked AS (
+        SELECT doc_id, source, quality, tier,
+               CAST(row_number() OVER (PARTITION BY source, tier
+                                       ORDER BY quality DESC, doc_id)
+                    AS BIGINT) AS rank_in_tier
+        FROM tiers),
+    src AS (
+        SELECT source,
+               CAST(dense_rank() OVER (ORDER BY source) AS BIGINT)
+                   AS source_idx
+        FROM (SELECT DISTINCT source FROM documents))
+    SELECT r.doc_id, r.source, r.tier, r.rank_in_tier,
+           r.tier * 1099511627776 + r.rank_in_tier * 1048576 + s.source_idx
+               AS curriculum_key
+    FROM ranked r JOIN src s ON s.source = r.source
+    """,
+)
+def curriculum_training_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum data ordering: a deterministic global training order
+    that feeds the model highest-quality documents first (tier 1 → 4 by
+    per-source quality quartile) while round-robin-interleaving sources
+    inside each tier (rank-within-tier before source), so no source
+    dominates any stretch of training. ``curriculum_key`` is a strictly
+    ordered, collision-free int64 sort key — tier·2^40 + rank·2^20 +
+    source_idx — valid for 2^20 sources and 2^20 docs per (source, tier);
+    sorting by it IS the training order, and shards cut from key ranges
+    inherit the curriculum.
+
+    Scale: quality is a narrow map; ntile/row_number windows partition BY
+    SOURCE (the token_budget_select pattern — no global window, no global
+    sort anywhere: the key is arithmetic, so the order materializes only
+    when a consumer sorts or range-shards). The source-index table is
+    |sources| rows, broadcast. Exact integer arithmetic end to end;
+    doc_id tiebreaks make every window deterministic.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    scored = docs.select(
+        "doc_id",
+        "source",
+        F.size(F.array_distinct(F.split("text", " ")))
+        .cast("bigint")
+        .alias("quality"),
+    )
+    w_tier = Window.partitionBy("source").orderBy(
+        F.desc("quality"), F.col("doc_id")
+    )
+    tiers = scored.withColumn(
+        "tier", F.ntile(4).over(w_tier).cast("bigint")
+    )
+    w_rank = Window.partitionBy("source", "tier").orderBy(
+        F.desc("quality"), F.col("doc_id")
+    )
+    ranked = tiers.withColumn(
+        "rank_in_tier", F.row_number().over(w_rank).cast("bigint")
+    )
+    src = (
+        docs.select("source")
+        .distinct()
+        .withColumn(
+            "source_idx",
+            F.dense_rank()
+            .over(Window.orderBy("source"))
+            .cast("bigint"),
+        )
+    )
+    return ranked.join(F.broadcast(src), "source").select(
+        "doc_id",
+        "source",
+        "tier",
+        "rank_in_tier",
+        (
+            F.col("tier") * F.lit(1099511627776)
+            + F.col("rank_in_tier") * F.lit(1048576)
+            + F.col("source_idx")
+        ).alias("curriculum_key"),
+    )

@@ -70,10 +70,19 @@ _DIGITS = "SELECT 0 AS a " + " ".join(f"UNION ALL SELECT {i}" for i in range(1, 
 
 
 def _seq(n: int, alias: str = "i") -> str:
-    """0..n-1 as a derived table (digit cross-products; engine-free)."""
+    """0..n-1 as a derived table (digit cross-products; engine-free).
+
+    ``i`` is BIGINT: when a workload predicate on a derived column (e.g.
+    ``w_warehouse_sq_ft = 294242``) is pushed into the CTE, engines may
+    evaluate the column expression over the UNFILTERED digit domain (up
+    to 99999) before the ``< n`` range filter, and INT32 arithmetic like
+    ``50000 * (i + 1)`` would overflow there (DuckDB throws Out of
+    Range). BIGINT makes every downstream product safe for any i in the
+    domain."""
     assert n <= 100000
     return f"""(
-      SELECT d1.a + 10*d2.a + 100*d3.a + 1000*d4.a + 10000*d5.a AS {alias}
+      SELECT CAST(d1.a + 10*d2.a + 100*d3.a + 1000*d4.a + 10000*d5.a
+                  AS BIGINT) AS {alias}
       FROM digits d1, digits d2, digits d3, digits d4, digits d5
       WHERE d1.a + 10*d2.a + 100*d3.a + 1000*d4.a + 10000*d5.a < {n}
     )"""
@@ -390,7 +399,10 @@ SELECT i AS s_store_sk,
        {_pick('i * 7', ZIPS)} AS s_zip,
        'United States' AS s_country,
        0 - (5 + i % 2) AS s_gmt_offset,
-       0 AS s_tax_precentage
+       0 AS s_tax_percentage -- the reference's tables use the CORRECTED
+       -- spelling (its generated workload texts filter on
+       -- store.s_tax_percentage), not the TPC-DS spec's famous
+       -- 's_tax_precentage' typo; the 99 q*.sql texts touch neither
 FROM {_seq(N_STORE)} s
 """
 

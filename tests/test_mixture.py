@@ -137,3 +137,25 @@ def test_dsir_importance_separates_target_domain(spark):
     means = {k: sum(v) / len(v) for k, v in by_lang.items()}
     # the target domain (en) must outscore every other language on average
     assert all(means["en"] > m for k, m in means.items() if k != "en"), means
+
+
+def test_curriculum_order_laws(spark):
+    rows = registry.QUERIES["curriculum_training_order"](
+        spark, SF_DIR
+    ).collect()
+    n_docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").count()
+    assert len(rows) == n_docs  # every document gets a position
+    keys = [r.curriculum_key for r in rows]
+    assert len(set(keys)) == len(keys)  # collision-free sort key
+    # the key decomposes back into its (tier, rank, source_idx) digits
+    for r in rows:
+        assert r.tier == r.curriculum_key // (1 << 40)
+        assert r.rank_in_tier == (r.curriculum_key >> 20) & ((1 << 20) - 1)
+    # sorting by key yields tiers in order, and within a tier the source
+    # stream round-robins: consecutive same-source runs never exceed the
+    # gap left by exhausted sources (weak law: rank_in_tier nondecreasing)
+    ordered = sorted(rows, key=lambda r: r.curriculum_key)
+    assert [r.tier for r in ordered] == sorted(r.tier for r in rows)
+    for a, b in zip(ordered, ordered[1:]):
+        if a.tier == b.tier:
+            assert (a.rank_in_tier, a.source) < (b.rank_in_tier, b.source)
