@@ -36,6 +36,7 @@ BNLJ_ALLOWED: set[str] = {
     "trace_variance_decomposition", # per_run x grand total (1 row)
     "trace_config_delta",           # variant x base summary (1 row)
     "data_mixture_weights",         # per_src x corpus total (1 row)
+    "select_dsir_importance",       # bucket ratios x instance totals (1 row)
     "text_bigram_pmi",              # bigrams x token total (1 row)
     "text_doc_rarity_score",        # docs x n_total (1 row)
     "vocab_source_keywords",        # cells x corpus-count n_tab (1 row)
