@@ -35,6 +35,10 @@ SUITE_FILES = {
             "imdb_Baseline_test.ndjson",
     "imdb_train": "/root/reference/models/Queries/Baseline_IMDB/"
                   "imdb_Baseline_train.ndjson",
+    "tpcds": "/root/reference/models/Queries/Baseline_TPCDS/"
+             "tpcds_Baseline_test.ndjson",
+    "tpcds_train": "/root/reference/models/Queries/Baseline_TPCDS/"
+                   "tpcds_Baseline_train.ndjson",
 }
 
 

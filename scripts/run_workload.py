@@ -53,16 +53,21 @@ def _battery(name: str) -> list[tuple[str, str]]:
         from lakehouse_variance_spark.plans.job_workload_texts import TEXTS
 
         return sorted(TEXTS.items())
+    if name == "tpcds_wl":
+        from lakehouse_variance_spark.plans.tpcds_workload_texts import TEXTS
+
+        return sorted(TEXTS.items())
     raise SystemExit(
-        f"unknown battery {name!r} (tpcds | tpch | ssb | ssb_wl | imdb_wl)"
+        f"unknown battery {name!r} "
+        f"(tpcds | tpch | ssb | ssb_wl | imdb_wl | tpcds_wl)"
     )
 
 
-_BATTERY_SCHEMAS = ("tpcds", "tpch", "ssb", "ssb_wl", "imdb_wl")
+_BATTERY_SCHEMAS = ("tpcds", "tpch", "ssb", "ssb_wl", "imdb_wl", "tpcds_wl")
 
 
 def _register(battery: str | None, spark, sf_dir: str) -> None:
-    if battery == "tpcds":
+    if battery in ("tpcds", "tpcds_wl"):
         from lakehouse_variance_spark.plans.tpcds_schema import (
             register_tpcds_views,
         )
@@ -122,7 +127,7 @@ def main() -> None:
     )
     ap.add_argument(
         "--workload-schema",
-        choices=("ssb", "imdb"),
+        choices=("ssb", "imdb", "tpcds"),
         help="derived schema to register for --workload-ndjson",
     )
     ap.add_argument(
@@ -159,10 +164,11 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     battery_key = args.battery or (
         "ssb_wl" if args.workload_schema == "ssb"
-        else "imdb_wl" if args.workload_schema == "imdb" else None
+        else "imdb_wl" if args.workload_schema == "imdb"
+        else "tpcds_wl" if args.workload_schema == "tpcds" else None
     )
     _register(battery_key, spark, args.sf_dir)
-    if battery_key in ("ssb_wl", "imdb_wl"):
+    if battery_key in ("ssb_wl", "imdb_wl", "tpcds_wl"):
         # generated workload texts double-quote every identifier
         spark.conf.set("spark.sql.ansi.doubleQuotedIdentifiers", "true")
 
