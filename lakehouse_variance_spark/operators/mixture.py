@@ -609,3 +609,74 @@ def curriculum_training_order(spark: SparkSession, sf_dir: str) -> DataFrame:
             + F.col("source_idx")
         ).alias("curriculum_key"),
     )
+
+
+# Corpus-wide token budget for the GLOBAL greedy selection variant.
+GLOBAL_BUDGET_TOKENS = 5_000
+
+
+@register(
+    "token_budget_select_global",
+    oracle=f"""
+    WITH scored AS (
+        SELECT doc_id,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+               (CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT)
+                * {SCORE_SCALE})
+                   // CAST(len(string_split(text, ' ')) AS BIGINT)
+                   AS score_m
+        FROM documents),
+    ranked AS (
+        SELECT doc_id, n_tokens, score_m,
+               CAST(sum(n_tokens) OVER (
+                   ORDER BY score_m DESC, doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS BIGINT) AS cum_tokens
+        FROM scored)
+    SELECT doc_id, n_tokens, score_m, cum_tokens
+    FROM ranked WHERE cum_tokens <= {GLOBAL_BUDGET_TOKENS}
+    """,
+)
+def token_budget_select_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CORPUS-WIDE greedy quality selection: keep the globally
+    highest-quality documents until one shared token budget is exhausted
+    — the variant `token_budget_select`'s docstring promises for a global
+    cap (best-k% corpus filtering where quality, not source, decides).
+
+    Spark-first: the running token total over the global quality order
+    uses `distributed_prefix_sum` (the carbon-scheduler two-pass scan) —
+    rows bucket by quality band, the running sum is computed within each
+    band in parallel, and only the ~16 per-band totals pass through an
+    ordered global window. A naive `Window.orderBy(score)` would move the
+    WHOLE CORPUS to one task. The order key is the exact integer
+    `SCORE_SCALE - score_m` with doc_id tiebreak, so the greedy prefix is
+    total, engine-exact, and partitioning-independent — mirrored by the
+    oracle's ORDER BY score_m DESC, doc_id.
+    """
+    from lakehouse_variance_spark.scheduling.carbon import (
+        distributed_prefix_sum,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    tokens = F.split("text", " ")
+    scored = docs.select(
+        "doc_id",
+        F.size(tokens).cast("bigint").alias("n_tokens"),
+        F.expr(
+            f"(CAST(size(array_distinct(split(text, ' '))) AS BIGINT)"
+            f" * {SCORE_SCALE})"
+            f" div CAST(size(split(text, ' ')) AS BIGINT)"
+        ).alias("score_m"),
+    ).withColumn("_ord", F.lit(SCORE_SCALE) - F.col("score_m"))
+    cum = distributed_prefix_sum(
+        scored, "_ord", "n_tokens", "cum_tokens", tie_col="doc_id"
+    )
+    return (
+        cum.filter(F.col("cum_tokens") <= GLOBAL_BUDGET_TOKENS)
+        .select(
+            "doc_id",
+            "n_tokens",
+            "score_m",
+            F.col("cum_tokens").cast("bigint").alias("cum_tokens"),
+        )
+    )

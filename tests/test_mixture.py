@@ -159,3 +159,33 @@ def test_curriculum_order_laws(spark):
     for a, b in zip(ordered, ordered[1:]):
         if a.tier == b.tier:
             assert (a.rank_in_tier, a.source) < (b.rank_in_tier, b.source)
+
+
+def test_global_token_budget_is_greedy_prefix(spark):
+    from lakehouse_variance_spark.operators.mixture import (
+        GLOBAL_BUDGET_TOKENS,
+    )
+
+    kept = registry.QUERIES["token_budget_select_global"](
+        spark, SF_DIR
+    ).collect()
+    assert kept
+    assert max(r.cum_tokens for r in kept) <= GLOBAL_BUDGET_TOKENS
+    # the kept set is a prefix of the global (score desc, doc_id asc)
+    # order: every kept doc strictly outranks every dropped doc
+    kept_ids = {r.doc_id for r in kept}
+    worst_kept_rank = max((-r.score_m, r.doc_id) for r in kept)
+    docs = (
+        spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        .select(
+            "doc_id",
+            F.expr(
+                "(CAST(size(array_distinct(split(text, ' '))) AS BIGINT)"
+                " * 1000000) div CAST(size(split(text, ' ')) AS BIGINT)"
+            ).alias("score_m"),
+        )
+        .collect()
+    )
+    for d in docs:
+        if d.doc_id not in kept_ids:
+            assert (-d.score_m, d.doc_id) > worst_kept_rank
