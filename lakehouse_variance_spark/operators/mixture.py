@@ -451,53 +451,41 @@ def select_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact int64, so the result is bit-equal across engines and
     partitionings. Zero-target buckets score 0 without -inf handling.
 
-    Scale: one corpus explode into bigram instances; the character-fold
-    hash runs only on the Zipf-bounded DISTINCT bigram vocabulary, which
-    joins back onto the instance stream; the raw/target count tables are
-    exactly 4096 rows — broadcast — and the final agg is one doc-keyed
-    groupBy.
+    Scale: two passes over the corpus's bigram instances (count buckets;
+    score docs), each a narrow explode + the 20-odd-char hash fold in
+    whole-stage codegen — no vocabulary-sized join anywhere. Raw and
+    target counts come from ONE bucket-keyed groupBy (conditional
+    count); the 4096-row ratio table and its 1-row totals broadcast back
+    onto the instance stream, and the final agg is one doc-keyed groupBy.
     """
-    docs = load_table(spark, sf_dir, "documents")
+    from lakehouse_variance_spark.tables import spread
+
+    docs = spread(load_table(spark, sf_dir, "documents"))
     from lakehouse_variance_spark.operators.redaction import _bigrams_col
 
-    inst = docs.select(
+    inst_b = docs.select(
         "doc_id", "lang", F.explode(_bigrams_col()).alias("b")
+    ).select("doc_id", "lang", F.expr(_DSIR_BUCKET_SPARK).cast("bigint").alias("bucket"))
+    counts = inst_b.groupBy("bucket").agg(
+        F.count("*").cast("bigint").alias("c_r"),
+        F.count(F.when(F.col("lang") == "en", 1))
+        .cast("bigint")
+        .alias("c_t"),
     )
-    # hash the vocabulary once, not every instance: distinct bigrams are
-    # Zipf-bounded while instances are corpus-sized
-    vocab = (
-        inst.select("b")
-        .distinct()
-        .select("b", F.expr(_DSIR_BUCKET_SPARK).cast("bigint").alias("bucket"))
+    tot = counts.agg(
+        F.sum("c_r").cast("bigint").alias("n_r"),
+        F.sum("c_t").cast("bigint").alias("n_t"),
     )
-    inst_b = inst.join(vocab, "b").select("doc_id", "lang", "bucket")
-    raw = inst_b.groupBy("bucket").agg(
-        F.count("*").cast("bigint").alias("c_r")
-    )
-    tgt = inst_b.filter(F.col("lang") == "en").groupBy("bucket").agg(
-        F.count("*").cast("bigint").alias("c_t")
-    )
-    tot = inst_b.agg(
-        F.count("*").cast("bigint").alias("n_r"),
-        F.count(F.when(F.col("lang") == "en", 1)).cast("bigint").alias("n_t"),
-    )
-    ratio = (
-        raw.join(tgt, "bucket", "left")
-        .crossJoin(F.broadcast(tot))
-        .select(
-            "bucket",
-            F.least(
-                F.floor(
-                    (
-                        F.coalesce("c_t", F.lit(0)).cast("double")
-                        * F.col("n_r").cast("double")
-                    )
-                    / (F.col("c_r").cast("double") * F.col("n_t").cast("double"))
-                    * F.lit(float(_DSIR_GRID))
-                ).cast("bigint"),
-                F.lit(_DSIR_QCAP),
-            ).alias("q"),
-        )
+    ratio = counts.crossJoin(F.broadcast(tot)).select(
+        "bucket",
+        F.least(
+            F.floor(
+                (F.col("c_t").cast("double") * F.col("n_r").cast("double"))
+                / (F.col("c_r").cast("double") * F.col("n_t").cast("double"))
+                * F.lit(float(_DSIR_GRID))
+            ).cast("bigint"),
+            F.lit(_DSIR_QCAP),
+        ).alias("q"),
     )
     return (
         inst_b.join(F.broadcast(ratio), "bucket")
