@@ -157,6 +157,14 @@ PROBE_QUERIES = [
     "tpcds_q78",
     "tpcds_q95",
     "tpcds_q98",
+    # round-6: new corpus-selection ops (bigram-LM scoring, DSIR buckets,
+    # curriculum windows, distributed-prefix global budget) + a generated
+    # TPC-DS workload text
+    "text_bigram_lm_fluency",
+    "select_dsir_importance",
+    "curriculum_training_order",
+    "token_budget_select_global",
+    "tpcds_wl_321",
 ]
 
 
