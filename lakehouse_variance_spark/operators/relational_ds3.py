@@ -421,3 +421,100 @@ def price_band_active_items(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("p_partkey").alias("n_parts"),
         )
     )
+
+
+# The naive q376-shaped text (the reference's generated TPC-DS workload,
+# e.g. Baseline_TPCDS test q376): a tiny dimension LEFT-joined to THREE
+# fact-sized returns tables on the SAME key. Its join fan-out is
+# multiplicative — sum_k w_k*s_k*c_k = 1.0e11 intermediate rows at
+# sf0.1 — and Trino survives it only because its optimizer pushes
+# partial COUNT aggregation below the joins
+# (push_partial_aggregation_through_join). Catalyst has no such rule,
+# so the verbatim text brute-forces the explosion (and at sf0.1 hits
+# the 300 s reference kill budget). This operator IS that missing
+# rewrite, DataFrame-first.
+_FANOUT_NAIVE_SQL = """
+    SELECT d_year, CAST(count(*) AS BIGINT) AS agg_0
+    FROM reason
+    LEFT OUTER JOIN web_returns ON r_reason_sk = wr_reason_sk
+    LEFT OUTER JOIN store_returns ON r_reason_sk = sr_reason_sk
+    LEFT OUTER JOIN date_dim ON sr_returned_date_sk = d_date_sk
+    LEFT OUTER JOIN catalog_returns ON r_reason_sk = cr_reason_sk
+    GROUP BY d_year
+"""
+
+
+def _fanout_oracle() -> str:
+    from lakehouse_variance_spark.plans.tpcds_schema import oracle_sql_for
+
+    return oracle_sql_for(_FANOUT_NAIVE_SQL)
+
+
+@register("fanout_count_pushdown", oracle=_fanout_oracle())
+def fanout_count_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partial-COUNT pushdown through a multiplicative LEFT-join fan-out —
+    the count-product rewrite of the q376-shaped generated workload text
+    (its oracle IS the naive verbatim join text, so every hash match
+    proves the rewrite).
+
+    Per reason key k, the naive COUNT(*) explosion factors exactly:
+    ``max(w_k,1) * s_{k,year} * max(c_k,1)`` where w/c are the per-key
+    web/catalog return counts (a LEFT join with zero matches contributes
+    one NULL row, hence max(..,1) via the coalesce-after-left-join) and
+    ``s_{k,year}`` counts store returns per (key, return-year) — reasons
+    with no store returns land in the NULL-year group with s=1, the same
+    group the naive plan sends them to.
+
+    Scale: three independent keyed partial counts (map-side combined,
+    one reduce each at |keys| or |keys x years| cardinality), then all
+    arithmetic happens on a |reason|-row table with broadcast joins.
+    1.0e11 intermediate rows at sf0.1 become three shrinking aggregates
+    + a 35-row product — the plan Trino's
+    push_partial_aggregation_through_join produces, which Catalyst
+    lacks; counts multiply as int64 (exact to 2^63; swap to
+    DECIMAL(38,0) beyond ~1e6-row per-key counts).
+    """
+    from lakehouse_variance_spark.plans.tpcds_schema import (
+        register_tpcds_views,
+    )
+
+    register_tpcds_views(spark, sf_dir)
+    reason = spark.table("reason").select(
+        F.col("r_reason_sk").alias("k")
+    )
+    wcnt = (
+        spark.table("web_returns")
+        .groupBy(F.col("wr_reason_sk").alias("k"))
+        .agg(F.count("*").cast("bigint").alias("w"))
+    )
+    scnt = (
+        spark.table("store_returns")
+        .join(
+            spark.table("date_dim").select("d_date_sk", "d_year"),
+            F.col("sr_returned_date_sk") == F.col("d_date_sk"),
+            "left",
+        )
+        .groupBy(F.col("sr_reason_sk").alias("k"), "d_year")
+        .agg(F.count("*").cast("bigint").alias("s"))
+    )
+    ccnt = (
+        spark.table("catalog_returns")
+        .groupBy(F.col("cr_reason_sk").alias("k"))
+        .agg(F.count("*").cast("bigint").alias("c"))
+    )
+    per_key = (
+        reason.join(F.broadcast(wcnt), "k", "left")
+        .join(F.broadcast(scnt), "k", "left")
+        .join(F.broadcast(ccnt), "k", "left")
+        .select(
+            "d_year",
+            (
+                F.coalesce("w", F.lit(1))
+                * F.coalesce("s", F.lit(1))
+                * F.coalesce("c", F.lit(1))
+            ).alias("rows_k"),
+        )
+    )
+    return per_key.groupBy("d_year").agg(
+        F.sum("rows_k").cast("bigint").alias("agg_0")
+    )

@@ -111,3 +111,38 @@ def test_tpch_text_plans(spark):
     p8 = _plan(spark, "tpch_q8")
     assert p8.count("BroadcastHashJoin") >= 6
     assert "CartesianProduct" not in p8
+
+
+def test_fanout_pushdown_never_materializes_the_cross_product(spark):
+    # The whole point: every returns table must be REDUCED (partial count)
+    # before any join — the plan joins three aggregate outputs onto the
+    # 35-row reason table, never fact x fact.
+    plan = _plan(spark, "fanout_count_pushdown")
+    # 3 aggregate-output joins onto reason + the date_dim dimension join
+    assert plan.count("BroadcastHashJoin") == 4
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    # three per-key partial counts + the date join + final year agg
+    assert plan.count("HashAggregate") >= 6  # partial+final per count
+
+
+def test_fanout_pushdown_equals_naive_join(spark):
+    from lakehouse_variance_spark.operators.relational_ds3 import (
+        _FANOUT_NAIVE_SQL,
+    )
+    from lakehouse_variance_spark.plans.tpcds_schema import (
+        register_tpcds_views,
+    )
+
+    register_tpcds_views(spark, SF_DIR)
+    naive = {
+        (r.d_year, r.agg_0)
+        for r in spark.sql(_FANOUT_NAIVE_SQL).collect()
+    }
+    rewritten = {
+        (r.d_year, r.agg_0)
+        for r in registry.QUERIES["fanout_count_pushdown"](
+            spark, SF_DIR
+        ).collect()
+    }
+    assert rewritten == naive
