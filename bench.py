@@ -123,6 +123,7 @@ HEADLINE_QUERIES = (
     "tpcds_wl_321",           # widest generated TPC-DS left-join chain
     "text_bigram_lm_fluency", # bigram-LM doc scoring (CCNet-style)
     "select_dsir_importance", # DSIR hashed-bigram importance weights
+    "fanout_count_pushdown",  # 1.0e11-row fan-out as count products
 )
 
 

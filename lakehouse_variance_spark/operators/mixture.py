@@ -451,24 +451,36 @@ def select_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact int64, so the result is bit-equal across engines and
     partitionings. Zero-target buckets score 0 without -inf handling.
 
-    Scale: two passes over the corpus's bigram instances (count buckets;
-    score docs), each a narrow explode + the 20-odd-char hash fold in
-    whole-stage codegen — no vocabulary-sized join anywhere. Raw and
-    target counts come from ONE bucket-keyed groupBy (conditional
-    count); the 4096-row ratio table and its 1-row totals broadcast back
-    onto the instance stream, and the final agg is one doc-keyed groupBy.
+    Scale: ONE pass over the corpus's bigram instances (explode + the
+    char-fold hash, the dominant CPU) reduced immediately to per-(doc,
+    bucket) counts and `localCheckpoint`ed — the 10x probe showed the
+    hash fold re-running per consumer branch otherwise (7.4x ratio →
+    ~2x). Everything downstream reads that materialized table: bucket
+    counts via a second shrinking groupBy, the 4096-row ratio table and
+    its 1-row totals broadcast back, one doc-keyed agg. At cluster
+    scale swap the checkpoint for persist(DISK_ONLY) if the
+    per-(doc,bucket) table outgrows executor memory; it is bounded by
+    min(instances, docs x 4096).
     """
     from lakehouse_variance_spark.tables import spread
 
     docs = spread(load_table(spark, sf_dir, "documents"))
     from lakehouse_variance_spark.operators.redaction import _bigrams_col
 
-    inst_b = docs.select(
-        "doc_id", "lang", F.explode(_bigrams_col()).alias("b")
-    ).select("doc_id", "lang", F.expr(_DSIR_BUCKET_SPARK).cast("bigint").alias("bucket"))
-    counts = inst_b.groupBy("bucket").agg(
-        F.count("*").cast("bigint").alias("c_r"),
-        F.count(F.when(F.col("lang") == "en", 1))
+    n_db = (
+        docs.select("doc_id", "lang", F.explode(_bigrams_col()).alias("b"))
+        .select(
+            "doc_id",
+            "lang",
+            F.expr(_DSIR_BUCKET_SPARK).cast("bigint").alias("bucket"),
+        )
+        .groupBy("doc_id", "lang", "bucket")
+        .agg(F.count("*").cast("bigint").alias("n"))
+        .localCheckpoint()
+    )
+    counts = n_db.groupBy("bucket").agg(
+        F.sum("n").cast("bigint").alias("c_r"),
+        F.sum(F.when(F.col("lang") == "en", F.col("n")).otherwise(0))
         .cast("bigint")
         .alias("c_t"),
     )
@@ -488,11 +500,11 @@ def select_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("q"),
     )
     return (
-        inst_b.join(F.broadcast(ratio), "bucket")
+        n_db.join(F.broadcast(ratio), "bucket")
         .groupBy("doc_id")
         .agg(
-            F.count("*").cast("bigint").alias("n_features"),
-            F.sum("q").cast("bigint").alias("q_sum"),
+            F.sum("n").cast("bigint").alias("n_features"),
+            F.sum(F.col("n") * F.col("q")).cast("bigint").alias("q_sum"),
         )
         .select(
             "doc_id",

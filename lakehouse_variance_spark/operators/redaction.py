@@ -343,12 +343,16 @@ def text_bigram_lm_fluency(spark: SparkSession, sf_dir: str) -> DataFrame:
     Documents with fewer than two tokens have no bigrams and are
     excluded (no LM evidence either way).
 
-    Scale: one corpus-sized explode; two vocabulary-sized groupBys
-    (prefix counts, bigram counts) joined at |bigram vocab| granularity;
-    the scored bigram table joins back onto the instance stream keyed on
-    the bigram (AQE broadcasts it when small). Ultra-common bigrams skew
-    the join-back the same way stop-shingles skew dedup — frequency-cap
-    the vocabulary before the join at 100 TB.
+    Scale: one corpus-sized explode per consumer branch (prefix counts,
+    bigram counts, final join-back); the dominant cost at BOTH probe
+    scales is the bigram-keyed shuffle of the join-back, not the explode
+    — a localCheckpoint'ed per-(doc, bigram) pre-aggregation was
+    measured and left out: it halves nothing (10x time 5.6s either way)
+    while doubling the sf0.1 time. The scored bigram table joins back
+    onto the instance stream keyed on the bigram (AQE broadcasts it when
+    small). Ultra-common bigrams skew the join-back the same way
+    stop-shingles skew dedup — frequency-cap the vocabulary before the
+    join at 100 TB.
     """
     docs = spread(load_table(spark, sf_dir, "documents"))
     bg = docs.select(

@@ -165,6 +165,7 @@ PROBE_QUERIES = [
     "curriculum_training_order",
     "token_budget_select_global",
     "tpcds_wl_321",
+    "fanout_count_pushdown",
 ]
 
 
