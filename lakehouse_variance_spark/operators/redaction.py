@@ -386,3 +386,98 @@ def text_bigram_lm_fluency(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("lm_fluency"),
         )
     )
+
+
+# Number of BPE merge rounds the trainer runs. Each round is one
+# vocabulary-sized aggregation + a 1-row argmax collect, so k scales the
+# number of Spark jobs, not the per-round cost.
+BPE_TRAIN_ROUNDS = 6
+
+
+def _bpe_merge_fold(a: str, b: str) -> str:
+    """Greedy left-to-right merge of adjacent (a, b) token pairs inside a
+    token array — the exact subword-nmt substitution semantics (an
+    overlapping run 'a a a' under pair (a,a) merges the FIRST two), as a
+    JVM higher-order fold, no Python in the loop."""
+    qa, qb = a.replace("'", "\\'"), b.replace("'", "\\'")
+    qm = (a + b).replace("'", "\\'")
+    return f"""
+    aggregate(toks, CAST(array() AS array<string>),
+      (acc, t) -> CASE WHEN size(acc) > 0
+                        AND element_at(acc, -1) = '{qa}' AND t = '{qb}'
+                       THEN concat(slice(acc, 1, size(acc) - 1),
+                                   array('{qm}'))
+                       ELSE concat(acc, array(t)) END)
+    """
+
+
+@register("bpe_train_merge_table")
+def bpe_train_merge_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE TRAINING, the real loop (Sennrich et al. 2016): k rounds of
+    (count weighted adjacent token pairs over the distinct-word table →
+    merge the argmax pair everywhere) starting from characters. Returns
+    the merge table — (round, left, right, merged, pair_count) — which
+    IS the trained tokenizer artifact `bpe_first_merge_pairs` computes
+    round 1 of.
+
+    Rows-only registration: the iterative argmax is data-dependent and
+    not expressible as one SQL text (each round's substitution depends
+    on the previous round's winner); exactness is pytest-gated against
+    a pure-Python reference BPE trainer on the same word counts
+    (`tests/test_redaction.py`), and determinism comes from exact int64
+    pair counts with (count DESC, pair ASC) tie-breaks.
+
+    Scale: the corpus collapses ONCE to the distinct-word count table
+    (the standard BPE compression — pair statistics are word-count
+    weighted, so training cost tracks |vocab|, not corpus bytes). Each
+    round explodes the current token arrays to pairs (vocab-sized), one
+    partial-aggregated groupBy, a 1-ROW argmax collect to the driver
+    (bounded, like the scheduler inputs), and a JVM fold rewriting the
+    token arrays (`_bpe_merge_fold` — greedy left-to-right, exact
+    subword-nmt semantics). localCheckpoint per round caps lineage
+    growth, the connected-components-loop discipline.
+    """
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    words = (
+        docs.select(F.explode(F.split("text", " ")).alias("w"))
+        .filter(F.length("w") >= 2)
+        .groupBy("w")
+        .agg(F.count("*").cast("bigint").alias("c"))
+        .select(
+            F.expr(
+                "transform(sequence(1, length(w)), i -> substring(w, i, 1))"
+            ).alias("toks"),
+            "c",
+        )
+        .localCheckpoint()
+    )
+    merges = []
+    for rnd in range(1, BPE_TRAIN_ROUNDS + 1):
+        pairs = (
+            words.filter(F.size("toks") >= 2)
+            .select(
+                F.explode(
+                    F.expr(
+                        "transform(sequence(1, size(toks) - 1), "
+                        "i -> struct(element_at(toks, i) AS l, "
+                        "element_at(toks, i + 1) AS r))"
+                    )
+                ).alias("p"),
+                "c",
+            )
+            .groupBy("p.l", "p.r")
+            .agg(F.sum("c").cast("bigint").alias("cnt"))
+            .orderBy(F.desc("cnt"), "l", "r")
+            .limit(1)
+            .collect()
+        )
+        if not pairs:
+            break
+        l, r, cnt = pairs[0].l, pairs[0].r, pairs[0].cnt
+        merges.append((rnd, l, r, l + r, cnt))
+        words = words.select(
+            F.expr(_bpe_merge_fold(l, r)).alias("toks"), "c"
+        ).localCheckpoint()
+    return spark.createDataFrame(
+        merges, "round INT, left STRING, right STRING, merged STRING, pair_count BIGINT"
+    )

@@ -157,3 +157,55 @@ def test_bigram_lm_fluency_laws(spark):
         assert r.lm_fluency == float(r.q_sum) / float(r.n_bigrams) / float(
             _LM_GRID
         )
+
+
+def test_bpe_train_matches_pure_python_reference(spark):
+    from lakehouse_variance_spark.operators.redaction import (
+        BPE_TRAIN_ROUNDS,
+    )
+
+    got = [
+        (r.round, r.left, r.right, r.merged, r.pair_count)
+        for r in registry.QUERIES["bpe_train_merge_table"](
+            spark, SF_DIR
+        ).collect()
+    ]
+
+    # pure-Python greedy BPE (subword-nmt semantics) on the same counts
+    wc: dict[tuple, int] = {}
+    for row in (
+        spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        .select("text")
+        .collect()
+    ):
+        for w in row.text.split(" "):
+            if len(w) >= 2:
+                key = tuple(w)
+                wc[key] = wc.get(key, 0) + 1
+    want = []
+    for rnd in range(1, BPE_TRAIN_ROUNDS + 1):
+        pairs: dict[tuple, int] = {}
+        for toks, c in wc.items():
+            for i in range(len(toks) - 1):
+                pairs[(toks[i], toks[i + 1])] = (
+                    pairs.get((toks[i], toks[i + 1]), 0) + c
+                )
+        if not pairs:
+            break
+        # argmax with (count DESC, pair ASC) tie-break
+        (a, b), cnt = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))
+        want.append((rnd, a, b, a + b, cnt))
+        new_wc: dict[tuple, int] = {}
+        for toks, c in wc.items():
+            out, i = [], 0
+            while i < len(toks):
+                if i + 1 < len(toks) and toks[i] == a and toks[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(toks[i])
+                    i += 1
+            key = tuple(out)
+            new_wc[key] = new_wc.get(key, 0) + c
+        wc = new_wc
+    assert got == want
