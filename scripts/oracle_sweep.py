@@ -28,8 +28,16 @@ def main() -> int:
     spark = build_session(app_name="oracle-sweep")
     con = duckdb.connect()
     register_views(con, sf_dir)
+    # fanout_count_pushdown's oracle IS the naive 1.0e11-row join text
+    # (that's the point of the operator); DuckDB brute-forces it for
+    # 15+ minutes at sf0.1. The driver gate covers it at sf0.01 (~1e8
+    # rows, seconds); skip only here.
+    skip_at_scale = {"fanout_count_pushdown"}
     fails = []
     for name in sorted(registry.ORACLES):
+        if name in skip_at_scale and sf_dir.rstrip("/").endswith("sf0.1"):
+            print(f"  SKIP {name} (naive oracle impractical at sf0.1)")
+            continue
         t0 = time.time()
         try:
             spdf = registry.QUERIES[name](spark, sf_dir).toPandas()

@@ -100,12 +100,11 @@ def main() -> None:
         except ValueError:
             # duplicate output column names (the generator sometimes
             # repeats a projection) — the name-sorting canonicalizer
-            # can't disambiguate, but both engines emit the SAME text's
+            # can't disambiguate (and DuckDB's .df() renames dups with
+            # _1 suffixes), but both engines emit the SAME text's
             # projection order, so a positional rename is deterministic
             # and consistent; hash under positional names instead.
-            if [c.lower() for c in s.columns] == [
-                c.lower() for c in o.columns
-            ]:
+            if len(s.columns) == len(o.columns):
                 s2, o2 = s.copy(), o.copy()
                 s2.columns = [f"c{i:03d}" for i in range(len(s2.columns))]
                 o2.columns = [f"c{i:03d}" for i in range(len(o2.columns))]
