@@ -395,9 +395,9 @@ _DSIR_BUCKET_SPARK = f"""
         CAST(7 AS BIGINT),
         (acc, c) -> (acc * 31 + c) % {_DSIR_MOD}) % {_DSIR_BUCKETS}
 """
-_DSIR_BIGRAMS_SQL = (
-    "list_transform(generate_series(1, len(string_split(text, ' ')) - 1),"
-    " i -> array_to_string(list_slice(string_split(text, ' '), i, i + 1), ' '))"
+# the one bigram definition every operator shares (redaction.py owns it)
+from lakehouse_variance_spark.operators.redaction import (  # noqa: E402
+    _BIGRAMS_SQL as _DSIR_BIGRAMS_SQL,
 )
 
 
@@ -419,10 +419,13 @@ _DSIR_BIGRAMS_SQL = (
         FROM inst),
     ratio AS (
         SELECT raw.bucket,
-               LEAST(CAST(floor(
-                   (CAST(COALESCE(tgt.c_t, 0) AS DOUBLE) * CAST(tot.n_r AS DOUBLE))
-                   / (CAST(raw.c_r AS DOUBLE) * CAST(tot.n_t AS DOUBLE))
-                   * {_DSIR_GRID}) AS BIGINT), {_DSIR_QCAP}) AS q
+               CASE WHEN tot.n_t > 0 THEN
+                   LEAST(CAST(floor(
+                       (CAST(COALESCE(tgt.c_t, 0) AS DOUBLE)
+                        * CAST(tot.n_r AS DOUBLE))
+                       / (CAST(raw.c_r AS DOUBLE) * CAST(tot.n_t AS DOUBLE))
+                       * {_DSIR_GRID}) AS BIGINT), {_DSIR_QCAP})
+               ELSE 0 END AS q
         FROM raw LEFT JOIN tgt ON tgt.bucket = raw.bucket CROSS JOIN tot)
     SELECT inst.doc_id,
            CAST(count(*) AS BIGINT) AS n_features,
@@ -490,14 +493,27 @@ def select_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     ratio = counts.crossJoin(F.broadcast(tot)).select(
         "bucket",
-        F.least(
-            F.floor(
-                (F.col("c_t").cast("double") * F.col("n_r").cast("double"))
-                / (F.col("c_r").cast("double") * F.col("n_t").cast("double"))
-                * F.lit(float(_DSIR_GRID))
-            ).cast("bigint"),
-            F.lit(_DSIR_QCAP),
-        ).alias("q"),
+        # empty target slice (n_t = 0): no evidence anything is
+        # target-like — score 0, never 0/0 (NaN casts THROW under ANSI)
+        F.when(
+            F.col("n_t") > 0,
+            F.least(
+                F.floor(
+                    (
+                        F.col("c_t").cast("double")
+                        * F.col("n_r").cast("double")
+                    )
+                    / (
+                        F.col("c_r").cast("double")
+                        * F.col("n_t").cast("double")
+                    )
+                    * F.lit(float(_DSIR_GRID))
+                ).cast("bigint"),
+                F.lit(_DSIR_QCAP),
+            ),
+        )
+        .otherwise(F.lit(0))
+        .alias("q"),
     )
     return (
         n_db.join(F.broadcast(ratio), "bucket")
@@ -545,8 +561,8 @@ def select_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
                    AS source_idx
         FROM (SELECT DISTINCT source FROM documents))
     SELECT r.doc_id, r.source, r.tier, r.rank_in_tier,
-           r.tier * 1099511627776 + r.rank_in_tier * 1048576 + s.source_idx
-               AS curriculum_key
+           r.tier * 1152921504606846976 + r.rank_in_tier * 1048576
+               + s.source_idx AS curriculum_key
     FROM ranked r JOIN src s ON s.source = r.source
     """,
 )
@@ -556,10 +572,11 @@ def curriculum_training_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-source quality quartile) while round-robin-interleaving sources
     inside each tier (rank-within-tier before source), so no source
     dominates any stretch of training. ``curriculum_key`` is a strictly
-    ordered, collision-free int64 sort key — tier·2^40 + rank·2^20 +
-    source_idx — valid for 2^20 sources and 2^20 docs per (source, tier);
-    sorting by it IS the training order, and shards cut from key ranges
-    inherit the curriculum.
+    ordered, collision-free int64 sort key — tier·2^60 + rank·2^20 +
+    source_idx — valid for 2^20 sources and 2^40 (~1.1e12) docs per
+    (source, tier), comfortably beyond a 100 TB corpus; sorting by it IS
+    the training order, and shards cut from key ranges inherit the
+    curriculum.
 
     Scale: quality is a narrow map; ntile/row_number windows partition BY
     SOURCE (the token_budget_select pattern — no global window, no global
@@ -604,7 +621,7 @@ def curriculum_training_order(spark: SparkSession, sf_dir: str) -> DataFrame:
         "tier",
         "rank_in_tier",
         (
-            F.col("tier") * F.lit(1099511627776)
+            F.col("tier") * F.lit(1152921504606846976)
             + F.col("rank_in_tier") * F.lit(1048576)
             + F.col("source_idx")
         ).alias("curriculum_key"),

@@ -399,8 +399,11 @@ def _bpe_merge_fold(a: str, b: str) -> str:
     token array — the exact subword-nmt substitution semantics (an
     overlapping run 'a a a' under pair (a,a) merges the FIRST two), as a
     JVM higher-order fold, no Python in the loop."""
-    qa, qb = a.replace("'", "\\'"), b.replace("'", "\\'")
-    qm = (a + b).replace("'", "\\'")
+    def q(s: str) -> str:
+        # backslashes first, then quotes — tokens land in SQL literals
+        return s.replace("\\", "\\\\").replace("'", "\\'")
+
+    qa, qb, qm = q(a), q(b), q(a + b)
     return f"""
     aggregate(toks, CAST(array() AS array<string>),
       (acc, t) -> CASE WHEN size(acc) > 0

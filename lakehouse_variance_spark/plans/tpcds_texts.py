@@ -4975,11 +4975,12 @@ LIMIT 100
 """
 
 
-# (session id, sf_dir) -> the 1999-week date_sk list, so repeated q72
-# invocations in one session (battery attempts, bench loops) pay the
+# (application id, sf_dir) -> the 1999-week date_sk list, so repeated
+# q72 invocations in one session (battery attempts, bench loops) pay the
 # date_dim subquery once. ~371 values — a bounded driver list, the
-# scheduler-inputs precedent.
-_Q72_WEEK_SKS: dict[tuple[int, str], list[int]] = {}
+# scheduler-inputs precedent. Keyed on the Spark applicationId (unique
+# per session lifetime), not id(spark), which CPython can recycle.
+_Q72_WEEK_SKS: dict[tuple[str, str], list[int]] = {}
 
 
 def _q72_transitive_date_prune(spark: SparkSession, sf_dir: str) -> None:
@@ -4998,7 +4999,7 @@ def _q72_transitive_date_prune(spark: SparkSession, sf_dir: str) -> None:
     scoped to this build."""
     from pyspark.sql import functions as F
 
-    key = (id(spark), sf_dir)
+    key = (spark.sparkContext.applicationId, sf_dir)
     sks = _Q72_WEEK_SKS.get(key)
     if sks is None:
         sks = [

@@ -120,7 +120,14 @@ def main() -> None:
         except Exception as ex:
             print(f"  skip {q['query_id']}: spark {str(ex)[:90]}")
             continue
-        match = canon_hash(s) == canon_hash(o) and len(s) == len(o)
+        try:
+            match = canon_hash(s) == canon_hash(o) and len(s) == len(o)
+        except ValueError:
+            # duplicate projection names — sweepable (positional hash in
+            # workload_oracle_sweep.py) but not embeddable as a driver
+            # oracle, whose canonicalizer sorts by column name
+            print(f"  skip {q['query_id']}: duplicate projection names")
+            continue
         if not match:
             print(f"  !! MISMATCH {q['query_id']}: {len(s)} vs {len(o)} rows")
             continue

@@ -149,8 +149,8 @@ def test_curriculum_order_laws(spark):
     assert len(set(keys)) == len(keys)  # collision-free sort key
     # the key decomposes back into its (tier, rank, source_idx) digits
     for r in rows:
-        assert r.tier == r.curriculum_key // (1 << 40)
-        assert r.rank_in_tier == (r.curriculum_key >> 20) & ((1 << 20) - 1)
+        assert r.tier == r.curriculum_key // (1 << 60)
+        assert r.rank_in_tier == (r.curriculum_key >> 20) & ((1 << 40) - 1)
     # sorting by key yields tiers in order, and within a tier the source
     # stream round-robins: consecutive same-source runs never exceed the
     # gap left by exhausted sources (weak law: rank_in_tier nondecreasing)
