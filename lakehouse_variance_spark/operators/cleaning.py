@@ -689,3 +689,89 @@ def vocab_cms_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         rows, "w string, n_exact bigint, n_est bigint, n_total bigint"
     )
     return out.orderBy(F.desc("n_est"), "w").limit(20)
+
+
+# Reciprocal-rank-fusion constant (Cormack et al. 2009) and the exact
+# integer grid the 1/(k+rank) terms are quantized to: floor(2^20/(60+r))
+# is pure int64 arithmetic — bit-equal across engines, no float sums.
+_RRF_K = 60
+_RRF_GRID = 1 << 20
+
+
+def _hybrid_rrf_oracle() -> str:
+    # importing the module RUNS its @register decorators, guaranteeing
+    # the cosine oracle exists regardless of load_all()'s import order
+    from lakehouse_variance_spark.operators import similarity  # noqa: F401
+    from lakehouse_variance_spark.registry import ORACLES
+
+    lex = ORACLES["text_bm25_topk"].strip().rstrip(";")
+    sem = ORACLES["embed_cosine_topk"].strip().rstrip(";")
+    return f"""
+    WITH lex_hits AS (
+        SELECT doc_id,
+               CAST(row_number() OVER (ORDER BY bm25 DESC, doc_id)
+                    AS BIGINT) AS rank_lex
+        FROM ({lex})),
+    sem_hits AS (
+        SELECT neighbor_id AS doc_id,
+               CAST(row_number() OVER (ORDER BY cosine DESC, neighbor_id)
+                    AS BIGINT) AS rank_sem
+        FROM ({sem}) WHERE query_id = 0)
+    SELECT COALESCE(l.doc_id, s.doc_id) AS doc_id,
+           l.rank_lex, s.rank_sem,
+           COALESCE({_RRF_GRID} // ({_RRF_K} + l.rank_lex), 0)
+           + COALESCE({_RRF_GRID} // ({_RRF_K} + s.rank_sem), 0) AS rrf_q
+    FROM lex_hits l FULL OUTER JOIN sem_hits s ON s.doc_id = l.doc_id
+    """
+
+
+@register("search_hybrid_rrf", oracle=_hybrid_rrf_oracle())
+def search_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval fusion: reciprocal-rank fusion (RRF, Cormack et
+    al. 2009 — the standard hybrid-search combiner) of the lexical BM25
+    ranking (`text_bm25_topk`) and the semantic cosine ranking
+    (`embed_cosine_topk`, query vector 0), the two-channel retrieval
+    stage of a RAG/search pipeline over curated training text. The
+    oracle REUSES both registered oracle texts verbatim as CTEs, so this
+    query's hash match also re-certifies the compositions.
+
+    Determinism: both input rankings already order by (rounded score
+    DESC, id) — engine-stable — and each RRF term is quantized exact
+    integer arithmetic, ``floor(2^20 / (60 + rank))``, summed as int64:
+    no float accumulation anywhere in the fusion.
+
+    Scale: the two channels are the already-analyzed plans (BM25's
+    term-filtered aggregation, cosine's broadcast-query single pass);
+    fusion itself joins two ≤top-k tables — trivially broadcast.
+    """
+    from lakehouse_variance_spark.operators.similarity import (
+        embed_cosine_topk,
+    )
+    from pyspark.sql import Window
+
+    lex = text_bm25_topk(spark, sf_dir).select(
+        "doc_id",
+        F.row_number()
+        .over(Window.orderBy(F.desc("bm25"), F.col("doc_id")))
+        .cast("bigint")
+        .alias("rank_lex"),
+    )
+    sem = (
+        embed_cosine_topk(spark, sf_dir)
+        .filter(F.col("query_id") == 0)
+        .select(
+            F.col("neighbor_id").alias("doc_id"),
+            F.row_number()
+            .over(Window.orderBy(F.desc("cosine"), F.col("neighbor_id")))
+            .cast("bigint")
+            .alias("rank_sem"),
+        )
+    )
+    rrf = F.coalesce(
+        F.expr(f"{_RRF_GRID} div ({_RRF_K} + rank_lex)"), F.lit(0)
+    ) + F.coalesce(
+        F.expr(f"{_RRF_GRID} div ({_RRF_K} + rank_sem)"), F.lit(0)
+    )
+    return lex.join(sem, "doc_id", "full_outer").select(
+        "doc_id", "rank_lex", "rank_sem", rrf.alias("rrf_q")
+    )
