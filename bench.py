@@ -134,10 +134,19 @@ def main() -> None:
     except ValueError:
         sf = None  # non-sf<N> directory: still bench, just no sf tag
     registry.load_all()
+    # Isolation hook: SPARK_GRAFT_ONLY=a,b,c benches just those queries in
+    # an otherwise-idle session — the tool for separating real regressions
+    # from same-session co-load noise (r5→r6 ANN deltas with zero code
+    # change). The driver never sets it, so BENCH_r{N}.json stays the full
+    # suite.
+    only = os.environ.get("SPARK_GRAFT_ONLY")
+    headline = (
+        tuple(only.split(",")) if only else HEADLINE_QUERIES
+    )
     # Fail FAST on a renamed/typo'd headline entry — silently skipping one
     # would shrink the reported total and read as a phantom speedup when
     # BENCH_r{N}.json files are compared across rounds.
-    missing = [n for n in HEADLINE_QUERIES if n not in registry.QUERIES]
+    missing = [n for n in headline if n not in registry.QUERIES]
     if missing:
         raise KeyError(f"headline queries not in registry: {missing}")
     spark = build_session(app_name="lvs-bench")
@@ -151,11 +160,11 @@ def main() -> None:
     # widest plans) — one-time session costs, not per-query throughput. The
     # timed pass below measures steady state, which is what scales to a
     # long-running cluster.
-    for name in HEADLINE_QUERIES:
+    for name in headline:
         registry.QUERIES[name](spark, sf_dir).count()
 
     timings: dict[str, float] = {}
-    for name in HEADLINE_QUERIES:
+    for name in headline:
         fn = registry.QUERIES[name]
         start = time.perf_counter()
         df = fn(spark, sf_dir)

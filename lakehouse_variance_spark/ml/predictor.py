@@ -126,6 +126,71 @@ def featurize_text_mean_embedding(
     return out
 
 
+def tokenize_with_committed_tokenizer(
+    df: DataFrame, text_col: str, tokenizer_dir: str
+) -> DataFrame:
+    """Adds ``token_ids array<bigint>`` produced by the reference's
+    COMMITTED HF tokenizer files (``sql_encoder.py:21-41`` loads the same
+    directory via AutoTokenizer) — bit-equal input-id sequences, no
+    transformers/torch dependency (pure-Python byte-level BPE over
+    vocab.json + merges.txt, see ``ml/bpe_tokenizer.py``).
+
+    Arrow-batched pandas UDF: the ~5 MB tokenizer table loads once per
+    executor process (lru_cache), each batch is one Python call — the
+    same cost model as the reference's HF encoder, distributed.
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    def _encode(texts):
+        from lakehouse_variance_spark.ml.bpe_tokenizer import load_tokenizer
+
+        tok = load_tokenizer(tokenizer_dir)
+        return texts.map(lambda t: tok.encode(t) if t is not None else [])
+
+    # explicit returnType (no type hints): predictor.py uses postponed
+    # annotations, which pandas_udf's hint resolver can't evaluate here
+    encode_udf = pandas_udf(_encode, "array<long>")
+    return df.withColumn("token_ids", encode_udf(F.col(text_col)))
+
+
+def featurize_text_qwen_mean_embedding(
+    df: DataFrame,
+    text_col: str,
+    tokenizer_dir: str,
+    *,
+    dim: int = 64,
+    seed: int = SEED,
+) -> DataFrame:
+    """``featurize_text_mean_embedding`` with the reference's EXACT
+    tokenization: token ids come from the committed Qwen2 tokenizer files,
+    then id → seeded-hash embedding row → mean over tokens (the identical
+    lookup-and-mean of ``sql_encoder.py:33-41``; only the learned
+    ``embed_tokens.pt`` weight table — a torch artifact this stack cannot
+    load — is replaced by the hash-derived table).  Featurization-input
+    parity is therefore exact; the projection is the documented JL
+    stand-in."""
+    from pyspark.ml.functions import array_to_vector
+
+    out = tokenize_with_committed_tokenizer(df, text_col, tokenizer_dir)
+    two63 = float(2**63)
+    emb = F.transform(
+        F.sequence(F.lit(0), F.lit(dim - 1)),
+        lambda j: F.aggregate(
+            F.col("token_ids"),
+            F.lit(0.0),
+            lambda acc, t: acc + F.xxhash64(t, j, F.lit(seed)) / two63,
+        )
+        / F.greatest(F.size(F.col("token_ids")), F.lit(1)),
+    )
+    out = out.withColumn("features", array_to_vector(emb)).drop("token_ids")
+    if dim > PCA_THRESHOLD:
+        pca = PCA(k=4, inputCol="features", outputCol="_pca").fit(out)
+        out = pca.transform(out).drop("features").withColumnRenamed(
+            "_pca", "features"
+        )
+    return out
+
+
 def train_runtime_model(
     train: DataFrame,
     *,

@@ -660,12 +660,15 @@ def vocab_cms_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     box: dict[str, object] = {}
 
     def _cms_job() -> None:
-        box["agg"] = toks.agg(
-            F.count_min_sketch(
-                "w", F.lit(0.001), F.lit(0.99), F.lit(42)
-            ).alias("cms"),
-            F.count("*").cast("bigint").alias("n_total"),
-        ).collect()[0]
+        try:
+            box["agg"] = toks.agg(
+                F.count_min_sketch(
+                    "w", F.lit(0.001), F.lit(0.99), F.lit(42)
+                ).alias("cms"),
+                F.count("*").cast("bigint").alias("n_total"),
+            ).collect()[0]
+        except BaseException as exc:  # noqa: BLE001 — re-raised on join
+            box["err"] = exc
 
     th = InheritableThread(target=_cms_job)
     th.start()
@@ -677,6 +680,10 @@ def vocab_cms_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .collect()
     )
     th.join()
+    if "err" in box:
+        # Surface the background job's real failure instead of the
+        # KeyError a dead thread would otherwise leave behind.
+        raise box["err"]  # type: ignore[misc]
     agg = box["agg"]
     sketch = spark.sparkContext._jvm.org.apache.spark.util.sketch.CountMinSketch.readFrom(
         bytes(agg["cms"])

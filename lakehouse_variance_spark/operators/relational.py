@@ -1088,7 +1088,32 @@ def agg_hll_sketch_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     return per_flag.drop("sketch").unionByName(union)
 
 
-@register("hll_intersect_estimate")
+_HLL_EPS = 0.05  # 3x HLL lgK=12's 1.04/sqrt(4096) ≈ 1.6% relative std err
+
+
+@register(
+    "hll_intersect_estimate",
+    oracle="""
+    SELECT CAST(count(DISTINCT CASE WHEN l_returnflag = 'A'
+                                    THEN l_partkey END) AS BIGINT) AS n_a,
+           CAST(count(DISTINCT CASE WHEN l_returnflag = 'N'
+                                    THEN l_partkey END) AS BIGINT) AS n_n,
+           CAST(count(DISTINCT CASE WHEN l_returnflag IN ('A', 'N')
+                                    THEN l_partkey END) AS BIGINT) AS n_union,
+           CAST(count(DISTINCT CASE WHEN l_returnflag = 'A'
+                                    THEN l_partkey END) AS BIGINT)
+           + CAST(count(DISTINCT CASE WHEN l_returnflag = 'N'
+                                      THEN l_partkey END) AS BIGINT)
+           - CAST(count(DISTINCT CASE WHEN l_returnflag IN ('A', 'N')
+                                      THEN l_partkey END) AS BIGINT)
+               AS n_intersect,
+           TRUE AS a_in_envelope,
+           TRUE AS n_in_envelope,
+           TRUE AS union_in_envelope,
+           TRUE AS intersect_in_envelope
+    FROM lineitem
+    """,
+)
 def hll_intersect_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Set-overlap estimation from mergeable sketches: |A∩B| via
     inclusion-exclusion (|A| + |B| − |A∪B|) over DataSketches HLL states —
@@ -1099,31 +1124,59 @@ def hll_intersect_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     At 100 TB the sketches are precomputed per partition/day and merged;
     this query builds them in one conditional-aggregation scan (each side
     sketches only its channel's keys via a CASE input — no second scan,
-    no semi join). Registered rows-only (estimates are engine-specific);
-    the error envelope vs the exact intersection is asserted in
-    tests/test_registry_oracle.py.
-    """
+    no semi join).
+
+    Oracle-checked via a BRACKETING ENVELOPE (raw HLL estimates are
+    engine-specific and unhashable): the output carries the EXACT distinct
+    counts (deterministic BIGINTs the DuckDB oracle reproduces) plus
+    booleans asserting each HLL estimate sits within ``eps = 5%`` of its
+    exact value — 3x the lgK=12 relative standard error, so a correct
+    sketch passes w.h.p.  The inclusion-exclusion intersection inherits
+    all three per-sketch errors, so its envelope is the SUM of the three
+    absolute bounds.  The exact counts here are the verification harness
+    (one conditional count-distinct scan); production use at scale is the
+    sketch path alone."""
     li = load_table(spark, sf_dir, "lineitem")
     a_key = F.when(F.col("l_returnflag") == "A", F.col("l_partkey"))
     n_key = F.when(F.col("l_returnflag") == "N", F.col("l_partkey"))
-    sk = li.agg(
+    u_key = F.when(
+        F.col("l_returnflag").isin("A", "N"), F.col("l_partkey")
+    )
+    agg = li.agg(
         F.hll_sketch_agg(a_key, F.lit(12)).alias("sk_a"),
         F.hll_sketch_agg(n_key, F.lit(12)).alias("sk_n"),
+        F.countDistinct(a_key).cast("bigint").alias("n_a"),
+        F.countDistinct(n_key).cast("bigint").alias("n_n"),
+        F.countDistinct(u_key).cast("bigint").alias("n_union"),
     )
-    est = sk.select(
-        F.hll_sketch_estimate("sk_a").alias("approx_a"),
-        F.hll_sketch_estimate("sk_n").alias("approx_n"),
-        F.hll_sketch_estimate(
-            F.hll_union("sk_a", "sk_n", False)
-        ).alias("approx_union"),
+    est = agg.select(
+        "n_a",
+        "n_n",
+        "n_union",
+        F.hll_sketch_estimate("sk_a").alias("_ea"),
+        F.hll_sketch_estimate("sk_n").alias("_en"),
+        F.hll_sketch_estimate(F.hll_union("sk_a", "sk_n", False)).alias("_eu"),
     )
+
+    def _ok(est_col: str, exact: Column, bound: Column, tag: str) -> Column:
+        return (F.abs(F.col(est_col) - exact) <= bound).alias(tag)
+
+    eps = F.lit(_HLL_EPS)
+    n_int = (F.col("n_a") + F.col("n_n") - F.col("n_union")).alias("n_intersect")
+    int_est = F.col("_ea") + F.col("_en") - F.col("_eu")
+    int_bound = eps * (F.col("n_a") + F.col("n_n") + F.col("n_union"))
     return est.select(
-        "approx_a",
-        "approx_n",
-        "approx_union",
+        "n_a",
+        "n_n",
+        "n_union",
+        n_int,
+        _ok("_ea", F.col("n_a"), eps * F.col("n_a"), "a_in_envelope"),
+        _ok("_en", F.col("n_n"), eps * F.col("n_n"), "n_in_envelope"),
+        _ok("_eu", F.col("n_union"), eps * F.col("n_union"), "union_in_envelope"),
         (
-            F.col("approx_a") + F.col("approx_n") - F.col("approx_union")
-        ).alias("approx_intersect"),
+            F.abs(int_est - (F.col("n_a") + F.col("n_n") - F.col("n_union")))
+            <= int_bound
+        ).alias("intersect_in_envelope"),
     )
 
 
@@ -1446,19 +1499,85 @@ def time_rollup_multigrain(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hour_out.unionByName(regrain("day")).unionByName(regrain("month"))
 
 
-@register("agg_approx_percentiles")
+_PCTL_EPS = 0.001  # 10x percentile_approx(accuracy=10000)'s 1e-4 rank bound
+
+
+@register(
+    "agg_approx_percentiles",
+    oracle=f"""
+    WITH g AS (
+        SELECT event_type,
+               list(value ORDER BY value) AS vs,
+               CAST(count(value) AS BIGINT) AS n
+        FROM events GROUP BY event_type
+    )
+    SELECT event_type, n,
+           vs[greatest(1, CAST(floor((0.50 - {_PCTL_EPS}) * n) AS BIGINT))]
+               AS p50_lo,
+           vs[least(n, CAST(ceil((0.50 + {_PCTL_EPS}) * n) AS BIGINT) + 1)]
+               AS p50_hi,
+           TRUE AS p50_in_envelope,
+           vs[greatest(1, CAST(floor((0.99 - {_PCTL_EPS}) * n) AS BIGINT))]
+               AS p99_lo,
+           vs[least(n, CAST(ceil((0.99 + {_PCTL_EPS}) * n) AS BIGINT) + 1)]
+               AS p99_hi,
+           TRUE AS p99_in_envelope
+    FROM g
+    """,
+)
 def agg_approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sketch-based percentiles (Greenwald-Khanna) — the 100 TB form of
     agg_percentiles: exact interpolated percentiles need a full sort per
     group, the sketch is fixed-size mergeable state (map-side partial, tiny
-    final merge). Registered rows-only (the estimate is engine-specific);
-    the accuracy envelope vs the exact quantile is asserted in
-    tests/test_registry_oracle.py."""
+    final merge).
+
+    Oracle-checked via a BRACKETING ENVELOPE (the raw estimate is
+    engine-specific and unhashable): the output carries the EXACT order
+    statistics at ranks ``floor((q-eps)*n)`` / ``ceil((q+eps)*n)+1`` —
+    deterministic raw parquet doubles — plus a boolean asserting the
+    sketch estimate falls between them.  GK with accuracy=10000 guarantees
+    rank error <= n/10000; eps = 1e-3 gives 10x slack (+1 rank for
+    rank-definition off-by-one), so the boolean is TRUE whenever the
+    sketch honors its published bound, and the DuckDB oracle emits the
+    same exact bounds with TRUE literals — a hash match certifies both
+    the bounds and the guarantee.  The per-group ``collect_list`` here is
+    the verification harness, not the operator: it exists to compute the
+    exact bracket and is sized by the gate's fixture groups; production
+    use is the sketch columns alone (fixed-size mergeable state)."""
     ev = load_table(spark, sf_dir, "events")
-    return ev.groupBy("event_type").agg(
-        F.percentile_approx("value", F.lit(0.50), F.lit(10000)).alias("p50_approx"),
-        F.percentile_approx("value", F.lit(0.99), F.lit(10000)).alias("p99_approx"),
-        F.count("*").alias("n"),
+    g = ev.groupBy("event_type").agg(
+        F.sort_array(F.collect_list("value")).alias("vs"),
+        F.count("value").cast("bigint").alias("n"),
+        F.percentile_approx("value", F.lit(0.50), F.lit(10000)).alias("_p50"),
+        F.percentile_approx("value", F.lit(0.99), F.lit(10000)).alias("_p99"),
+    )
+
+    def _k_lo(q: float) -> Column:
+        return F.greatest(
+            F.lit(1).cast("bigint"),
+            F.floor(F.lit(q - _PCTL_EPS) * F.col("n")).cast("bigint"),
+        )
+
+    def _k_hi(q: float) -> Column:
+        return F.least(
+            F.col("n"),
+            F.ceil(F.lit(q + _PCTL_EPS) * F.col("n")).cast("bigint") + 1,
+        )
+
+    def _bracket(q: float, tag: str, est: str) -> list[Column]:
+        lo = F.element_at("vs", _k_lo(q).cast("int")).alias(f"{tag}_lo")
+        hi = F.element_at("vs", _k_hi(q).cast("int")).alias(f"{tag}_hi")
+        ok = (
+            (F.element_at("vs", _k_lo(q).cast("int")) <= F.col(est))
+            & (F.col(est) <= F.element_at("vs", _k_hi(q).cast("int")))
+        ).alias(f"{tag}_in_envelope")
+        return [lo, hi, ok]
+
+    return g.select(
+        "event_type",
+        "n",
+        *_bracket(0.50, "p50", "_p50"),
+        *_bracket(0.99, "p99", "_p99"),
     )
 
 

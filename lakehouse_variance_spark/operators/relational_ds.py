@@ -14,8 +14,12 @@ remaining distinctive plan shapes on the driver's TPC-H-ish tables:
 Determinism: all money/quantity aggregates accumulate exact integer cents
 (BIGINT), and every derived double is a fixed chain of single IEEE ops on
 exact-int64→double conversions — identical in Spark and DuckDB regardless
-of partitioning (see .claude/skills/verify/SKILL.md for why round(avg())
-is not engine-stable and bigint*bigint is not overflow-safe under ANSI).
+of partitioning.  Two gotchas drive this design: round(avg()) is not
+engine-stable (Spark HALF_UPs the shortest decimal rendering of the
+double, DuckDB rounds the binary value — round(0.285, 2) differs), and
+bigint*bigint is not overflow-safe under Spark's ANSI mode (throws
+where DuckDB silently widens to HUGEINT), so products are kept inside
+exact-int ranges or cast to double before multiplying.
 """
 
 from __future__ import annotations

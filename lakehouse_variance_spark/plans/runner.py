@@ -25,6 +25,7 @@ from __future__ import annotations
 
 import itertools
 import json
+import os
 import time
 from datetime import datetime, timezone
 from pathlib import Path
@@ -72,7 +73,8 @@ def run_query(
     start_stamp = _utc_now()
     t0 = time.perf_counter()
     sc = spark.sparkContext
-    watchdog: threading.Timer | None = None
+    done = threading.Event()
+    expired = threading.Event()
     group: str | None = None
     try:
         df = spark.sql(sql)
@@ -83,12 +85,32 @@ def run_query(
         if timeout_s is not None:
             group = f"lvs-timeout-{name}-{start_stamp}"
             sc.setJobGroup(group, name, interruptOnCancel=True)
-            watchdog = threading.Timer(
-                timeout_s, lambda: sc.cancelJobGroup(group)
-            )
-            watchdog.daemon = True
-            watchdog.start()
+
+            # cancelJobGroup only hits jobs active at call time; an AQE
+            # query is a SEQUENCE of jobs, so a single fire can land in a
+            # gap between job submissions (or during planning) and miss.
+            # Re-cancel in a loop until the query thread reports done —
+            # that makes timeout_s a hard budget, not a one-shot signal.
+            def _watch(grp: str = group) -> None:
+                if done.wait(timeout_s):
+                    return
+                expired.set()
+                while not done.is_set():
+                    try:
+                        sc.cancelJobGroup(grp)
+                    except Exception:  # noqa: BLE001 — sc may be stopping
+                        return
+                    done.wait(1.0)
+
+            threading.Thread(target=_watch, daemon=True).start()
         df.write.format("noop").mode("overwrite").save()
+        if expired.is_set():
+            # The cancel loop fired but the final job slipped through
+            # (e.g. budget expired exactly between jobs): the budget is
+            # still blown, so honor the reference's kill semantics.
+            raise TimeoutError(
+                f"query exceeded timeout_s={timeout_s} (cancel missed)"
+            )
         t1 = time.perf_counter()
         return {
             "query_id": name,
@@ -113,10 +135,42 @@ def run_query(
             "error": str(exc).split("\n", 1)[0][:500],
         }
     finally:
-        if watchdog is not None:
-            watchdog.cancel()
+        done.set()
         if group is not None:
             sc.setJobGroup("", "")
+
+
+def join_url(prefix: str, *parts: str) -> str:
+    """Object-store URL join (reference ``run_workload.py:14-18``):
+    right-strip the prefix, strip each part, single-``/`` join."""
+    prefix = prefix.rstrip("/")
+    tail = "/".join(p.strip("/\\") for p in parts if p)
+    return f"{prefix}/{tail}" if tail else prefix
+
+
+def upload_file(spark: SparkSession, local_path: str | Path, remote_url: str) -> None:
+    """Copy a local file to an object-store / filesystem URI — the
+    Spark-native equivalent of the reference's fsspec upload
+    (``run_workload.py:19-24``): Hadoop's ``FileSystem.get(uri)`` resolves
+    the scheme (``file://``, ``hdfs://``, and — with the standard cloud
+    connectors on the cluster classpath — ``s3a://``, ``abfss://``,
+    ``gs://``) and streams the copy; an unknown scheme raises rather than
+    silently writing nowhere."""
+    sc = spark.sparkContext
+    jvm = sc._jvm
+    hconf = sc._jsc.hadoopConfiguration()
+    dst = jvm.org.apache.hadoop.fs.Path(remote_url)
+    fs = dst.getFileSystem(hconf)
+    parent = dst.getParent()
+    if parent is not None:
+        fs.mkdirs(parent)
+    src = jvm.org.apache.hadoop.fs.Path(str(local_path))
+    # delSrc=False, overwrite=True — reruns replace the attempt's log
+    fs.copyFromLocalFile(False, True, src, dst)
+
+
+def _is_remote_url(target: str | Path) -> bool:
+    return isinstance(target, str) and "://" in target
 
 
 def run_workload(
@@ -128,18 +182,35 @@ def run_workload(
 ) -> list[dict[str, Any]]:
     """Run a query list sequentially and optionally write the NDJSON run log
     (reference ``run_workload.py:66-80``). The log file name matches the
-    ``Workload_log_BASE_<attempt>.ndjson`` pattern the trace loader globs."""
+    ``Workload_log_BASE_<attempt>.ndjson`` pattern the trace loader globs.
+
+    ``log_dir`` accepts a local path OR any Hadoop-FS URI prefix (the
+    reference's ``--results_path s3://... | abfss://... | gs://...``
+    contract): URI targets are staged to a local temp file and uploaded
+    via ``upload_file`` exactly like the reference's fsspec path."""
     records = [
         run_query(spark, name, sql, timeout_s=timeout_s)
         for name, sql in queries
     ]
     if log_dir is not None:
-        log_dir = Path(log_dir)
-        log_dir.mkdir(parents=True, exist_ok=True)
-        path = log_dir / f"Workload_log_BASE_{attempt}.ndjson"
-        with path.open("w", encoding="utf-8") as f:
-            for rec in records:
-                f.write(json.dumps(rec) + "\n")
+        fname = f"Workload_log_BASE_{attempt}.ndjson"
+        payload = "".join(json.dumps(rec) + "\n" for rec in records)
+        if _is_remote_url(log_dir):
+            import tempfile
+
+            with tempfile.NamedTemporaryFile(
+                "w", suffix=".ndjson", delete=False, encoding="utf-8"
+            ) as tmp:
+                tmp.write(payload)
+                staged = tmp.name
+            try:
+                upload_file(spark, staged, join_url(str(log_dir), fname))
+            finally:
+                os.unlink(staged)
+        else:
+            log_dir = Path(log_dir)
+            log_dir.mkdir(parents=True, exist_ok=True)
+            (log_dir / fname).write_text(payload, encoding="utf-8")
     return records
 
 

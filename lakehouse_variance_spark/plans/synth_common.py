@@ -145,8 +145,30 @@ def materialize_and_register(
         import shutil
 
         if os.path.isdir(out) and not os.path.exists(done):
-            # stale half-built tree from a pre-rename-scheme run
-            shutil.rmtree(out, ignore_errors=True)
+            # Stale half-built tree from a pre-rename-scheme run.  Move it
+            # aside atomically rather than rmtree-ing: a concurrent builder
+            # could rename a COMPLETE cache into `out` between our staleness
+            # check and a delete, and rmtree would then destroy a cache that
+            # other sessions already registered DataFrames against.  A
+            # rename either moves the genuinely-stale tree or (if the racer
+            # won) moves the racer's tree — in which case `done` now exists
+            # under the new name check below and we restore nothing, but our
+            # own freshly built `tmp` renames into place with identical
+            # contents (same defs fingerprint), so readers stay consistent.
+            stale = f"{out}.stale-{os.getpid()}"
+            try:
+                os.rename(out, stale)
+                if os.path.exists(os.path.join(stale, "_DONE")):
+                    # We displaced a COMPLETE cache a racer just published;
+                    # put it back and discard our private build instead.
+                    try:
+                        os.rename(stale, out)
+                    except OSError:
+                        pass  # yet another racer published; theirs is equal
+                else:
+                    shutil.rmtree(stale, ignore_errors=True)
+            except OSError:
+                pass  # `out` vanished or is being replaced; rename below decides
         try:
             os.rename(tmp, out)
         except OSError:

@@ -21,7 +21,10 @@ Cross-engine equality of the generated data is therefore itself part of
 the correctness gate: every tpcds_q* hash-match exercises both the
 query AND the generator on both engines.
 
-Determinism rules (see .claude/skills/verify/SKILL.md gotchas):
+Determinism rules (the recurring cross-engine divergence classes:
+round() over DOUBLE, HUGEINT widening of DuckDB sums, ANSI overflow /
+DIVIDE_BY_ZERO where DuckDB widens or yields inf — each pinned here by
+construction):
 * every column is BIGINT, DATE, or VARCHAR — money is integer-valued
   BIGINT (think whole dollars), so sums/avgs are exact integer
   accumulations on both engines and order-free;

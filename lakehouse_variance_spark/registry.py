@@ -62,8 +62,10 @@ def load_all() -> None:
     from lakehouse_variance_spark.ml import predictor  # noqa: F401
     from lakehouse_variance_spark.plans import (  # noqa: F401
         features,
+        job_local_texts,
         job_workload_texts,
         runner,
+        ssb_local_texts,
         ssb_texts,
         ssb_workload_texts,
         tpcds_texts,

@@ -52,6 +52,23 @@ SUITES = {
         "module": "lakehouse_variance_spark/plans/tpcds_workload_texts.py",
         "prefix": "tpcds_wl_",
     },
+    # The reference's "Local" generation configs (same schemas, different
+    # query-generator settings) — embedded under distinct prefixes so both
+    # published configs are represented in the registry, not only swept.
+    "ssb_local": {
+        "ndjson": "/root/reference/models/Queries/Local_SSB/"
+                  "ssb_Local_test.ndjson",
+        "tables": ["lineorder", "customer", "supplier", "part", "dim_date"],
+        "module": "lakehouse_variance_spark/plans/ssb_local_texts.py",
+        "prefix": "ssb_lwl_",
+    },
+    "imdb_local": {
+        "ndjson": "/root/reference/models/Queries/Local_IMDB/"
+                  "imdb_Local_test.ndjson",
+        "tables": None,  # filled from job_schema
+        "module": "lakehouse_variance_spark/plans/job_local_texts.py",
+        "prefix": "imdb_lwl_",
+    },
 }
 
 
@@ -76,13 +93,14 @@ def main() -> None:
     args = ap.parse_args()
     cfg = SUITES[args.suite]
 
-    if args.suite == "ssb":
+    base = args.suite.removesuffix("_local")
+    if base == "ssb":
         from lakehouse_variance_spark.plans.ssb_schema import (
             oracle_sql_for_ssb as oracle_for,
             register_ssb_views as register_schema,
         )
         tables = cfg["tables"]
-    elif args.suite == "tpcds":
+    elif base == "tpcds":
         from lakehouse_variance_spark.plans.tpcds_schema import (
             TPCDS_DEFS,
             oracle_sql_for as oracle_for,
@@ -165,11 +183,11 @@ def main() -> None:
     picked.sort(key=lambda g: int(g["qid"].lstrip("q")))
 
     reg_mod = {"ssb": "ssb_schema", "imdb": "job_schema",
-               "tpcds": "tpcds_schema"}[args.suite]
+               "tpcds": "tpcds_schema"}[base]
     reg_fn = {"ssb": "register_ssb_views", "imdb": "register_job_views",
-              "tpcds": "register_tpcds_views"}[args.suite]
+              "tpcds": "register_tpcds_views"}[base]
     orc_fn = {"ssb": "oracle_sql_for_ssb", "imdb": "oracle_sql_for_job",
-              "tpcds": "oracle_sql_for"}[args.suite]
+              "tpcds": "oracle_sql_for"}[base]
     name_of = lambda g: cfg["prefix"] + g["qid"].lstrip("q")  # noqa: E731
 
     lines = [

@@ -169,15 +169,15 @@ PROBE_QUERIES = [
 ]
 
 
-def build_dataset(spark) -> None:
-    os.makedirs(DST, exist_ok=True)
+def build_dataset(spark, dst: str = DST, n_replicas: int = REPLICAS) -> None:
+    os.makedirs(dst, exist_ok=True)
     for name in COPY_AS_IS:
         df = spark.read.parquet(f"{SRC}/{name}.parquet")
-        df.coalesce(1).write.mode("overwrite").parquet(f"{DST}/{name}.parquet")
+        df.coalesce(1).write.mode("overwrite").parquet(f"{dst}/{name}.parquet")
     for name, keys in KEY_SHIFTS.items():
         df = spark.read.parquet(f"{SRC}/{name}.parquet")
         replicas = []
-        for i in range(REPLICAS):
+        for i in range(n_replicas):
             r = df
             for k in keys:
                 r = r.withColumn(k, F.col(k) + F.lit(i * SHIFT))
@@ -185,11 +185,11 @@ def build_dataset(spark) -> None:
         out = replicas[0]
         for r in replicas[1:]:
             out = out.unionByName(r)
-        out.write.mode("overwrite").parquet(f"{DST}/{name}.parquet")
+        out.write.mode("overwrite").parquet(f"{dst}/{name}.parquet")
     for name in CORPUS_REPLICATE:
         df = spark.read.parquet(f"{SRC}/{name}.parquet")
         replicas = []
-        for i in range(REPLICAS):
+        for i in range(n_replicas):
             r = df.withColumn("doc_id", F.col("doc_id") + F.lit(i * SHIFT))
             if i > 0:  # replica 0 keeps the original text verbatim
                 r = r.withColumn(
@@ -200,7 +200,7 @@ def build_dataset(spark) -> None:
         out = replicas[0]
         for r in replicas[1:]:
             out = out.unionByName(r)
-        out.write.mode("overwrite").parquet(f"{DST}/{name}.parquet")
+        out.write.mode("overwrite").parquet(f"{dst}/{name}.parquet")
 
 
 def main() -> None:
@@ -214,6 +214,19 @@ def main() -> None:
         help="default = the cross-tier headline list; tpcds = all 99 "
         "verbatim texts; ssb = the 13 flights",
     )
+    ap.add_argument(
+        "--factor",
+        type=int,
+        default=10,
+        help="scale multiplier vs sf0.1 (10 -> .scratch_sf1; 100 -> "
+        ".scratch_sf10) — extends the scaling curve past 10x where the "
+        "battery's worst ratios live",
+    )
+    ap.add_argument(
+        "--queries",
+        default=None,
+        help="comma-separated registered query names (overrides --battery)",
+    )
     args = ap.parse_args()
     queries = PROBE_QUERIES
     if args.battery == "tpcds":
@@ -225,23 +238,31 @@ def main() -> None:
             for s in range(1, ns + 1)
         ]
 
+    if args.queries:
+        queries = args.queries.split(",")
+
+    dst = DST if args.factor == 10 else os.path.join(
+        os.path.dirname(DST), f".scratch_sf{args.factor // 10}"
+    )
+    n_replicas = args.factor
+
     registry.load_all()
     spark = build_session(app_name="scale-probe")
     # Completion sentinel, written AFTER the last table: checking for
     # lineitem.parquet alone would treat an interrupted build (lineitem
     # written, events/documents missing or partial) as complete forever.
-    sentinel = os.path.join(DST, "_BUILD_COMPLETE")
+    sentinel = os.path.join(dst, "_BUILD_COMPLETE")
     if not os.path.exists(sentinel):
         t0 = time.perf_counter()
-        build_dataset(spark)
+        build_dataset(spark, dst, n_replicas)
         with open(sentinel, "w", encoding="utf-8") as f:
             f.write("ok\n")
-        print(f"# built 10x dataset in {time.perf_counter()-t0:.1f}s",
-              file=sys.stderr)
-    rows = spark.read.parquet(f"{DST}/lineitem.parquet").count()
-    print(f"# lineitem rows at 10x: {rows}", file=sys.stderr)
+        print(f"# built {args.factor}x dataset in "
+              f"{time.perf_counter()-t0:.1f}s", file=sys.stderr)
+    rows = spark.read.parquet(f"{dst}/lineitem.parquet").count()
+    print(f"# lineitem rows at {args.factor}x: {rows}", file=sys.stderr)
 
-    print(f"{'query':35s} {'sf0.1':>8s} {'10x':>8s} {'ratio':>6s}")
+    print(f"{'query':35s} {'sf0.1':>8s} {args.factor:>6d}x {'ratio':>6s}")
     total_small = total_big = 0.0
     import gc
 
@@ -255,8 +276,8 @@ def main() -> None:
         fn(spark, SRC).count()  # warm codegen
         t0 = time.perf_counter(); fn(spark, SRC).count()
         small = time.perf_counter() - t0
-        fn(spark, DST).count()  # warm
-        t0 = time.perf_counter(); fn(spark, DST).count()
+        fn(spark, dst).count()  # warm
+        t0 = time.perf_counter(); fn(spark, dst).count()
         big = time.perf_counter() - t0
         total_small += small; total_big += big
         print(f"{name:35s} {small:8.3f} {big:8.3f} {big/small:6.2f}")

@@ -229,3 +229,128 @@ def test_gnn_table3_metrics_reproduce_reference_artifacts(spark, config):
     assert abs(got["mae"] - golden_mae) < 1e-9
     assert abs(got["p50"] - golden_p50) < 1e-9
     assert abs(got["p99"] - golden_p99) < 1e-9
+
+
+# ---------------------------------------------------------------------------
+# Committed-tokenizer parity (reference models/RF/Model/tokenizer consumed by
+# sql_encoder.py:21-41). Pure offline files; skipped when the reference
+# checkout is absent.
+# ---------------------------------------------------------------------------
+
+_TOK_DIR = "/root/reference/models/RF/Model/tokenizer"
+_tok_gate = pytest.mark.skipif(
+    not os.path.isdir(_TOK_DIR), reason="reference tokenizer files absent"
+)
+
+
+def _replay_bpe(pretoken_syms: tuple[str, ...], ranks) -> tuple[str, ...]:
+    """INDEPENDENT BPE implementation for cross-checking: apply every merge
+    in global rank (training) order — provably equivalent to the greedy
+    lowest-rank-pair loop, but coded differently, so a bug in either shows
+    up as a mismatch."""
+    word = list(pretoken_syms)
+    for (a, b), _rank in sorted(ranks.items(), key=lambda kv: kv[1]):
+        if a not in word or b not in word:
+            continue
+        i, merged = 0, []
+        while i < len(word):
+            if i < len(word) - 1 and word[i] == a and word[i + 1] == b:
+                merged.append(a + b)
+                i += 2
+            else:
+                merged.append(word[i])
+                i += 1
+        word = merged
+    return tuple(word)
+
+
+@_tok_gate
+def test_tokenizer_roundtrip_on_all_committed_workload_texts():
+    """decode(encode(x)) == NFC(x) for every embedded TPC-DS/workload text
+    — byte-level BPE is lossless by construction; this pins the whole
+    pipeline (pretokenize regex, byte map, merges, vocab) end to end."""
+    import unicodedata
+
+    from lakehouse_variance_spark.ml.bpe_tokenizer import load_tokenizer
+    from lakehouse_variance_spark.plans.tpcds_texts import TPCDS_TEXTS
+
+    tok = load_tokenizer(_TOK_DIR)
+    n_tokens = 0
+    for name, sql in TPCDS_TEXTS.items():
+        ids = tok.encode(sql)
+        n_tokens += len(ids)
+        assert tok.decode(ids) == unicodedata.normalize("NFC", sql), name
+        assert all(isinstance(i, int) and 0 <= i < len(tok) for i in ids)
+    assert n_tokens > 10_000  # the battery is not trivially empty
+
+
+@_tok_gate
+def test_tokenizer_bpe_matches_independent_replay_implementation():
+    """Greedy lowest-rank merging == replay-all-merges-in-rank-order on the
+    actual pretokens of real SQL text (two algorithms, one answer)."""
+    from lakehouse_variance_spark.ml.bpe_tokenizer import load_tokenizer
+    from lakehouse_variance_spark.plans.tpcds_texts import TPCDS_TEXTS
+
+    tok = load_tokenizer(_TOK_DIR)
+    sample = list(TPCDS_TEXTS.values())[:3]
+    pretokens = set()
+    for sql in sample:
+        pretokens.update(tok._pat.findall(sql))
+    assert len(pretokens) > 50
+    for pt in sorted(pretokens):
+        mapped = "".join(tok.byte_encoder[b] for b in pt.encode("utf-8"))
+        assert tok._bpe(mapped) == _replay_bpe(tuple(mapped), tok.ranks), pt
+
+
+@_tok_gate
+def test_tokenizer_known_qwen2_goldens():
+    """Published Qwen2-vocab token ids (stable public facts of the
+    committed vocab.json): specials sit at their configured ids, digits
+    split one per token, and the canonical 'hello world' encoding."""
+    from lakehouse_variance_spark.ml.bpe_tokenizer import load_tokenizer
+
+    tok = load_tokenizer(_TOK_DIR)
+    assert tok.encode("hello world") == [14990, 1879]
+    assert tok.encode("<|im_start|>") == [151644]
+    assert tok.encode("<|im_end|>") == [151645]
+    assert tok.added["<|endoftext|>"] == 151643
+    # Qwen2 pretokenizer: \p{N} matches ONE digit, so every digit is its
+    # own pretoken (no multi-digit merges can apply across pretokens)
+    assert len(tok.encode("123456789")) == 9
+    # byte-level coverage: every single byte encodes (no UNK path)
+    for b in range(256):
+        ids = tok.encode(bytes([b]).decode("latin-1"))
+        assert ids, b
+
+
+@_tok_gate
+def test_featurize_qwen_mean_embedding_spark_path(spark):
+    """The Spark featurizer consumes the committed tokenizer's ids: the
+    pandas-UDF token_ids column equals the driver-side encode() of the
+    same text, and the mean-embedding feature vector has the right width
+    and is deterministic across runs."""
+    from lakehouse_variance_spark.ml.bpe_tokenizer import load_tokenizer
+    from lakehouse_variance_spark.tables import load_table
+    from tests.conftest import SF_DIR
+
+    docs = (
+        load_table(spark, SF_DIR, "documents").select("doc_id", "text").limit(8)
+    )
+    tokked = predictor.tokenize_with_committed_tokenizer(docs, "text", _TOK_DIR)
+    rows = {r["doc_id"]: (r["text"], r["token_ids"]) for r in tokked.collect()}
+    tok = load_tokenizer(_TOK_DIR)
+    for doc_id, (text, ids) in rows.items():
+        assert ids == tok.encode(text), doc_id
+
+    feat = predictor.featurize_text_qwen_mean_embedding(
+        docs, "text", _TOK_DIR, dim=16
+    )
+    out = {r["doc_id"]: r["features"].toArray().tolist() for r in feat.collect()}
+    assert all(len(v) == 16 for v in out.values())
+    out2 = {
+        r["doc_id"]: r["features"].toArray().tolist()
+        for r in predictor.featurize_text_qwen_mean_embedding(
+            docs, "text", _TOK_DIR, dim=16
+        ).collect()
+    }
+    assert out == out2

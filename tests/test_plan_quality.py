@@ -308,3 +308,24 @@ def test_ssb_q1_predicates_push_into_fact_scan(spark):
     plan = _plan(spark, "ssb_q1_1")
     pushed = re.findall(r"PushedFilters: \[([^\]]*)\]", plan)
     assert any("lo_discount" in p or "lo_quantity" in p for p in pushed)
+
+
+def test_hybrid_rrf_fusion_is_equi_join_with_topk_limits(spark):
+    """search_hybrid_rrf's BNLJ_ALLOWED entry is audited here: the only
+    BNLJs in its plan are the 1-row corpus-stat broadcasts inherited from
+    the composed text_bm25_topk (avgdl / N aggregates with no grouping
+    keys), while the RRF fusion itself must be an equi full-outer join on
+    doc_id over two limit-bounded (top-k) rank tables — never a nested
+    loop over data-scaled relations."""
+    plan = _plan(spark, "search_hybrid_rrf")
+    fusion = re.search(
+        r"SortMergeJoin \[doc_id#\d+L?\], \[doc_id#\d+L?\], FullOuter", plan
+    )
+    assert fusion, "RRF fusion must be an equi join on doc_id"
+    # every BNLJ must sit BELOW a TakeOrderedAndProject(limit=...) bound
+    # (i.e. inside the bm25/cosine channel), and both channels are top-k
+    assert plan.count("TakeOrderedAndProject") >= 1
+    for m in re.finditer(r"BroadcastNestedLoopJoin", plan):
+        assert m.start() > fusion.start(), (
+            "BNLJ above the fusion join — a data-scaled nested loop"
+        )

@@ -43,6 +43,11 @@ BNLJ_ALLOWED: set[str] = {
     "sample_weighted_systematic",   # prefix rows x total-chars agg (1 row)
     "frequent_items_revenue",       # agg x global threshold (1 row)
     "text_bm25_topk",               # tf x corpus stats (1 row) + idf (3 rows)
+    "search_hybrid_rrf",            # composes text_bm25_topk verbatim, so it
+                                    # inherits the SAME audited 1-row corpus-
+                                    # stat BNLJs; the RRF fusion join itself
+                                    # is an equi SortMergeJoin on doc_id
+                                    # (shape-gated in test_plan_quality.py)
     "cross_channel_items_rollup",   # rollup x grand total (1 row)
     "scalar_ratio_am_pm",           # am (1 row) x pm (1 row)
     # Verbatim TPC-DS texts whose FROM-lists cross-join no-grouping-key

@@ -206,3 +206,48 @@ def test_run_workload_cli_on_sql_directory(spark, tmp_path, monkeypatch, capsys)
         "query_id", "Runtime (s)", "elapsed_s", "execution_s",
         "planning_s", "resource_waiting_s",
     }
+
+
+def test_workload_log_uploads_to_hadoop_fs_uri(spark, tmp_path):
+    """The object-store results seam (reference run_workload.py:19-24,
+    73-80 uploads via fsspec to s3://..., abfss://..., gs://...): a
+    Hadoop-FS URI log_dir goes through join_url + upload_file. file:// is
+    the scheme the test environment can actually serve; the same
+    FileSystem.get(uri) dispatch handles the cloud schemes when their
+    connectors are on the cluster classpath."""
+    import json as _json
+
+    remote = f"file://{tmp_path}/Results/run1"
+    recs = runner.run_workload(
+        spark,
+        [("q1", "SELECT 1 AS one"), ("q2", "SELECT 2 AS two")],
+        log_dir=remote,
+        attempt=3,
+    )
+    assert len(recs) == 2
+    out = tmp_path / "Results" / "run1" / "Workload_log_BASE_3.ndjson"
+    assert out.exists(), "upload did not land at the file:// URI"
+    lines = [_json.loads(l) for l in out.read_text().splitlines()]
+    assert [r["query_id"] for r in lines] == ["q1", "q2"]
+    assert all(r["Runtime (s)"] >= 0 for r in lines)
+
+
+def test_upload_file_unknown_scheme_raises(spark, tmp_path):
+    """An unconfigured scheme must raise loudly (no silent no-op log
+    loss), mirroring fsspec's unknown-protocol error."""
+    import pytest as _pytest
+
+    local = tmp_path / "x.ndjson"
+    local.write_text("{}\n")
+    with _pytest.raises(Exception, match="(?i)no filesystem|unknown|scheme"):
+        runner.upload_file(spark, local, "bogus-scheme://bucket/x.ndjson")
+
+
+def test_join_url_matches_reference_semantics():
+    """join_url mirrors reference run_workload.py:14-18 exactly."""
+    assert (
+        runner.join_url("s3://b/Results/", "run1", "lakehouse_run_1", "q1.json")
+        == "s3://b/Results/run1/lakehouse_run_1/q1.json"
+    )
+    assert runner.join_url("gs://b/Results") == "gs://b/Results"
+    assert runner.join_url("file:///tmp/r/", "", "a/", "/b") == "file:///tmp/r/a/b"

