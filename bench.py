@@ -194,6 +194,23 @@ def main() -> None:
         fh.write(line + "\n")
     print(line, file=sys.stderr, flush=True)
     print(line, flush=True)
+    # (c) r6's driver capture STILL truncated the ~3 KB line's head (its
+    # BENCH_r06.json has parsed=None): follow with a SHORT self-contained
+    # summary line — small enough that any sane tail window holds all of
+    # it — so the driver can always parse at least metric/value/sf, with
+    # the per-query map recoverable from BENCH_SELF.json.
+    summary = json.dumps(
+        {
+            "metric": "headline_suite_runtime",
+            "value": total,
+            "unit": "sec",
+            "queries": {"_see": "BENCH_SELF.json", "_n": len(timings)},
+            "sf": sf,
+        },
+        separators=(",", ":"),
+    )
+    print(summary, file=sys.stderr, flush=True)
+    print(summary, flush=True)
 
 
 if __name__ == "__main__":

@@ -133,13 +133,28 @@ def materialize_and_register(
         for base in bases:
             spark.table(base).createOrReplaceTempView(f"{base}_base")
         os.makedirs(tmp, exist_ok=True)
-        for name, sql in defs.items():
-            df = spark.sql(build_sql(repoint_all(sql, bases)))
-            df.write.mode("overwrite").parquet(os.path.join(tmp, name))
-            if register_during_build:
-                spark.read.parquet(
-                    os.path.join(tmp, name)
-                ).createOrReplaceTempView(name)
+        # Whole-stage codegen is DISABLED for the build statements only.
+        # The digit-product `_seq` derivations are cross-join fan-outs
+        # (part × seq(131) × seq(5) → 1.31e9 rows at the 100× probe), and
+        # Spark's generated BroadcastNestedLoopJoin code buffers each
+        # emitted row (UnsafeRow.copy into the WSCG row buffer) without
+        # yielding inside the build-side loops — measured to exhaust ANY
+        # heap (OOM at 80g) on the doubly-nested fan-out, while the
+        # interpreted iterator path streams the same 1.31B-row build in
+        # 18s inside a 12g heap.  Query EXECUTION keeps codegen; only the
+        # one-time generator writes run interpreted.
+        prev_wscg = spark.conf.get("spark.sql.codegen.wholeStage", "true")
+        spark.conf.set("spark.sql.codegen.wholeStage", "false")
+        try:
+            for name, sql in defs.items():
+                df = spark.sql(build_sql(repoint_all(sql, bases)))
+                df.write.mode("overwrite").parquet(os.path.join(tmp, name))
+                if register_during_build:
+                    spark.read.parquet(
+                        os.path.join(tmp, name)
+                    ).createOrReplaceTempView(name)
+        finally:
+            spark.conf.set("spark.sql.codegen.wholeStage", prev_wscg)
         with open(os.path.join(tmp, "_DONE"), "w") as fh:
             fh.write(defs_fingerprint(defs) + "\n")
         import shutil
