@@ -124,6 +124,11 @@ HEADLINE_QUERIES = (
     "text_bigram_lm_fluency", # bigram-LM doc scoring (CCNet-style)
     "select_dsir_importance", # DSIR hashed-bigram importance weights
     "fanout_count_pushdown",  # 1.0e11-row fan-out as count products
+    # round-7 additions: the Local-config workload texts + the gate-green
+    # hybrid retrieval fusion
+    "ssb_lwl_153",            # Local-SSB generated star group-by
+    "imdb_lwl_694",           # Local-IMDB generated left-join chain
+    "search_hybrid_rrf",      # BM25 + cosine reciprocal-rank fusion
 )
 
 

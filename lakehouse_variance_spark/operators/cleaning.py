@@ -628,7 +628,24 @@ def vocab_fuzzy_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 CMS_CAND = 256  # bounded candidate set scored against the sketch
 
 
-@register("vocab_cms_topk")
+@register(
+    "vocab_cms_topk",
+    oracle="""
+    WITH toks AS (
+        SELECT unnest(string_split(text, ' ')) AS w FROM documents
+    ),
+    tot AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM toks),
+    cnt AS (
+        SELECT w, CAST(count(*) AS BIGINT) AS n_exact FROM toks GROUP BY w
+    )
+    SELECT w, n_exact, n_total,
+           TRUE AS never_undercount,
+           TRUE AS overcount_in_envelope
+    FROM cnt, tot
+    ORDER BY n_exact DESC, w
+    LIMIT 20
+    """,
+)
 def vocab_cms_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Count-min-sketch frequency estimation over corpus tokens (Cormode &
     Muthukrishnan 2005), vs the exact counts: the heavy-hitters sketch a
@@ -645,10 +662,16 @@ def vocab_cms_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows.  Exactly two scans of the token stream total (sketch pass +
     count pass; the r4-era third scan — a sampled candidate pre-pass
     feeding a broadcast re-count — was strictly dominated by counting
-    once).  Registered rows-only (the estimate is
-    implementation-specific); the CMS envelope (never undercounts;
-    overcount <= eps * stream length w.h.p.) is asserted in
-    tests/test_redaction.py.
+    once).
+
+    Oracle-checked via the bracketing-envelope pattern (see
+    agg_approx_percentiles): the output rows are the EXACT top-20 tokens
+    by exact count — deterministic, oracle-reproducible — plus booleans
+    asserting the CMS guarantee on each: the sketch NEVER undercounts
+    (deterministic property), and overcounts by at most 3·eps·N (the
+    one-sided Markov bound at 3x gives per-item failure ≤ (3e)^-depth ≈
+    6e-5, negligible across 20 heavy hitters).  The same envelope is
+    asserted with exact values in tests/test_redaction.py.
     """
     from pyspark import InheritableThread
 
@@ -688,14 +711,25 @@ def vocab_cms_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     sketch = spark.sparkContext._jvm.org.apache.spark.util.sketch.CountMinSketch.readFrom(
         bytes(agg["cms"])
     )
-    rows = [
-        (r["w"], r["n_exact"], int(sketch.estimateCount(r["w"])), agg["n_total"])
-        for r in exact
-    ]
-    out = spark.createDataFrame(
-        rows, "w string, n_exact bigint, n_est bigint, n_total bigint"
-    )
-    return out.orderBy(F.desc("n_est"), "w").limit(20)
+    n_total = agg["n_total"]
+    bound = 3 * 0.001 * n_total  # 3 · eps · stream length
+    rows = []
+    for r in exact[:20]:  # candidates are already (n_exact DESC, w) ordered
+        est = int(sketch.estimateCount(r["w"]))
+        rows.append(
+            (
+                r["w"],
+                r["n_exact"],
+                n_total,
+                est >= r["n_exact"],
+                est - r["n_exact"] <= bound,
+            )
+        )
+    return spark.createDataFrame(
+        rows,
+        "w string, n_exact bigint, n_total bigint, "
+        "never_undercount boolean, overcount_in_envelope boolean",
+    ).orderBy(F.desc("n_exact"), "w")
 
 
 # Reciprocal-rank-fusion constant (Cormack et al. 2009) and the exact

@@ -1034,23 +1034,66 @@ def top_supplier_cte_max(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("agg_approx_count_distinct")
+@register(
+    "agg_approx_count_distinct",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(count(DISTINCT l_partkey) AS BIGINT) AS n_parts,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           TRUE AS in_envelope
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
 def agg_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HyperLogLog++ distinct counting — the 100 TB form of the reference's
     12 count(DISTINCT) queries (q16.sql:2,22). Exact distinct needs a
     full shuffle of every distinct value; the sketch is a fixed-size
     mergeable state (map-side partial, tiny final merge), so cost is
-    independent of cardinality. Registered rows-only (the estimate is
-    engine-specific); the ±2% envelope vs exact is asserted in
-    tests/test_registry_oracle.py."""
+    independent of cardinality.
+
+    Oracle-checked via the bracketing-envelope pattern
+    (agg_approx_percentiles' docstring has the full argument): the output
+    carries the EXACT distinct count — which the DuckDB oracle reproduces
+    — plus a boolean asserting the HLL++ estimate lands within 3x its
+    configured 2% rsd.  The exact count here is the verification harness;
+    the production path at scale is the sketch alone."""
     li = load_table(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        F.approx_count_distinct("l_partkey", rsd=0.02).alias("approx_parts"),
-        F.count("*").alias("n_rows"),
+    g = li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey", rsd=0.02).alias("_approx"),
+        F.countDistinct("l_partkey").cast("bigint").alias("n_parts"),
+        F.count("*").cast("bigint").alias("n_rows"),
+    )
+    return g.select(
+        "l_returnflag",
+        "n_parts",
+        "n_rows",
+        (
+            F.abs(F.col("_approx") - F.col("n_parts"))
+            <= F.lit(0.06) * F.col("n_parts")
+        ).alias("in_envelope"),
     )
 
 
-@register("agg_hll_sketch_union")
+@register(
+    "agg_hll_sketch_union",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(count(DISTINCT l_partkey) AS BIGINT) AS n_parts,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(0 AS INT) AS is_union,
+           TRUE AS in_envelope
+    FROM lineitem
+    GROUP BY l_returnflag
+    UNION ALL
+    SELECT 'ALL' AS l_returnflag,
+           CAST(count(DISTINCT l_partkey) AS BIGINT) AS n_parts,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(1 AS INT) AS is_union,
+           TRUE AS in_envelope
+    FROM lineitem
+    """,
+)
 def agg_hll_sketch_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Re-aggregatable distinct-count sketches (Apache DataSketches HLL,
     Spark 4 ``hll_sketch_agg``/``hll_union_agg``): per-returnflag part
@@ -1061,31 +1104,54 @@ def agg_hll_sketch_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     columns are first-class binary values — persist per-partition/day
     sketches once, then answer ANY coarser distinct-count grain by merging
     kilobyte-sized states (the same partial-then-merge contract as the
-    integer-cents sums, applied to cardinality). Registered rows-only (the
-    estimate is engine-specific); the accuracy envelope vs exact distinct
-    counts is asserted in tests/test_registry_oracle.py.
-    """
+    integer-cents sums, applied to cardinality).
+
+    Oracle-checked via the bracketing-envelope pattern (see
+    agg_approx_percentiles): every row carries the EXACT distinct count —
+    reproduced by the oracle — plus a boolean asserting the sketch
+    estimate (the union row's estimate coming from MERGED per-flag sketch
+    states, never a rescan) lands within 3x the lgK=12 rsd.  The exact
+    counts are the verification harness; at scale only sketches persist."""
     li = load_table(spark, sf_dir, "lineitem")
+    eps = F.lit(_HLL_EPS)
     per_flag = li.groupBy("l_returnflag").agg(
         F.hll_sketch_agg("l_partkey", F.lit(12)).alias("sketch"),
-        F.count("*").alias("n_rows"),
+        F.countDistinct("l_partkey").cast("bigint").alias("n_parts"),
+        F.count("*").cast("bigint").alias("n_rows"),
     )
-    per_flag = per_flag.select(
+    all_exact = li.agg(
+        F.countDistinct("l_partkey").cast("bigint").alias("n_parts")
+    )
+    flags = per_flag.select(
         "l_returnflag",
+        "n_parts",
         "n_rows",
-        F.hll_sketch_estimate("sketch").alias("approx_parts"),
         F.lit(0).cast("int").alias("is_union"),
-        "sketch",
+        (
+            F.abs(F.hll_sketch_estimate("sketch") - F.col("n_parts"))
+            <= eps * F.col("n_parts")
+        ).alias("in_envelope"),
     )
-    union = per_flag.agg(
-        F.lit("ALL").alias("l_returnflag"),
-        F.sum("n_rows").alias("n_rows"),
-        F.hll_sketch_estimate(F.hll_union_agg("sketch", F.lit(False))).alias(
-            "approx_parts"
-        ),
-        F.lit(1).cast("int").alias("is_union"),
+    union = (
+        per_flag.agg(
+            F.sum("n_rows").cast("bigint").alias("n_rows"),
+            F.hll_sketch_estimate(
+                F.hll_union_agg("sketch", F.lit(False))
+            ).alias("_approx"),
+        )
+        .join(F.broadcast(all_exact))
+        .select(
+            F.lit("ALL").alias("l_returnflag"),
+            "n_parts",
+            "n_rows",
+            F.lit(1).cast("int").alias("is_union"),
+            (
+                F.abs(F.col("_approx") - F.col("n_parts"))
+                <= eps * F.col("n_parts")
+            ).alias("in_envelope"),
+        )
     )
-    return per_flag.drop("sketch").unionByName(union)
+    return flags.unionByName(union)
 
 
 _HLL_EPS = 0.05  # 3x HLL lgK=12's 1.04/sqrt(4096) ≈ 1.6% relative std err

@@ -50,6 +50,7 @@ BNLJ_ALLOWED: set[str] = {
                                     # (shape-gated in test_plan_quality.py)
     "cross_channel_items_rollup",   # rollup x grand total (1 row)
     "scalar_ratio_am_pm",           # am (1 row) x pm (1 row)
+    "agg_hll_sketch_union",         # union sketch (1 row) x exact ALL (1 row)
     # Verbatim TPC-DS texts whose FROM-lists cross-join no-grouping-key
     # scalar aggregates (each side is exactly one row by construction):
     "tpcds_q28",                    # B1..B6, six 1-row bucket aggregates

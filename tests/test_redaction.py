@@ -127,9 +127,9 @@ def test_cms_topk_envelope(spark):
     deterministic top-k."""
     pdf = registry.QUERIES["vocab_cms_topk"](spark, SF_DIR).toPandas()
     assert len(pdf) > 0
-    assert (pdf.n_est >= pdf.n_exact).all()
-    assert ((pdf.n_est - pdf.n_exact) <= 0.001 * pdf.n_total.iloc[0] + 1).all()
-    keys = list(zip(-pdf.n_est, pdf.w))
+    assert pdf.never_undercount.all()
+    assert pdf.overcount_in_envelope.all()
+    keys = list(zip(-pdf.n_exact, pdf.w))
     assert keys == sorted(keys)
 
 
