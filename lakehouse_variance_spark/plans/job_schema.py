@@ -251,9 +251,18 @@ def _pcode(key: str) -> str:
 
 
 def _md5ish(key: str) -> str:
+    # The key expression is reduced mod P = 1e9+7 BEFORE the Knuth
+    # multiply: (P-1)·2654435761 ≈ 2.7e18 < 2^63, so the expression is
+    # ANSI-overflow-safe for any int64 key (the 10× probe's key-shifted
+    # replicas reach 9e10·43, where the raw product throws
+    # ARITHMETIC_OVERFLOW — the same class fixed mod-first in
+    # tpcds_schema._hx and the shuffle-shard LCG). Values are identical
+    # for every key expression < P — all real scale factors — so oracle
+    # parity holds by construction (both engines run this same text).
+    r = f"(({key}) % 1000000007)"
     return (
-        f"lpad(CAST(({key} * 2654435761) % 100000000 AS VARCHAR(8)), 8, '0')"
-        f" || lpad(CAST(({key} * 40503 + 17) % 100000000 AS VARCHAR(8)),"
+        f"lpad(CAST(({r} * 2654435761) % 100000000 AS VARCHAR(8)), 8, '0')"
+        f" || lpad(CAST(({r} * 40503 + 17) % 100000000 AS VARCHAR(8)),"
         " 8, '0')"
     )
 
