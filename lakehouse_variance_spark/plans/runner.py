@@ -77,7 +77,15 @@ def run_query(
     expired = threading.Event()
     group: str | None = None
     try:
+        from pyspark.sql import Observation
+        from pyspark.sql import functions as F
+
         df = spark.sql(sql)
+        # Observed metrics ride the SAME job as the drain (accumulator
+        # semantics) — per-query row accounting with NO second scan, the
+        # only affordable way to log output cardinality at 100 TB.
+        obs = Observation(f"lvs-{name}")
+        df = df.observe(obs, F.count(F.lit(1)).alias("rows_out"))
         # Forcing the executed plan materializes analysis + optimization +
         # physical planning without running a job.
         df._jdf.queryExecution().executedPlan()
@@ -112,6 +120,10 @@ def run_query(
                 f"query exceeded timeout_s={timeout_s} (cancel missed)"
             )
         t1 = time.perf_counter()
+        try:
+            rows_out = int(obs.get["rows_out"])
+        except Exception:  # noqa: BLE001 — metrics must never fail a run
+            rows_out = -1
         return {
             "query_id": name,
             "start_time": start_stamp,
@@ -121,6 +133,7 @@ def run_query(
             "planning_s": t_planned - t0,
             "execution_s": t1 - t_planned,
             "resource_waiting_s": 0.0,
+            "rows_out": rows_out,
         }
     except Exception as exc:  # noqa: BLE001 — sentinel instead of abort
         return {

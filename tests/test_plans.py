@@ -251,3 +251,13 @@ def test_join_url_matches_reference_semantics():
     )
     assert runner.join_url("gs://b/Results") == "gs://b/Results"
     assert runner.join_url("file:///tmp/r/", "", "a/", "/b") == "file:///tmp/r/a/b"
+
+
+def test_run_query_observes_rows_out_without_second_scan(spark):
+    """Per-query output-row accounting rides the drain job as an observed
+    metric (accumulator semantics — no second scan): rows_out matches the
+    query's actual cardinality, and the sentinel path omits it."""
+    rec = runner.run_query(spark, "obs", "SELECT id FROM range(1234)")
+    assert rec["rows_out"] == 1234
+    bad = runner.run_query(spark, "boom", "SELECT 1/0 AS x")
+    assert bad["Runtime (s)"] == runner.SENTINEL and "rows_out" not in bad
