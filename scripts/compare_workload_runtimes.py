@@ -39,6 +39,10 @@ SUITE_FILES = {
              "tpcds_Baseline_test.ndjson",
     "tpcds_train": "/root/reference/models/Queries/Baseline_TPCDS/"
                    "tpcds_Baseline_train.ndjson",
+    "ssb_local": "/root/reference/models/Queries/Local_SSB/"
+                 "ssb_Local_test.ndjson",
+    "imdb_local": "/root/reference/models/Queries/Local_IMDB/"
+                  "imdb_Local_test.ndjson",
 }
 
 
