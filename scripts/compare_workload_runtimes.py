@@ -43,6 +43,8 @@ SUITE_FILES = {
                  "ssb_Local_test.ndjson",
     "imdb_local": "/root/reference/models/Queries/Local_IMDB/"
                   "imdb_Local_test.ndjson",
+    "tpcds_local": "/root/reference/models/Queries/Local_TPCDS/"
+                   "tpcds_Local_test.ndjson",
 }
 
 
