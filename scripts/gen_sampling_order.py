@@ -18,13 +18,28 @@ sys.path.insert(0, HERE)
 
 
 def main() -> None:
-    seen: set[str] = set()
+    # "Certified" = the driver has seen the query WITH its oracle (a
+    # hash_match verdict, true or false) or as a rows-only op it checked.
+    # A query sampled only as err == 'no_oracle' that has SINCE gained an
+    # oracle (the envelope conversions) counts as uncertified — its new
+    # oracle has never been driver-checked.
+    certified: set[str] = set()
+    no_oracle_seen: set[str] = set()
     for path in sorted(glob.glob(os.path.join(HERE, "CORRECTNESS_r*.json"))):
-        seen.update(json.load(open(path)).keys())
+        for name, rec in json.load(open(path)).items():
+            if rec.get("err") == "no_oracle":
+                no_oracle_seen.add(name)
+            else:
+                certified.add(name)
     from lakehouse_variance_spark import registry
 
     registry.load_all()
-    fresh = [n for n in registry.QUERIES if n not in seen]
+    fresh = [
+        n
+        for n in registry.QUERIES
+        if n not in certified
+        and not (n in no_oracle_seen and n not in registry.ORACLES)
+    ]
     out = os.path.join(HERE, "lakehouse_variance_spark", "sampling_order.py")
     with open(out, "w") as f:
         f.write(
