@@ -192,38 +192,67 @@ def run_workload(
     log_dir: str | Path | None = None,
     attempt: int = 1,
     timeout_s: float | None = None,
+    resume: bool = False,
 ) -> list[dict[str, Any]]:
     """Run a query list sequentially and optionally write the NDJSON run log
     (reference ``run_workload.py:66-80``). The log file name matches the
     ``Workload_log_BASE_<attempt>.ndjson`` pattern the trace loader globs.
 
+    Local log files are written INCREMENTALLY — one flushed line per
+    completed query — so a multi-thousand-text bulk run killed mid-way
+    keeps everything finished so far, and ``resume=True`` re-runs only
+    what's missing: query ids already in the log with a non-sentinel
+    runtime are skipped; failed (sentinel) entries are retried, their new
+    record appended (the trace loader NULLs sentinel rows before any
+    statistics, so the duplicate id is harmless by construction).
+
     ``log_dir`` accepts a local path OR any Hadoop-FS URI prefix (the
     reference's ``--results_path s3://... | abfss://... | gs://...``
     contract): URI targets are staged to a local temp file and uploaded
-    via ``upload_file`` exactly like the reference's fsspec path."""
-    records = [
-        run_query(spark, name, sql, timeout_s=timeout_s)
-        for name, sql in queries
-    ]
-    if log_dir is not None:
-        fname = f"Workload_log_BASE_{attempt}.ndjson"
-        payload = "".join(json.dumps(rec) + "\n" for rec in records)
-        if _is_remote_url(log_dir):
-            import tempfile
+    whole via ``upload_file`` exactly like the reference's fsspec path
+    (object stores have no cheap append, so no streaming/resume there)."""
+    fname = f"Workload_log_BASE_{attempt}.ndjson"
+    records: list[dict[str, Any]] = []
+    done_ids: set[Any] = set()
+    fh = None
+    if log_dir is not None and not _is_remote_url(log_dir):
+        d = Path(log_dir)
+        d.mkdir(parents=True, exist_ok=True)
+        local_path = d / fname
+        if resume and local_path.exists():
+            for line in local_path.read_text(encoding="utf-8").splitlines():
+                if not line.strip():
+                    continue
+                rec = json.loads(line)
+                records.append(rec)
+                if rec.get("Runtime (s)", SENTINEL) != SENTINEL:
+                    done_ids.add(rec["query_id"])
+        fh = local_path.open("a" if resume else "w", encoding="utf-8")
+    try:
+        for name, sql in queries:
+            if name in done_ids:
+                continue
+            rec = run_query(spark, name, sql, timeout_s=timeout_s)
+            records.append(rec)
+            if fh is not None:
+                fh.write(json.dumps(rec) + "\n")
+                fh.flush()
+    finally:
+        if fh is not None:
+            fh.close()
+    if log_dir is not None and _is_remote_url(log_dir):
+        import tempfile
 
-            with tempfile.NamedTemporaryFile(
-                "w", suffix=".ndjson", delete=False, encoding="utf-8"
-            ) as tmp:
-                tmp.write(payload)
-                staged = tmp.name
-            try:
-                upload_file(spark, staged, join_url(str(log_dir), fname))
-            finally:
-                os.unlink(staged)
-        else:
-            log_dir = Path(log_dir)
-            log_dir.mkdir(parents=True, exist_ok=True)
-            (log_dir / fname).write_text(payload, encoding="utf-8")
+        payload = "".join(json.dumps(rec) + "\n" for rec in records)
+        with tempfile.NamedTemporaryFile(
+            "w", suffix=".ndjson", delete=False, encoding="utf-8"
+        ) as tmp:
+            tmp.write(payload)
+            staged = tmp.name
+        try:
+            upload_file(spark, staged, join_url(str(log_dir), fname))
+        finally:
+            os.unlink(staged)
     return records
 
 

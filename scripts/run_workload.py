@@ -145,6 +145,9 @@ def main() -> None:
     )
     ap.add_argument("--limit", type=int, default=None,
                     help="run only the first N queries")
+    ap.add_argument("--resume", action="store_true",
+                    help="skip query ids already in the attempt's log "
+                    "with a non-sentinel runtime (failed entries retry)")
     args = ap.parse_args()
 
     if args.workload_ndjson:
@@ -192,6 +195,7 @@ def main() -> None:
                 log_dir=args.log_dir,
                 attempt=attempt,
                 timeout_s=args.timeout_s,
+                resume=args.resume,
             )
         all_records.extend(records)
         ok = sum(1 for r in records if r["Runtime (s)"] >= 0)

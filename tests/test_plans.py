@@ -261,3 +261,28 @@ def test_run_query_observes_rows_out_without_second_scan(spark):
     assert rec["rows_out"] == 1234
     bad = runner.run_query(spark, "boom", "SELECT 1/0 AS x")
     assert bad["Runtime (s)"] == runner.SENTINEL and "rows_out" not in bad
+
+
+def test_run_workload_streams_log_and_resumes(spark, tmp_path):
+    """Bulk-run robustness: the local log is written one flushed line per
+    completed query, and resume=True skips completed ids while retrying
+    sentinel (failed) entries."""
+    import json as _json
+
+    qs = [("a", "SELECT 1 AS x"), ("b", "SELECT 1/0 AS x"), ("c", "SELECT 3 AS x")]
+    runner.run_workload(spark, qs, log_dir=str(tmp_path), attempt=7)
+    log = tmp_path / "Workload_log_BASE_7.ndjson"
+    first = [_json.loads(l) for l in log.read_text().splitlines()]
+    assert [r["query_id"] for r in first] == ["a", "b", "c"]
+    assert first[1]["Runtime (s)"] == runner.SENTINEL
+
+    # resume with b fixed: a and c skip, only b re-runs and appends
+    fixed = [("a", "SELECT 1 AS x"), ("b", "SELECT 2 AS x"), ("c", "SELECT 3 AS x")]
+    recs = runner.run_workload(
+        spark, fixed, log_dir=str(tmp_path), attempt=7, resume=True
+    )
+    lines = [_json.loads(l) for l in log.read_text().splitlines()]
+    assert [r["query_id"] for r in lines] == ["a", "b", "c", "b"]
+    assert lines[-1]["Runtime (s)"] >= 0
+    # returned records: 3 resumed + 1 fresh
+    assert sum(1 for r in recs if r["query_id"] == "b") == 2
