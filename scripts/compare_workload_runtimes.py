@@ -45,6 +45,8 @@ SUITE_FILES = {
                   "imdb_Local_test.ndjson",
     "tpcds_local": "/root/reference/models/Queries/Local_TPCDS/"
                    "tpcds_Local_test.ndjson",
+    "imdb_local_train": "/root/reference/models/Queries/Local_IMDB/"
+                        "imdb_Local_train.ndjson",
 }
 
 
