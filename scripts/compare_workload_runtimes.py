@@ -47,6 +47,8 @@ SUITE_FILES = {
                    "tpcds_Local_test.ndjson",
     "imdb_local_train": "/root/reference/models/Queries/Local_IMDB/"
                         "imdb_Local_train.ndjson",
+    "tpcds_local_train": "/root/reference/models/Queries/Local_TPCDS/"
+                         "tpcds_Local_train.ndjson",
 }
 
 
