@@ -178,9 +178,15 @@ def main() -> None:
         print(f"# {name}: {timings[name]:.3f}s ({n} rows)", file=sys.stderr)
 
     total = round(sum(timings.values()), 4)
+    # Isolation runs (SPARK_GRAFT_ONLY) report a DISTINCT metric name and
+    # persist to BENCH_ISOLATE.json, never BENCH_SELF.json — a partial-suite
+    # total under the full-suite metric name would read as a phantom speedup
+    # when BENCH files are diffed across rounds (ADVICE r7).
+    metric = "headline_subset_runtime" if only else "headline_suite_runtime"
+    self_json = "BENCH_ISOLATE.json" if only else "BENCH_SELF.json"
     line = json.dumps(
         {
-            "metric": "headline_suite_runtime",
+            "metric": metric,
             "value": total,
             "unit": "sec",
             "queries": timings,
@@ -195,7 +201,7 @@ def main() -> None:
     # explicitly flushed, so whichever stream the driver tails terminates
     # with a complete copy.
     with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                           "BENCH_SELF.json"), "w") as fh:
+                           self_json), "w") as fh:
         fh.write(line + "\n")
     print(line, file=sys.stderr, flush=True)
     print(line, flush=True)
@@ -206,10 +212,10 @@ def main() -> None:
     # the per-query map recoverable from BENCH_SELF.json.
     summary = json.dumps(
         {
-            "metric": "headline_suite_runtime",
+            "metric": metric,
             "value": total,
             "unit": "sec",
-            "queries": {"_see": "BENCH_SELF.json", "_n": len(timings)},
+            "queries": {"_see": self_json, "_n": len(timings)},
             "sf": sf,
         },
         separators=(",", ":"),

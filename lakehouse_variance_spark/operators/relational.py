@@ -1573,7 +1573,8 @@ _PCTL_EPS = 0.001  # 10x percentile_approx(accuracy=10000)'s 1e-4 rank bound
     oracle=f"""
     WITH g AS (
         SELECT event_type,
-               list(value ORDER BY value) AS vs,
+               list(value ORDER BY value)
+                   FILTER (WHERE value IS NOT NULL) AS vs,
                CAST(count(value) AS BIGINT) AS n
         FROM events GROUP BY event_type
     )

@@ -163,9 +163,15 @@ def _plane_matrix() -> np.ndarray:
 def _bucket_ids_udf():
     """Arrow-batched projection: one numpy matmul computes every (vector,
     hyperplane) dot product per batch — 80 sign bits per vector in a single
-    BLAS call. The column-expression alternative (80 nested
-    zip_with/aggregate lambdas) blows up codegen and runs ~10× slower; dense
-    linear algebra is exactly the case for a vectorized pandas UDF."""
+    BLAS call.  This IS the hot path, verified empirically in round 8: the
+    pure-JVM alternative (one ``transform(planes, p -> aggregate(zip_with))``
+    over an 80×64 plane literal, bucket ids folded from the sign bits) was
+    implemented and isolate-benched at **74.4 s vs 1.2 s** at sf0.1 —
+    higher-order-function lambdas run interpreted per element (~5,120
+    float ops/row outside codegen), and CollapseProject inlines the shared
+    dot-product column into all 16 bucket folds, multiplying the work ×16.
+    The Arrow round-trip's measured ~0.6 s CONSTANT (BENCH_ISOLATE.json,
+    SCALE.md) is the cheaper price at every realistic width."""
     planes_t = _plane_matrix().T  # DIM x (tables*bits)
     weights = 1 << np.arange(BITS_PER_TABLE)
 
@@ -182,7 +188,11 @@ def _bucket_ids_udf():
 def _with_tables(df: DataFrame) -> DataFrame:
     """Explode each vector into its (table, bucket) entries — the inverted
     LSH index as rows. Sign patterns are scale-invariant, so bucketing runs
-    on the raw vectors; the explode is a narrow map (×L rows, no shuffle)."""
+    on the raw vectors; the explode is a narrow map (×L rows, no shuffle).
+
+    Bucket ids come from the Arrow-batched UDF above — see its docstring
+    for the round-8 measurement retiring the pure-JVM variant (74.4 s vs
+    1.2 s at sf0.1; BENCH_ISOLATE.json carries the committed numbers)."""
     buckets = _bucket_ids_udf()
     return (
         df.withColumn("bs", buckets(F.col("v")))

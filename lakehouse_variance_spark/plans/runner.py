@@ -253,7 +253,14 @@ def run_workload(
             upload_file(spark, staged, join_url(str(log_dir), fname))
         finally:
             os.unlink(staged)
-    return records
+    # Resume retries append a NEW record for a query whose sentinel record
+    # was already loaded from the log; returning both would double-count the
+    # id in any len()/sum() over the result (ADVICE r7). Keep the LATEST
+    # record per query_id (the NDJSON log keeps the full history; the trace
+    # loader NULLs sentinel rows there before statistics).
+    latest: dict[Any, dict[str, Any]] = {r["query_id"]: r for r in records}
+    return [latest[r["query_id"]] for r in records
+            if latest[r["query_id"]] is r]
 
 
 def run_workload_concurrent(

@@ -179,7 +179,12 @@ def materialize_and_register(
                     try:
                         os.rename(stale, out)
                     except OSError:
-                        pass  # yet another racer published; theirs is equal
+                        # Yet another racer published an equal cache into
+                        # `out` (same defs fingerprint); the displaced copy
+                        # is redundant — reclaim it rather than leaking a
+                        # full dataset tree per occurrence (ADVICE r7).
+                        if os.path.exists(done):
+                            shutil.rmtree(stale, ignore_errors=True)
                 else:
                     shutil.rmtree(stale, ignore_errors=True)
             except OSError:

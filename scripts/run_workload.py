@@ -95,23 +95,34 @@ def _register(battery: str | None, spark, sf_dir: str) -> None:
         runner.register_sf_views(spark, sf_dir)
 
 
-def _load_ndjson_workload(path: str) -> list[tuple[str, str]]:
+def _load_ndjson_workload(path: str, schema: str) -> list[tuple[str, str]]:
     """Load a FULL reference workload file (query_id + SQL per line,
     `models/Queries/Baseline_*/*.ndjson` layout), normalized once so the
-    texts parse on Spark (`synth_common.normalize_workload_sql`)."""
+    texts parse on Spark (`synth_common.normalize_workload_sql`).
+
+    COUNT(*) multiplicative fan-out texts are replaced by their exact
+    count-product form (`fanout_rewrite.rewrite_fanout_count` — the rule
+    Trino applies as push-partial-aggregation-through-join and Catalyst
+    lacks; proven hash-identical on every firing text by
+    `workload_oracle_sweep.py`, where the DuckDB oracle keeps the naive
+    text)."""
     import json as _json
 
     from lakehouse_variance_spark.plans import synth_common as synth
+    from lakehouse_variance_spark.plans.fanout_rewrite import (
+        rewrite_fanout_count,
+    )
 
+    rw_schema = {"imdb": "job"}.get(schema, schema)
     out = []
     with open(path, encoding="utf-8") as fh:
         for line in fh:
             if not line.strip():
                 continue
             rec = _json.loads(line)
-            out.append(
-                (rec["query_id"], synth.normalize_workload_sql(rec["SQL"]))
-            )
+            sql = synth.normalize_workload_sql(rec["SQL"])
+            sql = rewrite_fanout_count(sql, rw_schema) or sql
+            out.append((rec["query_id"], sql))
     return out
 
 
@@ -153,7 +164,9 @@ def main() -> None:
     if args.workload_ndjson:
         if not args.workload_schema:
             raise SystemExit("--workload-ndjson requires --workload-schema")
-        queries = _load_ndjson_workload(args.workload_ndjson)
+        queries = _load_ndjson_workload(
+            args.workload_ndjson, args.workload_schema
+        )
     elif args.battery:
         queries = _battery(args.battery)
     else:

@@ -85,10 +85,20 @@ def main() -> None:
     t0 = time.perf_counter()
     ok = fail = err = rows_only = 0
     failures = []
+    from lakehouse_variance_spark.plans.fanout_rewrite import (
+        rewrite_fanout_count,
+    )
+
+    n_rewritten = 0
     for i, q in enumerate(rows):
         text = synth.normalize_workload_sql(q["SQL"])
+        # The ENGINE runs the count-product form where the fan-out rewrite
+        # fires; the DuckDB oracle keeps the NAIVE text — each hash match
+        # below is a proof of the rewrite's equivalence.
+        spark_text = rewrite_fanout_count(text, schema) or text
+        n_rewritten += spark_text is not text
         try:
-            s = synth.sql_quoted_idents(spark, text).toPandas()
+            s = synth.sql_quoted_idents(spark, spark_text).toPandas()
             o = con.sql(oracle_for(text)).df()
         except Exception as ex:
             err += 1
@@ -137,6 +147,9 @@ def main() -> None:
         "positional_hash_match": rows_only,
         "mismatch": fail,
         "engine_error": err,
+        # texts where the engine ran the count-product rewrite against
+        # the naive DuckDB oracle (each is a rewrite-equivalence proof)
+        "fanout_rewritten": n_rewritten,
         "wall_s": round(time.perf_counter() - t0, 1),
         "failures": failures[:20],
     }

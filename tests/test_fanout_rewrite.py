@@ -1,0 +1,196 @@
+"""Count-product rewrite of multiplicative LEFT-join fan-out texts
+(`plans/fanout_rewrite.py`) — the partial-aggregation pushdown Trino
+applies (`optimizer.push-partial-aggregation-through-join`) and Catalyst
+lacks, which killed 2/3,077 Local_TPCDS train texts at the 300 s budget
+in round 7.
+
+Equivalence law: for every text the rewrite fires on, the rewritten SQL
+must produce the exact rows of the naive text.  Checked here on DuckDB
+(both forms, derived tpcds schema) for the two real kill texts plus
+guard-rail shapes; the full 15,430-text corpus proof lives in
+`scripts/workload_oracle_sweep.py` (engine runs the rewrite, oracle the
+naive text — 673 firings, 673 hash matches).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import duckdb
+import pytest
+
+from lakehouse_variance_spark.plans import synth_common as synth
+from lakehouse_variance_spark.plans.fanout_rewrite import rewrite_fanout_count
+from lakehouse_variance_spark.plans.tpcds_schema import oracle_sql_for
+from tests.conftest import SF_DIR
+
+_LOCAL_TRAIN = (
+    "/root/reference/models/Queries/Local_TPCDS/tpcds_Local_train.ndjson"
+)
+# The two texts that blew the round-7 kill budget (see
+# WORKLOAD_COMPARE_tpcds_local_train.md "Kill-budget notes").
+_KILL_IDS = ("q29", "q2172")
+
+
+def _duck():
+    con = duckdb.connect()
+    for t in ("region", "nation", "customer", "supplier", "part",
+              "orders", "lineitem", "events", "documents", "embeddings"):
+        con.sql(
+            f"CREATE VIEW {t} AS "
+            f"SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')"
+        )
+    return con
+
+
+def _kill_texts() -> dict[str, str]:
+    out = {}
+    with open(_LOCAL_TRAIN, encoding="utf-8") as fh:
+        for line in fh:
+            rec = json.loads(line)
+            if rec["query_id"] in _KILL_IDS:
+                out[rec["query_id"]] = synth.normalize_workload_sql(
+                    rec["SQL"]
+                )
+    return out
+
+
+@pytest.mark.skipif(
+    not os.path.exists(_LOCAL_TRAIN), reason="reference workloads absent"
+)
+def test_kill_texts_rewrite_exactly():
+    con = _duck()
+    texts = _kill_texts()
+    assert set(texts) == set(_KILL_IDS)
+    for qid, sql in texts.items():
+        rw = rewrite_fanout_count(sql, "tpcds")
+        assert rw is not None, f"{qid}: rewrite must fire"
+        naive = con.sql(oracle_sql_for(sql)).df()
+        fact = con.sql(oracle_sql_for(rw)).df()
+        naive = naive.sort_values(list(naive.columns)).reset_index(drop=True)
+        fact = fact.sort_values(list(fact.columns)).reset_index(drop=True)
+        assert list(naive.columns) == list(fact.columns), qid
+        assert naive.equals(fact), f"{qid}: rewritten rows differ"
+
+
+# Hand-built shapes over the derived tpcds schema exercising each mode.
+_GROUP_ON_ROOT = """
+SELECT "warehouse"."w_state", COUNT(*) as agg_0
+FROM "warehouse"
+LEFT OUTER JOIN "web_sales" ON "warehouse"."w_warehouse_sk" = "web_sales"."ws_warehouse_sk"
+LEFT OUTER JOIN "catalog_sales" ON "warehouse"."w_warehouse_sk" = "catalog_sales"."cs_warehouse_sk"
+GROUP BY "warehouse"."w_state" ORDER BY "warehouse"."w_state"
+"""
+
+_GROUP_ON_LEFT_BRANCH = """
+SELECT "date_dim"."d_year", COUNT(*) as agg_0
+FROM "reason"
+LEFT OUTER JOIN "web_returns" ON "reason"."r_reason_sk" = "web_returns"."wr_reason_sk"
+LEFT OUTER JOIN "store_returns" ON "reason"."r_reason_sk" = "store_returns"."sr_reason_sk"
+LEFT OUTER JOIN "date_dim" ON "store_returns"."sr_returned_date_sk" = "date_dim"."d_date_sk"
+GROUP BY "date_dim"."d_year"
+"""
+
+_MIXED_INNER_LEFT = """
+SELECT COUNT(*) as agg_0
+FROM "reason"
+LEFT OUTER JOIN "web_returns" ON "reason"."r_reason_sk" = "web_returns"."wr_reason_sk"
+LEFT OUTER JOIN "catalog_returns" ON "reason"."r_reason_sk" = "catalog_returns"."cr_reason_sk"
+WHERE "catalog_returns"."cr_return_quantity" > 2
+"""
+
+
+@pytest.mark.parametrize(
+    "sql", [_GROUP_ON_ROOT, _GROUP_ON_LEFT_BRANCH, _MIXED_INNER_LEFT]
+)
+def test_shape_battery_exact(sql):
+    rw = rewrite_fanout_count(sql, "tpcds")
+    assert rw is not None
+    con = _duck()
+    naive = con.sql(oracle_sql_for(sql)).df()
+    fact = con.sql(oracle_sql_for(rw)).df()
+    naive = naive.sort_values(list(naive.columns)).reset_index(drop=True)
+    fact = fact.sort_values(list(fact.columns)).reset_index(drop=True)
+    assert naive.equals(fact)
+
+
+def test_guards_bail():
+    # Only one fan-out branch: naive plan is linear, no rewrite.
+    one_branch = (
+        'SELECT COUNT(*) as agg_0 FROM "reason" LEFT OUTER JOIN '
+        '"web_returns" ON "reason"."r_reason_sk" = '
+        '"web_returns"."wr_reason_sk"'
+    )
+    assert rewrite_fanout_count(one_branch, "tpcds") is None
+
+    # Unique-key children can't multiply: no rewrite.
+    dims_only = (
+        'SELECT COUNT(*) as agg_0 FROM "store_sales" '
+        'LEFT OUTER JOIN "date_dim" ON "store_sales"."ss_sold_date_sk" = '
+        '"date_dim"."d_date_sk" LEFT OUTER JOIN "item" ON '
+        '"store_sales"."ss_item_sk" = "item"."i_item_sk"'
+    )
+    assert rewrite_fanout_count(dims_only, "tpcds") is None
+
+    # Branch predicate that is NOT null-rejecting (IS NULL may keep the
+    # padded NULL row): exactness would need pre/post counts — bail.
+    null_keeping = (
+        'SELECT COUNT(*) as agg_0 FROM "reason" LEFT OUTER JOIN '
+        '"web_returns" ON "reason"."r_reason_sk" = '
+        '"web_returns"."wr_reason_sk" LEFT OUTER JOIN "store_returns" ON '
+        '"reason"."r_reason_sk" = "store_returns"."sr_reason_sk" '
+        'WHERE "web_returns"."wr_web_page_sk" IS NULL'
+    )
+    assert rewrite_fanout_count(null_keeping, "tpcds") is None
+
+    # Non-COUNT aggregate: out of scope.
+    summed = (
+        'SELECT CAST(sum("web_returns"."wr_return_quantity") AS BIGINT) '
+        'as agg_0 FROM "reason" LEFT OUTER JOIN "web_returns" ON '
+        '"reason"."r_reason_sk" = "web_returns"."wr_reason_sk" '
+        'LEFT OUTER JOIN "store_returns" ON "reason"."r_reason_sk" = '
+        '"store_returns"."sr_reason_sk"'
+    )
+    assert rewrite_fanout_count(summed, "tpcds") is None
+
+    # Conjunct spanning two tables: cannot be assigned to one branch.
+    cross_conj = (
+        'SELECT COUNT(*) as agg_0 FROM "reason" LEFT OUTER JOIN '
+        '"web_returns" ON "reason"."r_reason_sk" = '
+        '"web_returns"."wr_reason_sk" LEFT OUTER JOIN "store_returns" ON '
+        '"reason"."r_reason_sk" = "store_returns"."sr_reason_sk" WHERE '
+        '"web_returns"."wr_item_sk" = "store_returns"."sr_item_sk"'
+    )
+    assert rewrite_fanout_count(cross_conj, "tpcds") is None
+
+
+@pytest.mark.skipif(
+    not os.path.exists(_LOCAL_TRAIN), reason="reference workloads absent"
+)
+def test_kill_text_runs_on_spark(spark):
+    """The rewritten kill text must execute on Spark and match DuckDB's
+    naive result (the round-7 failure mode was Spark-side)."""
+    texts = _kill_texts()
+    sql = texts["q2172"]
+    rw = rewrite_fanout_count(sql, "tpcds")
+    from lakehouse_variance_spark.plans.tpcds_schema import (
+        register_tpcds_views,
+    )
+
+    register_tpcds_views(spark, SF_DIR)
+    got = (
+        synth.sql_quoted_idents(spark, rw)
+        .toPandas()
+        .sort_values("t_shift")
+        .reset_index(drop=True)
+    )
+    con = _duck()
+    want = (
+        con.sql(oracle_sql_for(sql))
+        .df()
+        .sort_values("t_shift")
+        .reset_index(drop=True)
+    )
+    assert got["agg_0"].tolist() == want["agg_0"].tolist()
+    assert got["t_shift"].tolist() == want["t_shift"].tolist()

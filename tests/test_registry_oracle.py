@@ -137,3 +137,17 @@ def test_hll_intersect_envelope(spark, duck):
     assert r["n_intersect"] == exact
     assert r["a_in_envelope"] and r["n_in_envelope"]
     assert r["union_in_envelope"] and r["intersect_in_envelope"]
+
+
+def test_readme_counts_match_registry():
+    """README's correctness counts are emitted by scripts/gen_counts.py
+    from the live registry; hand-edited drift fails here (VERDICT r7 #3)."""
+    import os
+    import re
+
+    readme = os.path.join(os.path.dirname(__file__), "..", "README.md")
+    text = open(readme, encoding="utf-8").read()
+    m = re.search(r"\((\d+) oracle-checked \+ (\d+) law-gated rows-only", text)
+    assert m, "README counts sentence missing"
+    assert int(m.group(1)) == len(ORACLE_QUERIES)
+    assert int(m.group(2)) == len(ROWS_ONLY_QUERIES)
