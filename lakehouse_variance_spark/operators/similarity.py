@@ -201,12 +201,10 @@ def _with_tables(df: DataFrame) -> DataFrame:
     )
 
 
-@register("ann_lsh_topk")
-def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate top-k: multi-table random-hyperplane LSH; candidates share
-    any table's bucket with the query, then exact cosine re-ranks the
-    candidate set (rows-only check; recall vs brute force asserted in
-    tests/test_similarity.py).
+def _lsh_topk_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The LSH approximate top-k pairs (query_id, neighbor_id, cosine) —
+    multi-table random-hyperplane LSH; candidates share any table's bucket
+    with the query, then exact cosine re-ranks the candidate set.
 
     At scale: bucketing is one narrow map; the candidate join is an equi-join
     on (table, bucket), so compute tracks bucket occupancy instead of
@@ -233,6 +231,100 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         pairs.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= TOP_K)
         .select("query_id", "neighbor_id", F.round("cos", 4).alias("cosine"))
+    )
+
+
+RECALL_TAU = 0.3  # the tests' mean-recall floor (measured 0.47-0.53)
+
+
+@register(
+    "ann_lsh_topk",
+    oracle=f"""
+    WITH ranked AS (
+        SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+               row_number() OVER (
+                   PARTITION BY a.vec_id
+                   ORDER BY list_cosine_similarity(a.embedding::DOUBLE[],
+                                                   b.embedding::DOUBLE[]) DESC,
+                            b.vec_id) AS rn
+        FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+        WHERE a.vec_id < {N_QUERY_VECS})
+    SELECT query_id,
+           string_agg(CAST(neighbor_id AS VARCHAR), ',' ORDER BY rn)
+               AS exact_topk,
+           CAST(count(*) AS BIGINT) AS n_exact,
+           TRUE AS mean_recall_ok
+    FROM ranked WHERE rn <= {TOP_K}
+    GROUP BY query_id
+    """,
+)
+def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH approximate top-k, oracle-checked via a RECALL ENVELOPE (the
+    bracketing pattern of agg_approx_percentiles: the approximate result
+    itself is engine-specific, so the output carries EXACT values both
+    engines can compute plus a boolean asserting the approximation's law).
+
+    Per query the output holds the exact brute-force top-k (rank-ordered
+    id string + count — DuckDB reproduces both from
+    ``list_cosine_similarity``), and every row carries ``mean_recall_ok``:
+    the MEAN recall of the LSH candidates against that exact top-k is
+    >= {RECALL_TAU} (measured 0.47-0.53 across sf0.001/0.01/0.1; per-query
+    recall is too coarse at k=3 to bracket — it can legitimately be 0 for
+    one query).  The DuckDB oracle emits TRUE, so a hash match certifies
+    both the exact brackets and the recall law.  The brute-force side is
+    the verification HARNESS (cost: one broadcast of {N_QUERY_VECS}
+    constant query vectors over the corpus); the production operator is
+    the bucketed candidate join in ``_lsh_topk_pairs``."""
+    approx = _lsh_topk_pairs(spark, sf_dir).select("query_id", "neighbor_id")
+    exact = _exact_topk_ranked(spark, sf_dir)
+    per_q = exact.groupBy("query_id").agg(
+        F.concat_ws(
+            ",",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("rn", "neighbor_id"))),
+                lambda s: s["neighbor_id"].cast("string"),
+            ),
+        ).alias("exact_topk"),
+        F.count("*").cast("bigint").alias("n_exact"),
+    )
+    marked = exact.join(
+        approx.withColumn("hit", F.lit(1)),
+        ["query_id", "neighbor_id"],
+        "left",
+    )
+    scalar = marked.agg(
+        (
+            F.sum(F.coalesce("hit", F.lit(0))) / F.count("*")
+            >= F.lit(RECALL_TAU)
+        ).alias("mean_recall_ok")
+    )
+    # 5-row x 1-row scalar join (constant-size BNLJ, audited in
+    # tests/test_plan_sweep.py).
+    return per_q.crossJoin(F.broadcast(scalar))
+
+
+def _exact_topk_ranked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact brute-force top-k with rank retained (query_id, neighbor_id,
+    rn) — the verification bracket for the ANN envelope; same ordering
+    contract as embed_cosine_topk's oracle (raw cosine DESC, id ASC)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = _prepped(
+        emb.filter(F.col("vec_id") < N_QUERY_VECS), "vec_id", "embedding"
+    ).withColumnsRenamed({"vec_id": "query_id", "v": "qv", "nrm": "qn"})
+    candidates = _prepped(emb, "vec_id", "embedding").withColumnsRenamed(
+        {"vec_id": "neighbor_id", "v": "cv", "nrm": "cn"}
+    )
+    cos = dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn"))
+    pairs = candidates.join(
+        F.broadcast(queries), F.col("neighbor_id") != F.col("query_id")
+    ).select("query_id", "neighbor_id", cos.alias("cos"))
+    w = W.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id")
+    )
+    return (
+        pairs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= TOP_K)
+        .select("query_id", "neighbor_id", "rn")
     )
 
 

@@ -1,0 +1,128 @@
+"""5-run variance study of THIS engine, computed BY this engine.
+
+The reference's core deliverable is the CV-across-5-runs table
+(``traces/tools/helpers.py:40-90`` → the paper's Table 1).  Round 7's
+anchor had only 3 attempts and the summary was computed ad hoc; this
+script closes the loop end-to-end:
+
+1. (caller) ``run_workload.py --battery tpcds --attempts 5`` writes
+   ``Workload_log_BASE_{1..5}.ndjson`` — the reference's exact log layout;
+2. THIS engine's own trace-analytics operators load and summarize them:
+   ``load_workload_logs`` (sentinel-NULLing, run-tag extraction) →
+   ``summarize_single_config`` (per-run means, per-query std/CV with the
+   Bessel-at-n=5 rule, Table-1 aggregates);
+3. the Table-1-shaped row + the per-query CV detail land in
+   ``SELF_VARIANCE.md``.
+
+Usage:
+    python scripts/run_workload.py --battery tpcds --attempts 5 \
+        --log-dir workload_logs_tpcds_selfvar
+    python scripts/self_variance.py [--log-dir workload_logs_tpcds_selfvar]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+HERE = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, HERE)
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from lakehouse_variance_spark.analytics.traces import (  # noqa: E402
+    load_workload_logs,
+    summarize_single_config,
+)
+from lakehouse_variance_spark.session import build_session  # noqa: E402
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--log-dir", default="workload_logs_tpcds_selfvar")
+    ap.add_argument("--out", default="SELF_VARIANCE.md")
+    args = ap.parse_args()
+
+    spark = build_session(app_name="self-variance", shuffle_partitions=8)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    log = load_workload_logs(spark, args.log_dir)
+    summary = summarize_single_config(log).toPandas()
+
+    per_query = (
+        log.filter(F.col("runtime_s").isNotNull())
+        .groupBy("query_id")
+        .agg(
+            F.count("runtime_s").alias("n"),
+            F.avg("runtime_s").alias("mean_s"),
+            F.stddev_samp("runtime_s").alias("std_s"),
+        )
+        .withColumn("cv_pct", 100.0 * F.col("std_s") / F.col("mean_s"))
+        .orderBy("query_id")
+        .toPandas()
+    )
+
+    s = summary.iloc[0]
+    lines = [
+        "# SELF_VARIANCE — 5-run variance study of this engine, "
+        "computed by this engine",
+        "",
+        f"Logs: `{args.log_dir}/Workload_log_BASE_{{1..5}}.ndjson` "
+        "(verbatim 99-query TPC-DS battery at sf0.1, local[32]), written "
+        "by `scripts/run_workload.py --battery tpcds --attempts 5` and "
+        "summarized END-TO-END by the engine's own trace operators "
+        "(`analytics/traces.py:load_workload_logs` + "
+        "`summarize_single_config` — the reference's "
+        "`helpers.py:40-90` pipeline, Table-1 shape).",
+        "",
+        "## Table-1 row (this engine)",
+        "",
+        "| Mean Runtime Avg (s) | Std (s) | P50 (s) | P99 (s) | "
+        "Std Avg (s) | Std P50 | Std P99 | CV Avg (%) | CV P50 | CV P99 | "
+        "runs | queries |",
+        "|---|---|---|---|---|---|---|---|---|---|---|---|",
+        "| {:.4f} | {:.4f} | {:.4f} | {:.4f} | {:.4f} | {:.4f} | {:.4f} "
+        "| {:.2f} | {:.2f} | {:.2f} | {} | {} |".format(
+            s["mean_runtime_avg_s"], s["mean_runtime_std_s"],
+            s["mean_runtime_p50_s"], s["mean_runtime_p99_s"],
+            s["std_avg_s"], s["std_p50_s"], s["std_p99_s"],
+            s["cv_avg_pct"], s["cv_p50_pct"], s["cv_p99_pct"],
+            int(s["runs"]), int(s["queries"]),
+        ),
+        "",
+        "## Per-query repeatability (5 runs each)",
+        "",
+        "| query | n | mean (s) | std (s) | CV (%) |",
+        "|---|---|---|---|---|",
+    ]
+    for _, r in per_query.iterrows():
+        lines.append(
+            f"| q{int(r['query_id'])} | {int(r['n'])} | {r['mean_s']:.3f} "
+            f"| {r['std_s']:.4f} | {r['cv_pct']:.2f} |"
+        )
+    worst = per_query.nlargest(5, "cv_pct")
+    lines += [
+        "",
+        "## Reading",
+        "",
+        "Highest-variance queries: "
+        + ", ".join(
+            f"q{int(r.query_id)} (CV {r.cv_pct:.1f}%)"
+            for r in worst.itertuples()
+        )
+        + ".",
+        "",
+        "The reference's published SF_10 Trino row (traces/study_1) has "
+        "CV Avg ≈ 5-10% on a warm warehouse; single-node local[32] adds "
+        "JIT/GC co-load, so per-query CVs above that band are expected "
+        "for sub-second queries where constants dominate.",
+    ]
+    with open(os.path.join(HERE, args.out), "w", encoding="utf-8") as fh:
+        fh.write("\n".join(lines) + "\n")
+    print(f"wrote {args.out}: CV avg {s['cv_avg_pct']:.2f}% over "
+          f"{int(s['queries'])} queries x {int(s['runs'])} runs")
+
+
+if __name__ == "__main__":
+    main()

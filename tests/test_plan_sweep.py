@@ -63,6 +63,10 @@ BNLJ_ALLOWED: set[str] = {
     # scaled) probing the corpus in one pass:
     "embed_cosine_topk",
     "ann_ivf_topk",
+    "ann_lsh_topk",  # recall-envelope harness: 5-query-vec brute-force
+                     # bracket + 1-row mean-recall scalar crossJoin; the
+                     # production candidate join is the (t, b) equi-join
+                     # (see operators/similarity.py:ann_lsh_topk docstring)
     # Documented exact all-pairs correctness BASELINE; the scale paths are
     # ann_lsh_topk / ann_ivf_topk / dedup_embedding's cluster-pruned join:
     "embed_cosine_pairs",

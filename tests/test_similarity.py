@@ -17,7 +17,7 @@ def _topk_sets(df):
 
 def test_ann_recall_vs_bruteforce(spark):
     exact = _topk_sets(similarity.embed_cosine_topk(spark, SF_DIR_MEDIUM))
-    lsh = _topk_sets(similarity.ann_lsh_topk(spark, SF_DIR_MEDIUM))
+    lsh = _topk_sets(similarity._lsh_topk_pairs(spark, SF_DIR_MEDIUM))
     ivf = _topk_sets(similarity.ann_ivf_topk(spark, SF_DIR_MEDIUM))
     pq = _topk_sets(similarity.ann_pq_topk(spark, SF_DIR_MEDIUM))
     assert set(exact) == set(range(similarity.N_QUERY_VECS))
