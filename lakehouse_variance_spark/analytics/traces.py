@@ -66,9 +66,18 @@ def load_workload_logs(
         ),
     ).withColumn(
         "query_id",
-        F.regexp_extract(F.col("query_id").cast("string"), r"^q?(\d+)$", 1).cast(
-            "int"
-        ),
+        # trailing-number extraction covers the reference's "q96"/96 ids
+        # AND this engine's battery names ("tpcds_q96"); a non-numeric id
+        # becomes NULL instead of an ANSI-mode cast crash.
+        F.when(
+            F.regexp_extract(
+                F.col("query_id").cast("string"), r"(\d+)$", 1
+            )
+            != "",
+            F.regexp_extract(
+                F.col("query_id").cast("string"), r"(\d+)$", 1
+            ),
+        ).cast("int"),
     )
     for col in METRIC_COLUMNS:
         if col in df.columns:
