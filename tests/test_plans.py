@@ -284,5 +284,10 @@ def test_run_workload_streams_log_and_resumes(spark, tmp_path):
     lines = [_json.loads(l) for l in log.read_text().splitlines()]
     assert [r["query_id"] for r in lines] == ["a", "b", "c", "b"]
     assert lines[-1]["Runtime (s)"] >= 0
-    # returned records: 3 resumed + 1 fresh
-    assert sum(1 for r in recs if r["query_id"] == "b") == 2
+    # Returned records dedupe by query_id keeping the LATEST (ADVICE r7:
+    # the superseded sentinel would double-count in len()/sum() summaries);
+    # the NDJSON log above keeps the full history including the sentinel.
+    assert sum(1 for r in recs if r["query_id"] == "b") == 1
+    b = next(r for r in recs if r["query_id"] == "b")
+    assert b["Runtime (s)"] >= 0  # the retried record, not the sentinel
+    assert len(recs) == 3
