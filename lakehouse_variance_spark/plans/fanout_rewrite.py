@@ -208,14 +208,21 @@ def _find_clause(text: str, keyword: str) -> int:
 
 
 # A conjunct is NULL-REJECTING when all-NULL column inputs cannot make it
-# TRUE.  Comparisons, IN, (NOT) LIKE, BETWEEN, != and OR/AND combinations
-# of those all yield NULL on NULL inputs (never TRUE); `x IS NOT NULL` is
-# FALSE on NULL.  The only generator-expressible escapes are `IS NULL`
-# and NULL-defaulting functions — their presence disqualifies.
-_NULL_SAFE_STRIP = re.compile(r"\bIS\s+NOT\s+NULL\b", re.IGNORECASE)
+# TRUE.  Comparisons, IN, NOT LIKE / NOT IN / NOT BETWEEN, != and OR/AND
+# combinations of those all yield NULL on NULL inputs (never TRUE);
+# `x IS NOT NULL` is FALSE on NULL.  Escapes that CAN be TRUE on NULL
+# inputs disqualify: `IS NULL`, NULL-defaulting functions, and — crucially
+# — any *bare* NOT that survives after the safe NOT-forms are stripped,
+# because `NOT (x IS NOT NULL)` is TRUE on NULL (it IS `x IS NULL`) and
+# `NOT <null-yielding>` stays NULL only when the operand does; we cannot
+# prove which without a parser, so a leftover NOT always bails.
+_NULL_SAFE_STRIP = re.compile(
+    r"\bIS\s+NOT\s+NULL\b|\bNOT\s+(?=LIKE\b|IN\b|BETWEEN\b)",
+    re.IGNORECASE,
+)
 _NULL_ESCAPES = re.compile(
     r"\bIS\s+NULL\b|\bCOALESCE\b|\bIFNULL\b|\bNULLIF\b|\bCASE\b"
-    r"|\bDISTINCT\s+FROM\b|\bTRUE\b",
+    r"|\bDISTINCT\s+FROM\b|\bTRUE\b|\bNOT\b",
     re.IGNORECASE,
 )
 

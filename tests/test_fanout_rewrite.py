@@ -184,6 +184,28 @@ def test_guards_bail():
     )
     assert rewrite_fanout_count(summed, "tpcds") is None
 
+    # NOT (col IS NOT NULL) is semantically IS NULL (TRUE on the padded
+    # NULL row) — a bare NOT surviving the safe-form strip must bail.
+    not_wrapped = (
+        'SELECT COUNT(*) as agg_0 FROM "reason" LEFT OUTER JOIN '
+        '"web_returns" ON "reason"."r_reason_sk" = '
+        '"web_returns"."wr_reason_sk" LEFT OUTER JOIN "store_returns" ON '
+        '"reason"."r_reason_sk" = "store_returns"."sr_reason_sk" '
+        'WHERE NOT ("web_returns"."wr_web_page_sk" IS NOT NULL)'
+    )
+    assert rewrite_fanout_count(not_wrapped, "tpcds") is None
+
+    # But NOT LIKE / NOT IN / NOT BETWEEN remain null-rejecting (NULL in
+    # → NULL out, never TRUE) and must still fire.
+    from lakehouse_variance_spark.plans.fanout_rewrite import (
+        _null_rejecting,
+    )
+    assert _null_rejecting('"r"."c" NOT LIKE \'%x%\'')
+    assert _null_rejecting('"r"."c" NOT IN (1, 2)')
+    assert _null_rejecting('"r"."c" NOT BETWEEN 1 AND 2')
+    assert not _null_rejecting('NOT ("r"."c" IS NOT NULL)')
+    assert not _null_rejecting('NOT ("r"."c" > 1)')
+
     # Conjunct spanning two tables: cannot be assigned to one branch.
     cross_conj = (
         'SELECT COUNT(*) as agg_0 FROM "reason" LEFT OUTER JOIN '
