@@ -45,7 +45,9 @@ def load_workload_logs(
     Distributed equivalent of reference ``helpers.py:97-169``: the run tag
     comes from the file name (via ``input_file_name`` — no driver-side
     listing, so a 1000-run log directory loads in parallel), query ids
-    normalize ``"q96"``/``96`` → 96, and negative metric values (the
+    normalize ``"q96"``/``96`` → ``"96"`` (any other id is kept verbatim
+    as a string so distinct ids never collide), and negative metric
+    values (the
     reference's failure sentinel ``-1``, ``run_workload.py:62-64``) become
     NULL before any statistics.
 
@@ -66,18 +68,18 @@ def load_workload_logs(
         ),
     ).withColumn(
         "query_id",
-        # trailing-number extraction covers the reference's "q96"/96 ids
-        # AND this engine's battery names ("tpcds_q96"); a non-numeric id
-        # becomes NULL instead of an ANSI-mode cast crash.
+        # Canonical STRING key: the reference's "q96"/96 forms normalize
+        # to "96" (helpers.py compat); any other id — this engine's
+        # battery names ("tpcds_q96"), multi-number ids ("ssb_q1_1") —
+        # is kept verbatim, so distinct raw ids can NEVER merge.  (The
+        # previous trailing-digits int extraction collided "ssb_q1_1"
+        # with "ssb_q2_1" → 1, silently pooling their statistics.)
         F.when(
+            F.col("query_id").cast("string").rlike(r"^q?\d+$"),
             F.regexp_extract(
-                F.col("query_id").cast("string"), r"(\d+)$", 1
-            )
-            != "",
-            F.regexp_extract(
-                F.col("query_id").cast("string"), r"(\d+)$", 1
+                F.col("query_id").cast("string"), r"^q?(\d+)$", 1
             ),
-        ).cast("int"),
+        ).otherwise(F.col("query_id").cast("string")),
     )
     for col in METRIC_COLUMNS:
         if col in df.columns:

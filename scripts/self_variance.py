@@ -38,6 +38,18 @@ from lakehouse_variance_spark.analytics.traces import (  # noqa: E402
 from lakehouse_variance_spark.session import build_session  # noqa: E402
 
 
+def _qlabel(qid: object) -> str:
+    """Render a canonical query_id for the table: "96" -> q96,
+    "tpcds_q96" -> q96, anything else (e.g. "ssb_q1_1") verbatim."""
+    s = str(qid)
+    if s.isdigit():
+        return f"q{s}"
+    tail = s.split("_")[-1]
+    if tail.startswith("q") and tail[1:].isdigit():
+        return tail
+    return s
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--log-dir", default="workload_logs_tpcds_selfvar")
@@ -59,7 +71,12 @@ def main() -> None:
             F.stddev_samp("runtime_s").alias("std_s"),
         )
         .withColumn("cv_pct", 100.0 * F.col("std_s") / F.col("mean_s"))
-        .orderBy("query_id")
+        .withColumn(
+            "_qnum",
+            F.regexp_extract(F.col("query_id"), r"(\d+)", 1).cast("int"),
+        )
+        .orderBy("_qnum", "query_id")
+        .drop("_qnum")
         .toPandas()
     )
 
@@ -98,7 +115,7 @@ def main() -> None:
     ]
     for _, r in per_query.iterrows():
         lines.append(
-            f"| q{int(r['query_id'])} | {int(r['n'])} | {r['mean_s']:.3f} "
+            f"| {_qlabel(r['query_id'])} | {int(r['n'])} | {r['mean_s']:.3f} "
             f"| {r['std_s']:.4f} | {r['cv_pct']:.2f} |"
         )
     worst = per_query.nlargest(5, "cv_pct")
@@ -108,7 +125,7 @@ def main() -> None:
         "",
         "Highest-variance queries: "
         + ", ".join(
-            f"q{int(r.query_id)} (CV {r.cv_pct:.1f}%)"
+            f"{_qlabel(r.query_id)} (CV {r.cv_pct:.1f}%)"
             for r in worst.itertuples()
         )
         + ".",

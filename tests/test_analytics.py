@@ -118,11 +118,33 @@ def test_load_workload_logs(spark, tmp_path):
 
     df = load_workload_logs(spark, str(tmp_path))
     rows = {(r["run"], r["query_id"]): r for r in df.collect()}
-    assert rows[("Run 2", 2)]["runtime_s"] == 4.0
+    assert rows[("Run 2", "2")]["runtime_s"] == 4.0
     # failure sentinel -1 -> NULL, not dropped
-    assert rows[("Run 1", 3)]["runtime_s"] is None
-    assert rows[("Run 1", 3)]["elapsed_s"] is None
+    assert rows[("Run 1", "3")]["runtime_s"] is None
+    assert rows[("Run 1", "3")]["elapsed_s"] is None
     assert len(rows) == 6
+
+
+def test_load_workload_logs_multinumber_ids_stay_distinct(spark, tmp_path):
+    """Battery names with more than one number (ssb_q1_1 vs ssb_q2_1)
+    must NOT merge into one key — the old trailing-digits int extraction
+    collapsed both to 1, silently pooling their statistics."""
+    rows = [
+        {"query_id": "ssb_q1_1", "Runtime (s)": 1.0, "elapsed_s": 1.0},
+        {"query_id": "ssb_q2_1", "Runtime (s)": 2.0, "elapsed_s": 2.0},
+        {"query_id": "ssb_q4_3", "Runtime (s)": 3.0, "elapsed_s": 3.0},
+        {"query_id": "q96", "Runtime (s)": 4.0, "elapsed_s": 4.0},
+        {"query_id": 96, "Runtime (s)": 5.0, "elapsed_s": 5.0},
+        {"query_id": "tpcds_q96", "Runtime (s)": 6.0, "elapsed_s": 6.0},
+    ]
+    path = tmp_path / "Workload_log_BASE_1.ndjson"
+    path.write_text("\n".join(json.dumps(r) for r in rows) + "\n")
+    df = load_workload_logs(spark, str(tmp_path))
+    got = sorted(r["query_id"] for r in df.collect())
+    # ssb ids stay verbatim+distinct; "q96" and 96 normalize to "96"
+    # (reference helpers.py compat); battery names stay verbatim.
+    assert got == ["96", "96", "ssb_q1_1", "ssb_q2_1", "ssb_q4_3",
+                   "tpcds_q96"]
 
 
 # ---------------------------------------------------------------------------
