@@ -49,15 +49,23 @@ def main() -> None:
     n_rounds = len(glob.glob(os.path.join(HERE, "CORRECTNESS_r*.json")))
     recheck_pool = [n for n in registry.QUERIES if n in certified]
     order: list[str] = []
+    inserted: set[str] = set()
     ri = 0
     for i, name in enumerate(fresh):
         order.append(name)
         if (i + 1) % 9 == 0 and recheck_pool:
-            order.append(
-                recheck_pool[(n_rounds * 5 + ri) % len(recheck_pool)]
-            )
-            ri += 1
+            # Advance past pool entries already interleaved so the
+            # committed tuple stays duplicate-free even when the offset
+            # wraps (ADVICE r8); stop inserting once the pool is spent.
+            for _ in range(len(recheck_pool)):
+                cand = recheck_pool[(n_rounds * 5 + ri) % len(recheck_pool)]
+                ri += 1
+                if cand not in inserted:
+                    order.append(cand)
+                    inserted.add(cand)
+                    break
     fresh = order
+    assert len(fresh) == len(set(fresh)), "duplicate in SAMPLING_PRIORITY"
     out = os.path.join(HERE, "lakehouse_variance_spark", "sampling_order.py")
     with open(out, "w") as f:
         f.write(
