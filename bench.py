@@ -168,6 +168,15 @@ def main() -> None:
     for name in headline:
         registry.QUERIES[name](spark, sf_dir).count()
 
+    # Host-speed calibration (VERDICT r8 item 1): fixed micro-probe
+    # timings embedded in the artifact so cross-round comparisons can
+    # normalize away hypervisor throttling (SCALE.md drift log) from
+    # committed JSON alone.
+    from lakehouse_variance_spark.plans.calibrate import calibration_probe
+
+    calib = calibration_probe(spark)
+    print(f"# calibration: {calib}", file=sys.stderr)
+
     timings: dict[str, float] = {}
     for name in headline:
         fn = registry.QUERIES[name]
@@ -191,6 +200,7 @@ def main() -> None:
             "unit": "sec",
             "queries": timings,
             "sf": sf,
+            **calib,
         },
         separators=(",", ":"),
     )
@@ -217,6 +227,7 @@ def main() -> None:
             "unit": "sec",
             "queries": {"_see": self_json, "_n": len(timings)},
             "sf": sf,
+            **calib,
         },
         separators=(",", ":"),
     )

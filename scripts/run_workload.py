@@ -159,6 +159,14 @@ def main() -> None:
     ap.add_argument("--resume", action="store_true",
                     help="skip query ids already in the attempt's log "
                     "with a non-sentinel runtime (failed entries retry)")
+    ap.add_argument("--warmup", action="store_true",
+                    help="run one UNRECORDED battery pass before attempt "
+                    "1 so recorded attempts measure steady state (Janino "
+                    "codegen + JVM JIT of each plan are one-time session "
+                    "costs; without this, attempt 1 pollutes the 5-run "
+                    "variance study — VERDICT r8 item 5)")
+    ap.add_argument("--no-calibrate", action="store_true",
+                    help="skip the host-speed calibration micro-probe")
     args = ap.parse_args()
 
     if args.workload_ndjson:
@@ -187,6 +195,32 @@ def main() -> None:
     if battery_key in ("ssb_wl", "imdb_wl", "tpcds_wl"):
         # generated workload texts double-quote every identifier
         spark.conf.set("spark.sql.ansi.doubleQuotedIdentifiers", "true")
+
+    # Host-speed calibration (VERDICT r8 item 1): fixed micro-probe
+    # timings recorded alongside every battery artifact so cross-round
+    # runtime ratios can be normalized for hypervisor throttling from
+    # committed JSON alone (SCALE.md drift log).
+    calib: dict[str, float] = {}
+    if not args.no_calibrate:
+        from lakehouse_variance_spark.plans.calibrate import (
+            calibration_probe,
+        )
+
+        calib = calibration_probe(spark)
+        print(f"# calibration: {calib}", file=sys.stderr)
+        if not runner._is_remote_url(args.log_dir):
+            os.makedirs(args.log_dir, exist_ok=True)
+            with open(os.path.join(args.log_dir, "calibration.json"),
+                      "w") as fh:
+                json.dump(calib, fh)
+
+    if args.warmup:
+        warm = runner.run_workload(
+            spark, queries, log_dir=None, timeout_s=args.timeout_s
+        )
+        ok = sum(1 for r in warm if r["Runtime (s)"] >= 0)
+        print(f"# warmup (unrecorded): {ok}/{len(warm)} ok",
+              file=sys.stderr)
 
     all_records = []
     for attempt in range(1, args.attempts + 1):
@@ -227,6 +261,7 @@ def main() -> None:
                 "failed": len(all_records) - len(ok),
                 "total_runtime_s": round(sum(r["Runtime (s)"] for r in ok), 3),
                 "log_dir": args.log_dir,
+                **calib,
             }
         )
     )

@@ -31,8 +31,8 @@ def test_run_workload_log_roundtrip(spark, tmp_path):
     # becomes NULL (helpers.py:150-159 semantics).
     df = load_workload_logs(spark, str(tmp_path))
     rows = {r["query_id"]: r for r in df.collect()}
-    assert rows[1]["runtime_s"] > 0
-    assert rows[2]["runtime_s"] is None
+    assert rows["1"]["runtime_s"] > 0
+    assert rows["2"]["runtime_s"] is None
 
 
 def test_run_query_timeout_watchdog_kills_hung_query(spark):
@@ -164,6 +164,17 @@ def test_concurrent_workload_streams_overlap_and_log(spark, tmp_path):
     assert loaded.count() == 9
 
 
+def test_calibration_probe_shape(spark):
+    """The host-speed probe emits the two committed keys with sane
+    positive timings (cross-round bench normalization, VERDICT r8)."""
+    from lakehouse_variance_spark.plans.calibrate import calibration_probe
+
+    calib = calibration_probe(spark)
+    assert set(calib) == {"calib_1t_s", "calib_32t_s"}
+    assert 0 < calib["calib_1t_s"] < 120
+    assert 0 < calib["calib_32t_s"] < 120
+
+
 def test_run_workload_cli_on_sql_directory(spark, tmp_path, monkeypatch, capsys):
     """The CLI wrapper end-to-end on a q*.sql directory: arg parsing, view
     registration, NDJSON log layout, and the summary JSON line."""
@@ -192,6 +203,7 @@ def test_run_workload_cli_on_sql_directory(spark, tmp_path, monkeypatch, capsys)
             "/root/testdata/sf0.001",
             "--log-dir",
             str(tmp_path / "logs"),
+            "--no-calibrate",
         ],
     )
     # Reuse the session-fixture Spark (build_session is a getOrCreate).
