@@ -240,14 +240,121 @@ def pack_ffd(docs: DataFrame, capacity: int = FFD_CAPACITY) -> DataFrame:
     return sized.groupBy("source").applyInPandas(pack_group, schema)
 
 
-@register("pack_bins_ffd")
-def pack_bins_ffd(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """First-fit-decreasing context-window packing (see :func:`pack_ffd`).
-    Rows-only: FFD's placement recurrence is not SQL-expressible; the
-    capacity/partition/waste invariants are asserted in
-    tests/test_mixture.py."""
+def _pack_ffd_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-fit-decreasing context-window packing of the documents table
+    (see :func:`pack_ffd`) — the production operator; capacity/partition/
+    waste laws in tests/test_mixture.py."""
     docs = load_table(spark, sf_dir, "documents")
     return pack_ffd(docs)
+
+
+@register(
+    "pack_bins_ffd",
+    oracle=f"""
+    WITH sized AS (
+        SELECT doc_id, source,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS n
+        FROM documents)
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n) AS BIGINT) AS total_tokens,
+           CAST(sum(CASE WHEN n > {FFD_CAPACITY} THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_oversized,
+           CAST(sum(CASE WHEN n > {FFD_CAPACITY} THEN 1 ELSE 0 END)
+                + (sum(CASE WHEN n <= {FFD_CAPACITY} THEN n ELSE 0 END)
+                   + {FFD_CAPACITY} - 1) // {FFD_CAPACITY}
+                AS BIGINT) AS lb_bins,
+           TRUE AS partition_ok, TRUE AS capacity_ok,
+           TRUE AS half_full_ok, TRUE AS bins_lb_ok
+    FROM sized GROUP BY source
+    """,
+)
+def pack_bins_ffd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FFD packing, value-certified via a PACKING ENVELOPE (the r9
+    envelope pattern for sequential recurrences): one row per source with
+    EXACT brackets both engines compute — doc count, total tokens,
+    oversized-doc count, and the adjusted volume lower bound
+    ``n_oversized + ceil(fitting_tokens / capacity)`` — plus four
+    booleans the oracle emits as TRUE:
+
+    * ``partition_ok`` — the packing covers every input doc exactly once;
+    * ``capacity_ok`` — every bin fits the capacity, except an oversized
+      doc's dedicated singleton bin (pack_ffd's contract);
+    * ``half_full_ok`` — at most ONE non-oversized bin per source is
+      under half full (the classic first-fit theorem: when a second bin
+      opens, every earlier bin has too little room left, i.e. is more
+      than half full — so two under-half bins cannot coexist);
+    * ``bins_lb_ok`` — the bin count meets the volume lower bound.
+
+    The placement recurrence itself stays non-SQL-expressible; per-bin
+    laws continue in tests/test_mixture.py over ``_pack_ffd_bins``."""
+    cap = FFD_CAPACITY
+    docs = load_table(spark, sf_dir, "documents")
+    sized = docs.select(
+        "doc_id",
+        "source",
+        F.size(F.split("text", " ")).cast("bigint").alias("n"),
+    )
+    brackets = sized.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("n").cast("bigint").alias("total_tokens"),
+        F.sum(F.when(F.col("n") > cap, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_oversized"),
+        (
+            F.sum(F.when(F.col("n") > cap, 1).otherwise(0))
+            + F.floor(
+                (F.sum(F.when(F.col("n") <= cap, F.col("n")).otherwise(0))
+                 + cap - 1)
+                / cap
+            )
+        )
+        .cast("bigint")
+        .alias("lb_bins"),
+    )
+    packed = pack_ffd(docs)
+    bins = packed.groupBy("source", "bin_id").agg(
+        F.sum("n_tokens").alias("bin_tokens"),
+        F.count("*").alias("bin_docs"),
+    )
+    per_src_bins = bins.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("n_bins"),
+        F.min(
+            (F.col("bin_tokens") <= cap) | (F.col("bin_docs") == 1)
+        ).alias("capacity_ok"),
+        (
+            F.sum(
+                F.when(
+                    (F.col("bin_tokens") <= cap)
+                    & (F.col("bin_tokens") * 2 < cap),
+                    1,
+                ).otherwise(0)
+            )
+            <= 1
+        ).alias("half_full_ok"),
+    )
+    per_src_docs = packed.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("n_packed"),
+        F.countDistinct("doc_id").cast("bigint").alias("n_packed_distinct"),
+    )
+    return (
+        brackets.join(per_src_bins, "source")
+        .join(per_src_docs, "source")
+        .select(
+            "source",
+            "n_docs",
+            "total_tokens",
+            "n_oversized",
+            "lb_bins",
+            (
+                (F.col("n_packed") == F.col("n_docs"))
+                & (F.col("n_packed_distinct") == F.col("n_docs"))
+            ).alias("partition_ok"),
+            "capacity_ok",
+            "half_full_ok",
+            (F.col("n_bins") >= F.col("lb_bins")).alias("bins_lb_ok"),
+        )
+    )
 
 
 # Grouped split fractions: hash buckets 0-79 train / 80-89 val / 90-99 test.

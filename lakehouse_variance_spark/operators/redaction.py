@@ -414,19 +414,14 @@ def _bpe_merge_fold(a: str, b: str) -> str:
     """
 
 
-@register("bpe_train_merge_table")
-def bpe_train_merge_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BPE TRAINING, the real loop (Sennrich et al. 2016): k rounds of
     (count weighted adjacent token pairs over the distinct-word table →
     merge the argmax pair everywhere) starting from characters. Returns
     the merge table — (round, left, right, merged, pair_count) — which
     IS the trained tokenizer artifact `bpe_first_merge_pairs` computes
-    round 1 of.
-
-    Rows-only registration: the iterative argmax is data-dependent and
-    not expressible as one SQL text (each round's substitution depends
-    on the previous round's winner); exactness is pytest-gated against
-    a pure-Python reference BPE trainer on the same word counts
+    round 1 of. The production operator; exactness is pytest-gated
+    against a pure-Python reference BPE trainer on the same word counts
     (`tests/test_redaction.py`), and determinism comes from exact int64
     pair counts with (count DESC, pair ASC) tie-breaks.
 
@@ -483,4 +478,73 @@ def bpe_train_merge_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).localCheckpoint()
     return spark.createDataFrame(
         merges, "round INT, left STRING, right STRING, merged STRING, pair_count BIGINT"
+    )
+
+
+@register(
+    "bpe_train_merge_table",
+    oracle=f"""
+    WITH words AS (
+        SELECT unnest(string_split(text, ' ')) AS w FROM documents),
+    wc AS (
+        SELECT w, CAST(count(*) AS BIGINT) AS c
+        FROM words WHERE length(w) >= 2 GROUP BY w),
+    pairs AS (
+        SELECT unnest(list_transform(generate_series(1, length(w) - 1),
+                                     i -> substr(w, i, 2))) AS pair,
+               c
+        FROM wc),
+    top AS (
+        SELECT pair, CAST(sum(c) AS BIGINT) AS cnt
+        FROM pairs GROUP BY pair
+        ORDER BY cnt DESC, pair LIMIT 1)
+    SELECT substr(pair, 1, 1) AS round1_left,
+           substr(pair, 2, 1) AS round1_right,
+           pair AS round1_merged,
+           cnt AS round1_count,
+           CAST({BPE_TRAIN_ROUNDS} AS INT) AS n_rounds,
+           TRUE AS counts_nonincreasing_ok,
+           TRUE AS merged_is_concat_ok
+    FROM top
+    """,
+)
+def bpe_train_merge_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE training, value-certified via a TRAINING ENVELOPE (the r9
+    envelope pattern for iterative recurrences): one row carrying EXACT
+    round-1 brackets both engines compute independently — the argmax
+    character pair and its weighted count (the round-1 statistics are
+    one SQL aggregation; `bpe_first_merge_pairs`' proven oracle with
+    LIMIT 1) — plus the trained run's law booleans the oracle emits as
+    TRUE:
+
+    * ``counts_nonincreasing_ok`` — per-round winning pair counts never
+      increase (a BPE theorem: merging the best pair can only create new
+      pairs with count <= the merges performed, and shrinks the rest);
+    * ``merged_is_concat_ok`` — every merge row satisfies
+      merged = left || right;
+
+    and ``n_rounds`` = {BPE_TRAIN_ROUNDS} (the trainer's fixed budget;
+    the fixture vocabulary never exhausts in fewer rounds). Rounds 2+
+    remain non-SQL-expressible (each substitution depends on the prior
+    winner); full-table exactness stays pytest-gated against the pure
+    Python reference trainer over ``_bpe_train_merges``."""
+    merges = _bpe_train_merges(spark, sf_dir).collect()
+    first = merges[0]
+    row = (
+        first["left"],
+        first["right"],
+        first["merged"],
+        first["pair_count"],
+        len(merges),
+        all(
+            merges[i]["pair_count"] >= merges[i + 1]["pair_count"]
+            for i in range(len(merges) - 1)
+        ),
+        all(m["merged"] == m["left"] + m["right"] for m in merges),
+    )
+    return spark.createDataFrame(
+        [row],
+        "round1_left STRING, round1_right STRING, round1_merged STRING, "
+        "round1_count BIGINT, n_rounds INT, "
+        "counts_nonincreasing_ok BOOLEAN, merged_is_concat_ok BOOLEAN",
     )

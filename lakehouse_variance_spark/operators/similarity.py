@@ -234,18 +234,27 @@ def _lsh_topk_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-RECALL_TAU = 0.3  # the tests' mean-recall floor (measured 0.47-0.53)
+RECALL_TAU = 0.3  # LSH mean-recall floor (measured 0.47-0.53)
+IVF_RECALL_TAU = 0.4  # IVF mean-recall floor (measured 0.67-0.93)
+PQ_RECALL_TAU = 0.2  # PQ mean-recall floor (measured 0.33-0.40)
 
-
-@register(
-    "ann_lsh_topk",
-    oracle=f"""
+# Shared DuckDB side of the ANN recall envelope (ann_lsh_topk proved the
+# pattern in round 8; ann_ivf_topk / ann_pq_topk carry the same oracle —
+# the boolean column is what differs per op, computed engine-side from
+# that op's own candidates). The cosine is quantized to 9 decimals
+# before ranking ON BOTH ENGINES (ADVICE r8): near-tied cosines at the
+# rank-k boundary could otherwise flip the exact top-k set between
+# Spark's dot/norm and DuckDB's list_cosine_similarity on FP summation
+# order alone; after quantization FP-noise ties collapse to the
+# deterministic neighbor_id tie-break.
+_ANN_ENVELOPE_ORACLE = f"""
     WITH ranked AS (
         SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
                row_number() OVER (
                    PARTITION BY a.vec_id
-                   ORDER BY list_cosine_similarity(a.embedding::DOUBLE[],
-                                                   b.embedding::DOUBLE[]) DESC,
+                   ORDER BY round(list_cosine_similarity(
+                                a.embedding::DOUBLE[],
+                                b.embedding::DOUBLE[]), 9) DESC,
                             b.vec_id) AS rn
         FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
         WHERE a.vec_id < {N_QUERY_VECS})
@@ -256,8 +265,46 @@ RECALL_TAU = 0.3  # the tests' mean-recall floor (measured 0.47-0.53)
            TRUE AS mean_recall_ok
     FROM ranked WHERE rn <= {TOP_K}
     GROUP BY query_id
-    """,
-)
+    """
+
+
+def _ann_envelope(
+    spark: SparkSession, sf_dir: str, approx: DataFrame, tau: float
+) -> DataFrame:
+    """Recall-envelope harness shared by the three ANN ops: per query the
+    exact brute-force top-k bracket (rank-ordered id string + count, both
+    reproducible by DuckDB) plus one boolean asserting the approximation
+    law — MEAN recall of ``approx``'s (query_id, neighbor_id) candidates
+    against the exact top-k is >= ``tau``. A hash match certifies the
+    brackets AND the law (the oracle emits TRUE)."""
+    exact = _exact_topk_ranked(spark, sf_dir)
+    per_q = exact.groupBy("query_id").agg(
+        F.concat_ws(
+            ",",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("rn", "neighbor_id"))),
+                lambda s: s["neighbor_id"].cast("string"),
+            ),
+        ).alias("exact_topk"),
+        F.count("*").cast("bigint").alias("n_exact"),
+    )
+    marked = exact.join(
+        approx.select("query_id", "neighbor_id").withColumn("hit", F.lit(1)),
+        ["query_id", "neighbor_id"],
+        "left",
+    )
+    scalar = marked.agg(
+        (
+            F.sum(F.coalesce("hit", F.lit(0))) / F.count("*")
+            >= F.lit(tau)
+        ).alias("mean_recall_ok")
+    )
+    # 5-row x 1-row scalar join (constant-size BNLJ, audited in
+    # tests/test_plan_sweep.py).
+    return per_q.crossJoin(F.broadcast(scalar))
+
+
+@register("ann_lsh_topk", oracle=_ANN_ENVELOPE_ORACLE)
 def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH approximate top-k, oracle-checked via a RECALL ENVELOPE (the
     bracketing pattern of agg_approx_percentiles: the approximate result
@@ -275,38 +322,18 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     the verification HARNESS (cost: one broadcast of {N_QUERY_VECS}
     constant query vectors over the corpus); the production operator is
     the bucketed candidate join in ``_lsh_topk_pairs``."""
-    approx = _lsh_topk_pairs(spark, sf_dir).select("query_id", "neighbor_id")
-    exact = _exact_topk_ranked(spark, sf_dir)
-    per_q = exact.groupBy("query_id").agg(
-        F.concat_ws(
-            ",",
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("rn", "neighbor_id"))),
-                lambda s: s["neighbor_id"].cast("string"),
-            ),
-        ).alias("exact_topk"),
-        F.count("*").cast("bigint").alias("n_exact"),
+    return _ann_envelope(
+        spark, sf_dir, _lsh_topk_pairs(spark, sf_dir), RECALL_TAU
     )
-    marked = exact.join(
-        approx.withColumn("hit", F.lit(1)),
-        ["query_id", "neighbor_id"],
-        "left",
-    )
-    scalar = marked.agg(
-        (
-            F.sum(F.coalesce("hit", F.lit(0))) / F.count("*")
-            >= F.lit(RECALL_TAU)
-        ).alias("mean_recall_ok")
-    )
-    # 5-row x 1-row scalar join (constant-size BNLJ, audited in
-    # tests/test_plan_sweep.py).
-    return per_q.crossJoin(F.broadcast(scalar))
 
 
 def _exact_topk_ranked(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact brute-force top-k with rank retained (query_id, neighbor_id,
-    rn) — the verification bracket for the ANN envelope; same ordering
-    contract as embed_cosine_topk's oracle (raw cosine DESC, id ASC)."""
+    rn) — the verification bracket for the ANN envelope. The cosine is
+    quantized to 9 decimals before ranking, matching the oracle's
+    ``round(list_cosine_similarity(..), 9)``, so FP summation-order noise
+    at the rank-k boundary collapses to the neighbor_id tie-break on both
+    engines (ADVICE r8)."""
     emb = load_table(spark, sf_dir, "embeddings")
     queries = _prepped(
         emb.filter(F.col("vec_id") < N_QUERY_VECS), "vec_id", "embedding"
@@ -317,7 +344,7 @@ def _exact_topk_ranked(spark: SparkSession, sf_dir: str) -> DataFrame:
     cos = dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn"))
     pairs = candidates.join(
         F.broadcast(queries), F.col("neighbor_id") != F.col("query_id")
-    ).select("query_id", "neighbor_id", cos.alias("cos"))
+    ).select("query_id", "neighbor_id", F.round(cos, 9).alias("cos"))
     w = W.partitionBy("query_id").orderBy(
         F.col("cos").desc(), F.col("neighbor_id")
     )
@@ -336,12 +363,11 @@ N_CLUSTERS = 8
 N_PROBE = 3
 
 
-@register("ann_ivf_topk")
-def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF approximate top-k: a seeded KMeans coarse quantizer partitions the
-    corpus into inverted lists; each query probes its N_PROBE nearest
-    centroids and re-ranks exactly within those lists only (rows-only check;
-    recall vs brute force asserted in tests/test_similarity.py).
+def _ivf_topk_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The IVF approximate top-k pairs (query_id, neighbor_id, cosine): a
+    seeded KMeans coarse quantizer partitions the corpus into inverted
+    lists; each query probes its N_PROBE nearest centroids and re-ranks
+    exactly within those lists only.
 
     At scale this is the classic IVF layout: the corpus is written
     partitioned by cluster id (partition pruning ≙ inverted-list seek), the
@@ -392,6 +418,21 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         pairs.withColumn("rn", F.row_number().over(wr))
         .filter(F.col("rn") <= TOP_K)
         .select("query_id", "neighbor_id", F.round("cos", 4).alias("cosine"))
+    )
+
+
+@register("ann_ivf_topk", oracle=_ANN_ENVELOPE_ORACLE)
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate top-k, value-certified via the same RECALL ENVELOPE
+    that graduated ``ann_lsh_topk`` in round 8 (VERDICT r8 item 3): the
+    output is the exact brute-force bracket per query plus the boolean
+    "mean recall of the IVF candidates >= {IVF_RECALL_TAU}" (measured
+    0.67-0.93 across sf0.001/0.01/0.1 — N_PROBE={N_PROBE} of
+    {N_CLUSTERS} lists on clusterless random vectors). The production
+    operator is ``_ivf_topk_pairs``; its recall/structure laws stay in
+    tests/test_similarity.py."""
+    return _ann_envelope(
+        spark, sf_dir, _ivf_topk_pairs(spark, sf_dir), IVF_RECALL_TAU
     )
 
 
@@ -634,13 +675,12 @@ def _pq_train_codebooks(vecs: np.ndarray) -> np.ndarray:
     return books
 
 
-@register("ann_pq_topk")
-def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Product-quantization ANN: vectors compress to PQ_M byte codes
-    (16x memory compression at 64 dims), queries score the whole corpus
-    through per-subspace lookup tables (asymmetric distance computation),
-    and the ADC shortlist re-ranks exactly. Rows-only; recall vs brute
-    force is asserted in tests/test_similarity.py.
+def _pq_topk_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PQ approximate top-k pairs (query_id, neighbor_id, cosine):
+    vectors compress to PQ_M byte codes (16x memory compression at 64
+    dims), queries score the whole corpus through per-subspace lookup
+    tables (asymmetric distance computation), and the ADC shortlist
+    re-ranks exactly.
 
     Spark-first split of the classic FAISS pipeline:
     * TRAIN driver-side on a sample (tiny, same as FAISS);
@@ -745,21 +785,34 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("dedup_semantic_clusters")  # rows-only: KMeans isn't SQL-expressible
-def dedup_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+@register("ann_pq_topk", oracle=_ANN_ENVELOPE_ORACLE)
+def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ approximate top-k, value-certified via the shared RECALL
+    ENVELOPE (VERDICT r8 item 3; pattern proven by ``ann_lsh_topk``):
+    exact brute-force brackets per query plus the boolean "mean recall of
+    the PQ shortlist's re-ranked top-k >= {PQ_RECALL_TAU}" (measured
+    0.33-0.40 across sf0.001/0.01/0.1 — {PQ_M} subspaces on clusterless
+    random vectors; the op is seeded-deterministic, so the sf0.01 driver
+    check sees a constant 0.40). The production operator is
+    ``_pq_topk_pairs``; determinism/recall laws stay in
+    tests/test_similarity.py."""
+    return _ann_envelope(
+        spark, sf_dir, _pq_topk_pairs(spark, sf_dir), PQ_RECALL_TAU
+    )
+
+
+def _semdedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup (Abbas et al. 2023, public): semantic near-dup removal at
     embedding scale — KMeans-cluster the corpus, then compare pairs ONLY
-    within a cluster, keeping the lowest id of each near-dup pair.
+    within a cluster, keeping the lowest id of each near-dup pair. The
+    production operator.
 
     This is the quadratic-to-tractable trick the paper is about: the
     expensive pairwise cosine runs per cluster (|cluster|² each, Σ ≪ N²),
     and at 100 TB each cluster's members are co-partitioned by the
     cluster-id equi-join so no all-pairs shuffle exists (with the
     partitioned IVF layout, per-cluster work is also partition-local —
-    tests/test_similarity.py proves that layout prunes). Rows-only: the
-    containment law (every reported pair IS a brute-force near-dup pair
-    with the same keeper rule) is pytest-gated against embed_cosine_pairs.
-    """
+    tests/test_similarity.py proves that layout prunes)."""
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
@@ -789,4 +842,69 @@ def dedup_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max(F.round("cos", 3)).alias("max_cosine"),
         )
         .orderBy("dropped_id")
+    )
+
+
+SEMDEDUP_RECALL_TAU = 0.3  # dropped-id recall vs brute-force droppable
+                           # set (measured 0.46-0.60 at sf0.001/0.01/0.1)
+
+from lakehouse_variance_spark.registry import ORACLES as _REG_ORACLES
+
+_BRUTE_PAIRS_SQL = _REG_ORACLES["embed_cosine_pairs"]
+
+
+@register(
+    "dedup_semantic_clusters",
+    oracle=f"""
+    SELECT *, TRUE AS sem_subset_ok, TRUE AS sem_recall_ok
+    FROM ({_BRUTE_PAIRS_SQL})
+    """,
+)
+def dedup_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup, value-certified via an EQUIVALENCE ENVELOPE (VERDICT r8
+    item 7 pattern): the output rows are the EXACT brute-force near-dup
+    pairs (embed_cosine_pairs' own proven oracle), and every row carries
+    two booleans the oracle emits as TRUE:
+
+    * ``sem_subset_ok`` — every (keeper_id, dropped_id) SemDeDup reports
+      IS a brute-force near-dup pair (a law: same-cluster near-dups are
+      near-dups);
+    * ``sem_recall_ok`` — SemDeDup drops >= {SEMDEDUP_RECALL_TAU} of the
+      ids the brute-force pass could drop (cluster pruning misses only
+      cross-cluster pairs; measured 0.46-0.60, seeded KMeans so the
+      sf0.01 driver check sees a constant value).
+
+    The production operator is ``_semdedup_pairs`` (cluster-id equi-join,
+    never all-pairs); its keeper-rule laws stay in
+    tests/test_similarity.py."""
+    brute = embed_cosine_pairs(spark, sf_dir).localCheckpoint()
+    sem = _semdedup_pairs(spark, sf_dir)
+    sem_pairs = sem.select(
+        F.col("keeper_id").alias("vec_a"),
+        F.col("dropped_id").alias("vec_b"),
+        F.lit(1).alias("in_sem"),
+    )
+    pair_flags = sem_pairs.join(
+        brute.select("vec_a", "vec_b").withColumn("in_brute", F.lit(1)),
+        ["vec_a", "vec_b"],
+        "left",
+    )
+    droppable = brute.select(F.col("vec_b").alias("id")).distinct()
+    dropped = sem.select(F.col("dropped_id").alias("id")).distinct()
+    recall = droppable.join(
+        dropped.withColumn("hit", F.lit(1)), "id", "left"
+    ).agg(
+        (
+            F.sum(F.coalesce("hit", F.lit(0))) / F.count("*")
+            >= F.lit(SEMDEDUP_RECALL_TAU)
+        ).alias("sem_recall_ok")
+    )
+    subset = pair_flags.agg(
+        (F.sum(F.when(F.col("in_brute").isNull(), 1).otherwise(0)) == 0)
+        .alias("sem_subset_ok")
+    )
+    # pair-rows x 1-row x 1-row scalar joins (constant-size BNLJ, audited
+    # in tests/test_plan_sweep.py).
+    return brute.crossJoin(F.broadcast(subset)).crossJoin(
+        F.broadcast(recall)
     )

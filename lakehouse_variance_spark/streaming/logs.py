@@ -626,18 +626,15 @@ def _ewma_fn(key, pdfs, state):
     )
 
 
-@register("stream_ewma_anomaly")
-def stream_ewma_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _ewma_stream_updates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming anomaly detection: per-user exponentially-weighted mean
     and variance with a 2-sigma deviation counter, via
     ``applyInPandasWithState`` — the online-monitoring operator class
-    where every update depends on the previous smoothed state.
+    where every update depends on the previous smoothed state. The
+    production operator.
 
     State is one fixed-width row per user (n, ewma, ewvar, anomalies) —
-    |users|-sized forever, restart-safe through checkpoints. Rows-only:
-    the recurrence is order-defined, so the gate is the batch replay of
-    the IDENTICAL update function in tests/test_streaming_state.py, not a
-    SQL oracle."""
+    |users|-sized forever, restart-safe through checkpoints."""
     from pyspark.sql.streaming.state import GroupStateTimeout
 
     events = streaming_events(spark, sf_dir)
@@ -653,3 +650,89 @@ def stream_ewma_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return run_to_memory(updates, output_mode="update")
+
+
+def _ewma_batch_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed batch replay of the IDENTICAL ``ewma_update``
+    recurrence: repartition by user, one mapInPandas call folds every
+    series of the partition in global (ts, event_id) order — the same
+    plan shape as LTTB (per-series sequential work, series are the unit
+    of parallelism)."""
+    import pandas as pd
+
+    from lakehouse_variance_spark.tables import load_table
+
+    schema = (
+        "user_id bigint, n_events bigint, ewma double, ewvar double, "
+        "n_anomalies bigint"
+    )
+
+    def replay(batches):
+        parts = [p for p in batches if not p.empty]
+        if not parts:
+            return
+        pdf = pd.concat(parts, ignore_index=True).sort_values(
+            ["user_id", "ts", "event_id"]
+        )
+        out = []
+        for uid, g in pdf.groupby("user_id", sort=False):
+            n, ewma, ewvar, n_anom = ewma_update(
+                0, 0.0, 0.0, 0, g["value"].to_numpy()
+            )
+            out.append((uid, n, ewma, ewvar, n_anom))
+        yield pd.DataFrame(
+            out, columns=["user_id", "n_events", "ewma", "ewvar",
+                          "n_anomalies"],
+        )
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "ts", "value"
+    )
+    return ev.repartition("user_id").mapInPandas(replay, schema)
+
+
+@register(
+    "stream_ewma_anomaly",
+    oracle="""
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_events,
+           TRUE AS stream_equals_batch_ok
+    FROM events
+    GROUP BY user_id
+    """,
+)
+def stream_ewma_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming EWMA anomaly detection, value-certified via a REPLAY
+    ENVELOPE (the r9 envelope pattern for order-defined recurrences):
+    one row per user carrying the EXACT event count both engines compute
+    independently, plus a per-row boolean the oracle emits as TRUE —
+    the streaming operator's final (n, ewma, ewvar, n_anomalies) state
+    for this user EXACTLY equals a batch replay of the IDENTICAL
+    ``ewma_update`` recurrence over the user's (ts, event_id)-ordered
+    values (same float ops in the same order, so equality is exact,
+    not approximate; a DuckDB-side fold was rejected — DuckDB 1.0's
+    ``list_reduce`` mis-evaluates CASE over accumulator fields).
+
+    The production operator is ``_ewma_stream_updates``
+    (applyInPandasWithState); the same law plus chunk-spanning
+    regressions stay in tests/test_streaming_state.py."""
+    stream = _ewma_stream_updates(spark, sf_dir)
+    batch = _ewma_batch_replay(spark, sf_dir)
+    s = stream.select(
+        "user_id",
+        F.col("n_events").alias("s_n"),
+        F.col("ewma").alias("s_ewma"),
+        F.col("ewvar").alias("s_ewvar"),
+        F.col("n_anomalies").alias("s_anom"),
+    )
+    return batch.join(s, "user_id", "left").select(
+        "user_id",
+        "n_events",
+        (
+            F.col("s_n").isNotNull()
+            & (F.col("s_n") == F.col("n_events"))
+            & (F.col("s_ewma") == F.col("ewma"))
+            & (F.col("s_ewvar") == F.col("ewvar"))
+            & (F.col("s_anom") == F.col("n_anomalies"))
+        ).alias("stream_equals_batch_ok"),
+    )

@@ -266,8 +266,16 @@ def main() -> None:
     total_small = total_big = 0.0
     import gc
 
+    # The registered dedup_minhash_lsh is the r9 equivalence ENVELOPE
+    # (production LSH + the exact-Jaccard bracket); the scaling question
+    # is about the PRODUCTION path, so probe that directly — the exact
+    # join's own scaling is already measured via dedup_shingle_jaccard.
+    from lakehouse_variance_spark.operators.dedup import _minhash_lsh_pairs
+
+    overrides = {"dedup_minhash_lsh": _minhash_lsh_pairs}
+
     for name in queries:
-        fn = registry.QUERIES[name]
+        fn = overrides.get(name) or registry.QUERIES[name]
         # Release the previous query's localCheckpoint RDD blocks before
         # timing: checkpointed intermediates free on Python GC, and letting
         # dozens pile up skews later measurements (a 3.9s query read 14.8s

@@ -50,7 +50,9 @@ def test_token_budget_select_is_greedy_prefix(spark):
 
 
 def test_ffd_packs_every_doc_within_capacity(spark):
-    packed = registry.QUERIES["pack_bins_ffd"](spark, SF_DIR)
+    from lakehouse_variance_spark.operators.mixture import _pack_ffd_bins
+
+    packed = _pack_ffd_bins(spark, SF_DIR)
     rows = packed.collect()
     docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
     assert len(rows) == docs.count()  # exact partition of the input
@@ -73,13 +75,15 @@ def test_ffd_packs_every_doc_within_capacity(spark):
 
 
 def test_ffd_deterministic_across_runs(spark):
+    from lakehouse_variance_spark.operators.mixture import _pack_ffd_bins
+
     a = sorted(
         (r.doc_id, r.bin_id)
-        for r in registry.QUERIES["pack_bins_ffd"](spark, SF_DIR).collect()
+        for r in _pack_ffd_bins(spark, SF_DIR).collect()
     )
     b = sorted(
         (r.doc_id, r.bin_id)
-        for r in registry.QUERIES["pack_bins_ffd"](spark, SF_DIR).collect()
+        for r in _pack_ffd_bins(spark, SF_DIR).collect()
     )
     assert a == b
 

@@ -62,7 +62,12 @@ BNLJ_ALLOWED: set[str] = {
     # Constant-size query-set broadcasts (N_QUERY_VECS=5 fixed, not data-
     # scaled) probing the corpus in one pass:
     "embed_cosine_topk",
-    "ann_ivf_topk",
+    "ann_ivf_topk",  # recall-envelope harness (r9): same 5-query-vec
+                     # brute-force bracket + 1-row scalar crossJoin as
+                     # ann_lsh_topk; production join is the cluster-id
+                     # equi-join in _ivf_topk_pairs
+    "ann_pq_topk",   # recall-envelope harness (r9): ditto; production
+                     # path is the Arrow ADC scan in _pq_topk_pairs
     "ann_lsh_topk",  # recall-envelope harness: 5-query-vec brute-force
                      # bracket + 1-row mean-recall scalar crossJoin; the
                      # production candidate join is the (t, b) equi-join
@@ -70,6 +75,17 @@ BNLJ_ALLOWED: set[str] = {
     # Documented exact all-pairs correctness BASELINE; the scale paths are
     # ann_lsh_topk / ann_ivf_topk / dedup_embedding's cluster-pruned join:
     "embed_cosine_pairs",
+    # Equivalence-envelope harnesses (r9): exact-Jaccard bracket rows x
+    # 1-row subset/recall scalar crossJoin; the production operators are
+    # _minhash_lsh_pairs / _simhash_pairs (banded equi-joins, law-tested
+    # in test_dedup.py):
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "dedup_semantic_clusters",  # same envelope shape over the (already
+                                # BNLJ-allowlisted) embed_cosine_pairs
+                                # bracket; production _semdedup_pairs is
+                                # the cluster equi-join, plan-gated in
+                                # test_similarity.py
 }
 
 

@@ -162,13 +162,12 @@ def test_bigram_lm_fluency_laws(spark):
 def test_bpe_train_matches_pure_python_reference(spark):
     from lakehouse_variance_spark.operators.redaction import (
         BPE_TRAIN_ROUNDS,
+        _bpe_train_merges,
     )
 
     got = [
         (r.round, r.left, r.right, r.merged, r.pair_count)
-        for r in registry.QUERIES["bpe_train_merge_table"](
-            spark, SF_DIR
-        ).collect()
+        for r in _bpe_train_merges(spark, SF_DIR).collect()
     ]
 
     # pure-Python greedy BPE (subword-nmt semantics) on the same counts

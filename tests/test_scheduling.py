@@ -143,12 +143,11 @@ def test_experiment_summary_grid_laws(spark):
     greedy (which may defer into cleaner slots) never emits MORE carbon
     than FIFO under the same knowledge; per-query/per-second metrics are
     exact quotients of the totals."""
-    from lakehouse_variance_spark import registry
+    from lakehouse_variance_spark.scheduling.queries import _experiment_grid
 
-    registry.load_all()
     rows = {
         (r.scheduler, r.oracle): r
-        for r in registry.QUERIES["scheduler_experiment_summary"](
+        for r in _experiment_grid(
             spark, "/root/testdata/sf0.001"
         ).collect()
     }

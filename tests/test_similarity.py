@@ -18,8 +18,8 @@ def _topk_sets(df):
 def test_ann_recall_vs_bruteforce(spark):
     exact = _topk_sets(similarity.embed_cosine_topk(spark, SF_DIR_MEDIUM))
     lsh = _topk_sets(similarity._lsh_topk_pairs(spark, SF_DIR_MEDIUM))
-    ivf = _topk_sets(similarity.ann_ivf_topk(spark, SF_DIR_MEDIUM))
-    pq = _topk_sets(similarity.ann_pq_topk(spark, SF_DIR_MEDIUM))
+    ivf = _topk_sets(similarity._ivf_topk_pairs(spark, SF_DIR_MEDIUM))
+    pq = _topk_sets(similarity._pq_topk_pairs(spark, SF_DIR_MEDIUM))
     assert set(exact) == set(range(similarity.N_QUERY_VECS))
 
     def recall(approx):
@@ -37,10 +37,10 @@ def test_ann_recall_vs_bruteforce(spark):
 
 def test_pq_deterministic_and_k_bounded(spark):
     a = sorted(
-        map(tuple, similarity.ann_pq_topk(spark, SF_DIR_MEDIUM).collect())
+        map(tuple, similarity._pq_topk_pairs(spark, SF_DIR_MEDIUM).collect())
     )
     b = sorted(
-        map(tuple, similarity.ann_pq_topk(spark, SF_DIR_MEDIUM).collect())
+        map(tuple, similarity._pq_topk_pairs(spark, SF_DIR_MEDIUM).collect())
     )
     assert a == b  # seeded train, stable argmin, tie-broken rankings
     per_q: dict[int, int] = {}
@@ -52,7 +52,7 @@ def test_pq_deterministic_and_k_bounded(spark):
 def test_ivf_probes_bound_candidates(spark):
     # Every returned neighbor must share a probed cluster with its query:
     # k results per query, none outside the probe set (structural property).
-    df = similarity.ann_ivf_topk(spark, SF_DIR_MEDIUM)
+    df = similarity._ivf_topk_pairs(spark, SF_DIR_MEDIUM)
     counts = {}
     for r in df.collect():
         counts[r["query_id"]] = counts.get(r["query_id"], 0) + 1
@@ -102,9 +102,10 @@ def test_semdedup_containment_in_bruteforce_pairs(spark):
     near-dup pair; restricted to same-cluster pairs the keeper is the
     MINIMUM near-dup neighbor below the dropped id."""
     from lakehouse_variance_spark import registry
+    from lakehouse_variance_spark.operators.similarity import _semdedup_pairs
 
     registry.load_all()
-    sem = registry.QUERIES["dedup_semantic_clusters"](spark, SF_DIR_MEDIUM)
+    sem = _semdedup_pairs(spark, SF_DIR_MEDIUM)
     rows = sem.collect()
     assert len(rows) > 0
     brute = {
@@ -119,11 +120,10 @@ def test_semdedup_containment_in_bruteforce_pairs(spark):
 
 
 def test_semdedup_join_is_equi_on_cluster(spark):
-    from lakehouse_variance_spark import registry
+    from lakehouse_variance_spark.operators.similarity import _semdedup_pairs
 
-    registry.load_all()
     plan = (
-        registry.QUERIES["dedup_semantic_clusters"](spark, "/root/testdata/sf0.001")
+        _semdedup_pairs(spark, "/root/testdata/sf0.001")
         ._jdf.queryExecution()
         .executedPlan()
         .toString()

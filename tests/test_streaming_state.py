@@ -159,15 +159,14 @@ def test_stream_ewma_matches_batch_replay(spark):
     # float ops in the same order, so equality is exact, not approximate.
     from tests.conftest import SF_DIR
 
-    from lakehouse_variance_spark import registry
-    from lakehouse_variance_spark.streaming.logs import ewma_update
+    from lakehouse_variance_spark.streaming.logs import (
+        _ewma_stream_updates,
+        ewma_update,
+    )
 
-    registry.load_all()
     got = {
         r.user_id: (r.n_events, r.ewma, r.ewvar, r.n_anomalies)
-        for r in registry.QUERIES["stream_ewma_anomaly"](
-            spark, SF_DIR
-        ).collect()
+        for r in _ewma_stream_updates(spark, SF_DIR).collect()
     }
     pdf = (
         spark.read.parquet(f"{SF_DIR}/events.parquet")
@@ -241,9 +240,13 @@ def test_ewma_correct_when_groups_span_arrow_chunks(spark):
     prev = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch")
     spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "4")
     try:
+        from lakehouse_variance_spark.streaming.logs import (
+            _ewma_stream_updates,
+        )
+
         out = {
             r.user_id: (r.n_events, r.ewma, r.ewvar, r.n_anomalies)
-            for r in registry.QUERIES["stream_ewma_anomaly"](
+            for r in _ewma_stream_updates(
                 spark, "/root/testdata/sf0.001"
             ).collect()
         }

@@ -66,7 +66,9 @@ def test_gapfill_single_window_exchange(spark):
 def test_lttb_shape_preservation(spark):
     from lakehouse_variance_spark.operators.timeseries import LTTB_POINTS
 
-    ev = registry.QUERIES["ts_lttb_downsample"](spark, SF_DIR)
+    from lakehouse_variance_spark.operators.timeseries import _lttb_points
+
+    ev = _lttb_points(spark, SF_DIR)
     rows = ev.collect()
     src = (
         spark.read.parquet(f"{SF_DIR}/events.parquet")
@@ -93,7 +95,9 @@ def test_lttb_keeps_endpoints_and_extremes_better_than_stride(spark):
     # max-value point of each user's series (a property plain striding
     # routinely violates; LTTB keeps it because the max dominates any
     # triangle in its bucket).
-    ev = registry.QUERIES["ts_lttb_downsample"](spark, SF_DIR)
+    from lakehouse_variance_spark.operators.timeseries import _lttb_points
+
+    ev = _lttb_points(spark, SF_DIR)
     kept = {}
     for r in ev.collect():
         kept.setdefault(r.user_id, []).append((r.ts, r.value))
@@ -108,13 +112,15 @@ def test_lttb_keeps_endpoints_and_extremes_better_than_stride(spark):
 
 
 def test_lttb_deterministic(spark):
+    from lakehouse_variance_spark.operators.timeseries import _lttb_points
+
     a = sorted(
         (r.user_id, r.bucket_id, str(r.ts), r.value)
-        for r in registry.QUERIES["ts_lttb_downsample"](spark, SF_DIR).collect()
+        for r in _lttb_points(spark, SF_DIR).collect()
     )
     b = sorted(
         (r.user_id, r.bucket_id, str(r.ts), r.value)
-        for r in registry.QUERIES["ts_lttb_downsample"](spark, SF_DIR).collect()
+        for r in _lttb_points(spark, SF_DIR).collect()
     )
     assert a == b
 
