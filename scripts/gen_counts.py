@@ -31,9 +31,14 @@ def counts() -> tuple[int, int]:
 
 
 def main() -> None:
-    round_no = len(
-        [f for f in os.listdir(HERE) if re.match(r"CORRECTNESS_r\d+\.json", f)]
-    ) + 1
+    # max round number + 1, not file count + 1 (CORRECTNESS_r03 is absent,
+    # so a count undercounts the current round by one)
+    rounds = [
+        int(m.group(1))
+        for f in os.listdir(HERE)
+        if (m := re.match(r"CORRECTNESS_r(\d+)\.json", f))
+    ]
+    round_no = max(rounds, default=0) + 1
     oracle, rows_only = counts()
     readme = os.path.join(HERE, "README.md")
     text = open(readme, encoding="utf-8").read()
