@@ -87,8 +87,14 @@ def main() -> None:
         "",
         f"Logs: `{args.log_dir}/Workload_log_BASE_{{1..5}}.ndjson` "
         "(verbatim 99-query TPC-DS battery at sf0.1, local[32]), written "
-        "by `scripts/run_workload.py --battery tpcds --attempts 5` and "
-        "summarized END-TO-END by the engine's own trace operators "
+        "by `scripts/run_workload.py --battery tpcds --attempts 5 "
+        "--warmup` — one UNRECORDED warm-up pass precedes attempt 1 so "
+        "every recorded attempt measures steady state (round 8's q1 CV "
+        "149.8% was attempt-1 Janino/JIT warm-up pollution; the "
+        "reference's 5-run protocol assumes a warm warehouse). Host "
+        f"speed at capture time is pinned in `{args.log_dir}/"
+        "calibration.json`. Summarized END-TO-END by the engine's own "
+        "trace operators "
         "(`analytics/traces.py:load_workload_logs` + "
         "`summarize_single_config` — the reference's "
         "`helpers.py:40-90` pipeline, Table-1 shape).",
