@@ -216,6 +216,10 @@ def _find_clause(text: str, keyword: str) -> int:
 # because `NOT (x IS NOT NULL)` is TRUE on NULL (it IS `x IS NULL`) and
 # `NOT <null-yielding>` stays NULL only when the operand does; we cannot
 # prove which without a parser, so a leftover NOT always bails.
+# String literals are blanked FIRST: their contents are data, not
+# operators ('Did not like the model' must not read as a bare NOT, nor
+# 'True Value' as a TRUE escape). SQL doubles embedded quotes ('').
+_STRING_LIT = re.compile(r"'(?:[^']|'')*'")
 _NULL_SAFE_STRIP = re.compile(
     r"\bIS\s+NOT\s+NULL\b|\bNOT\s+(?=LIKE\b|IN\b|BETWEEN\b)",
     re.IGNORECASE,
@@ -228,7 +232,8 @@ _NULL_ESCAPES = re.compile(
 
 
 def _null_rejecting(conjunct: str) -> bool:
-    return not _NULL_ESCAPES.search(_NULL_SAFE_STRIP.sub("", conjunct))
+    stripped = _NULL_SAFE_STRIP.sub("", _STRING_LIT.sub("''", conjunct))
+    return not _NULL_ESCAPES.search(stripped)
 
 
 _COUNT_ITEM = re.compile(

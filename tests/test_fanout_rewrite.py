@@ -206,6 +206,18 @@ def test_guards_bail():
     assert not _null_rejecting('NOT ("r"."c" IS NOT NULL)')
     assert not _null_rejecting('NOT ("r"."c" > 1)')
 
+    # String literals are data, not operators: a NOT or TRUE inside a
+    # quoted value must not read as an escape (the TPC-DS reason
+    # dimension carries 'Did not like the model'; q2127/q2032 of the
+    # train files fire only with literal blanking — both proven
+    # hash-identical on DuckDB).
+    assert _null_rejecting(
+        '"reason"."r_reason_desc" IN '
+        "('Did not like the model', 'reason 29')"
+    )
+    assert _null_rejecting("\"item\".\"i_brand\" = 'True Value corp'")
+    assert _null_rejecting("\"r\".\"c\" = 'a CASE of NOT IS NULL words'")
+
     # Conjunct spanning two tables: cannot be assigned to one branch.
     cross_conj = (
         'SELECT COUNT(*) as agg_0 FROM "reason" LEFT OUTER JOIN '
