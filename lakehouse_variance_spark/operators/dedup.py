@@ -114,7 +114,9 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     WHERE n_common * 1.0 / (ca.n_sh + cb.n_sh - n_common) >= {JACCARD_THRESHOLD}
     """,
 )
-def dedup_shingle_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+def dedup_shingle_jaccard(
+    spark: SparkSession, sf_dir: str, sh: DataFrame | None = None
+) -> DataFrame:
     """Exact near-duplicate pairs by 3-word-shingle Jaccard >= 0.5.
 
     Inverted-index self-join: only documents sharing at least one shingle
@@ -123,12 +125,17 @@ def dedup_shingle_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     carries 16-byte rows, not strings. The per-shingle fan-out is the skew
     risk at scale — mitigated by dropping ultra-frequent shingles
     (stop-shingles) before the join, the same prefix-filtering idea used by
-    fuzzy-join systems."""
-    docs = load_table(spark, sf_dir, "documents")
-    # Three plan branches consume the shingle table (both join sides +
-    # counts); materialize the explode once instead of recomputing it per
-    # branch (same rationale as dedup_minhash_lsh).
-    sh = shingle_hashes(docs).localCheckpoint()
+    fuzzy-join systems.
+
+    ``sh`` accepts an already-checkpointed shingle table so the envelope
+    wrappers (dedup_minhash_lsh / dedup_simhash) materialize the explode
+    ONCE for both their exact bracket and their approximate side."""
+    if sh is None:
+        docs = load_table(spark, sf_dir, "documents")
+        # Three plan branches consume the shingle table (both join sides
+        # + counts); materialize the explode once instead of recomputing
+        # it per branch (same rationale as dedup_minhash_lsh).
+        sh = shingle_hashes(docs).localCheckpoint()
     counts = _shingle_counts(sh)
     a = sh.withColumnRenamed("doc_id", "doc_a")
     b = sh.withColumnRenamed("doc_id", "doc_b")
@@ -211,21 +218,26 @@ def lsh_candidates(signatures: DataFrame) -> DataFrame:
     )
 
 
-def _minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _minhash_lsh_pairs(
+    spark: SparkSession, sf_dir: str, sh: DataFrame | None = None
+) -> DataFrame:
     """MinHash-LSH near-dup pairs (doc_a, doc_b, jaccard), exact-verified
     on the candidate set only — the production operator.
 
     The scale path: candidate generation is a band-bucket equi-join whose
     output is ~linear in true near-dups, so the exact-Jaccard verification
-    only runs on that small candidate set."""
-    docs = load_table(spark, sf_dir, "documents")
-    # The shingle-hash table feeds four plan branches (signatures, counts,
-    # both sides of the verification join). localCheckpoint materializes it
-    # once — unlike cache() it bypasses the CacheManager, whose per-entry
-    # plan canonicalization costs grow across a long session, and its blocks
-    # are GC-reclaimed with the DataFrame. Rows are two longs, so the
-    # checkpointed footprint is ~16 bytes/shingle.
-    sh = shingle_hashes(docs).localCheckpoint()
+    only runs on that small candidate set. ``sh`` accepts a precomputed
+    checkpointed shingle table (see dedup_shingle_jaccard)."""
+    if sh is None:
+        docs = load_table(spark, sf_dir, "documents")
+        # The shingle-hash table feeds four plan branches (signatures,
+        # counts, both sides of the verification join). localCheckpoint
+        # materializes it once — unlike cache() it bypasses the
+        # CacheManager, whose per-entry plan canonicalization costs grow
+        # across a long session, and its blocks are GC-reclaimed with the
+        # DataFrame. Rows are two longs, so the checkpointed footprint is
+        # ~16 bytes/shingle.
+        sh = shingle_hashes(docs).localCheckpoint()
     # Signatures and shingle counts come out of ONE aggregation pass.
     sig = minhash_signatures(sh, with_count=True).localCheckpoint()
     candidates = lsh_candidates(sig)
@@ -287,9 +299,13 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     The production operator is ``_minhash_lsh_pairs`` (band-bucket
     equi-join candidates, exact verify on candidates only — the 100 TB
     path, 100x probe 15.7x in SCALE.md); this envelope is the
-    verification HARNESS around it."""
-    exact = dedup_shingle_jaccard(spark, sf_dir).localCheckpoint()
-    lsh = _minhash_lsh_pairs(spark, sf_dir)
+    verification HARNESS around it. The shingle explode is materialized
+    ONCE and shared by the bracket and the LSH side."""
+    sh = shingle_hashes(
+        load_table(spark, sf_dir, "documents")
+    ).localCheckpoint()
+    exact = dedup_shingle_jaccard(spark, sf_dir, sh=sh).localCheckpoint()
+    lsh = _minhash_lsh_pairs(spark, sf_dir, sh=sh)
     both = lsh.select("doc_a", "doc_b").withColumn("in_lsh", F.lit(1)).join(
         exact.select("doc_a", "doc_b").withColumn("in_exact", F.lit(1)),
         ["doc_a", "doc_b"],
@@ -476,16 +492,21 @@ def simhash(sh: DataFrame) -> DataFrame:
     return votes.select("doc_id", fingerprint.alias("simhash"))
 
 
-def _simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _simhash_pairs(
+    spark: SparkSession, sf_dir: str, sh: DataFrame | None = None
+) -> DataFrame:
     """SimHash near-dup pairs (doc_a, doc_b, hamming <= 3 on 64-bit
     fingerprints) — the production operator.
 
     Banded join on 16-bit chunks: any pair within Hamming distance 3 of a
     64-bit code shares at least one of 4 chunks exactly (pigeonhole: 3
     differing bits can land in at most 3 of the 4 chunks), so the join is an
-    equi-join on (chunk_id, chunk_value) with full recall, never all-pairs."""
-    docs = load_table(spark, sf_dir, "documents")
-    fp = simhash(shingle_hashes(docs))
+    equi-join on (chunk_id, chunk_value) with full recall, never all-pairs.
+    ``sh`` accepts a precomputed shingle table (see
+    dedup_shingle_jaccard)."""
+    if sh is None:
+        sh = shingle_hashes(load_table(spark, sf_dir, "documents"))
+    fp = simhash(sh)
     chunks = fp.select(
         "doc_id",
         "simhash",
@@ -555,8 +576,11 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     fingerprint equi-join with guaranteed Hamming<=3 recall by
     pigeonhole, never all-pairs); its structural laws (canonical a<b
     pairs, identical-text => Hamming 0) stay in tests/test_dedup.py."""
-    exact = dedup_shingle_jaccard(spark, sf_dir).localCheckpoint()
-    sim = _simhash_pairs(spark, sf_dir)
+    sh = shingle_hashes(
+        load_table(spark, sf_dir, "documents")
+    ).localCheckpoint()
+    exact = dedup_shingle_jaccard(spark, sf_dir, sh=sh).localCheckpoint()
+    sim = _simhash_pairs(spark, sf_dir, sh=sh)
     both = sim.select("doc_a", "doc_b").withColumn("in_sim", F.lit(1)).join(
         exact.select("doc_a", "doc_b").withColumn("in_exact", F.lit(1)),
         ["doc_a", "doc_b"],
