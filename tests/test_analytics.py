@@ -324,3 +324,53 @@ def test_summary_on_reference_study2_tagged_logs(spark):
     per_q_std = g.std(ddof=1)[g.count() == 5]
     assert got["queries"] == len(per_q_std)
     np.testing.assert_allclose(got["std_p50_s"], np.percentile(per_q_std, 50), rtol=1e-9)
+
+
+def test_config_delta_end_to_end_vs_pandas(spark):
+    """The Table-2 pipeline (CONFIG_DELTAS.md): baseline SF_1000 vs the
+    Lower_Load variant through load->summarize->compare_config_deltas
+    matches an independent pandas re-derivation of the delta percents."""
+    import glob
+    import json as _json
+
+    import numpy as np
+    import pandas as pd
+
+    from lakehouse_variance_spark.analytics.traces import (
+        compare_config_deltas,
+        load_workload_logs,
+        summarize_single_config,
+    )
+
+    base_dir = os.path.join(REF_TRACES, "Self_Hosted", "SF_1000")
+    var_dir = os.path.join(REF_STUDY2, "Self_Hosted", "Lower_Load")
+    if not (
+        glob.glob(os.path.join(base_dir, "Workload_log_BASE_*"))
+        and glob.glob(os.path.join(var_dir, "Workload_log_LOAD_*"))
+    ):
+        pytest.skip("study logs absent")
+
+    base = summarize_single_config(load_workload_logs(spark, base_dir))
+    variant = summarize_single_config(
+        load_workload_logs(spark, var_dir, tag="LOAD")
+    )
+    got = compare_config_deltas(base, variant).toPandas().iloc[0]
+
+    def mean_runtime(path, pat):
+        frames = []
+        for f in sorted(glob.glob(os.path.join(path, pat))):
+            df = pd.DataFrame(
+                [_json.loads(l) for l in open(f) if l.strip()]
+            )
+            df["run"] = f
+            frames.append(df)
+        log = pd.concat(frames, ignore_index=True)
+        rt = pd.to_numeric(log["Runtime (s)"], errors="coerce")
+        sub = log[rt.where(rt >= 0).notna()].assign(runtime_s=rt)
+        return sub.groupby("run")["runtime_s"].mean().mean()
+
+    b = mean_runtime(base_dir, "Workload_log_BASE_*.ndjson")
+    v = mean_runtime(var_dir, "Workload_log_LOAD_*.ndjson")
+    np.testing.assert_allclose(
+        got["delta_mean_runtime_pct"], 100.0 * (v - b) / b, rtol=1e-9
+    )
