@@ -254,12 +254,12 @@ def evaluate_predictions(
     )
 
 
-@register("ml_runtime_prediction")  # seeded ML training: rows-only check
-def ml_runtime_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _ml_prediction_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end predictor replay on the synthetic corpus: document text
     stands in for SQL text, ln(n_chars) for the log runtime label
     (the reference's ``Runtime_log`` transform). 80/20 split by id hash,
-    train seeded RF, score the holdout, emit MAE + QError summary."""
+    train seeded RF, score the holdout, emit MAE + QError summary. The
+    production operator; golden-metric replays live in tests/test_ml.py."""
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id", "text", F.log(F.col("n_chars").cast("double")).alias("label")
     )
@@ -268,3 +268,45 @@ def ml_runtime_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
     holdout = feats.filter(F.pmod("doc_id", F.lit(5)) == 0)
     model = train_runtime_model(train)
     return evaluate_predictions(model.transform(holdout))
+
+
+@register(
+    "ml_runtime_prediction",
+    oracle="""
+    SELECT CAST(count(*) AS BIGINT) AS n,
+           TRUE AS qerror_laws_ok, TRUE AS quality_ok
+    FROM documents WHERE doc_id % 5 = 0
+    """,
+)
+def ml_runtime_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RF runtime prediction, value-certified via a TRAINING ENVELOPE
+    (the r9 envelope pattern): one row carrying the EXACT holdout size
+    both engines compute independently — the 20% id-hash split is pure
+    SQL, and a featurization stage that silently dropped rows would
+    break the equality — plus two booleans the oracle emits as TRUE:
+
+    * ``qerror_laws_ok`` — QError >= 1 by definition (max of the two
+      ratios), P99 >= P50, MAE >= 0;
+    * ``quality_ok`` — the seeded model actually predicts: P50 QError
+      <= 1.25, P99 <= 2.0, MAE <= 0.5 (measured 1.017-1.022 / 1.09-1.15
+      / 0.11-0.14 across sf0.001/0.01/0.1; seeded training, so the
+      sf0.01 driver check sees constants).
+
+    The trained model itself is not SQL-expressible; exact metric
+    replays of the reference's six published RF result files stay in
+    tests/test_ml.py over the shared evaluator."""
+    m = _ml_prediction_metrics(spark, sf_dir).collect()[0]
+    laws = (
+        m["p50_qerror"] >= 1.0
+        and m["p99_qerror"] >= m["p50_qerror"]
+        and m["mae"] >= 0.0
+    )
+    quality = (
+        m["p50_qerror"] <= 1.25
+        and m["p99_qerror"] <= 2.0
+        and m["mae"] <= 0.5
+    )
+    return spark.createDataFrame(
+        [(int(m["n"]), bool(laws), bool(quality))],
+        "n BIGINT, qerror_laws_ok BOOLEAN, quality_ok BOOLEAN",
+    )
