@@ -166,6 +166,15 @@ PROBE_QUERIES = [
     "token_budget_select_global",
     "tpcds_wl_321",
     "fanout_count_pushdown",
+    # round-10: scheduling + trace families (VERDICT r9 #7 — the last
+    # registered families without a probe row). The scheduler folds are
+    # driver-side over bounded inputs BY DESIGN (SURVEY §2A UDF table), so
+    # healthy ratios are ~flat; the CI-series build and slot-explode joins
+    # underneath them scale with events volume.
+    "carbon_upsample_prefix",
+    "fifo_schedule_carbon",
+    "greedy_lowcarbon_schedule",
+    "scrub_trace_redaction",
 ]
 
 

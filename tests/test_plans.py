@@ -72,6 +72,25 @@ def test_plan_features_shape(spark):
         assert f["log1p_est_rows"] > 0
 
 
+def test_plan_feature_envelope_laws(spark):
+    """The r10 envelope oracle's premise: the fixture join+agg plan
+    optimizes to the same 9-node tree at every SF (measured r10 at
+    sf0.001/0.01/0.1), and the estimate-law booleans all hold."""
+    from lakehouse_variance_spark.plans.features import (
+        _FEATURE_ENVELOPE_NODES,
+        plan_feature_extract,
+    )
+
+    rows = plan_feature_extract(spark, "/root/testdata/sf0.001").collect()
+    assert len(rows) == len(_FEATURE_ENVELOPE_NODES) == 9
+    for r, const in zip(sorted(rows, key=lambda r: r.node_id),
+                        _FEATURE_ENVELOPE_NODES):
+        assert (r.node_id, r.depth, r.operator, r.n_output_cols,
+                r.tuple_width_bytes) == const
+        assert r.est_rows_positive and r.log1p_consistent
+        assert r.preorder_nonincreasing and r.fact_leaf_dominates
+
+
 def test_capture_query_info_roundtrips_through_flattener(spark, tmp_path):
     """EP1→EP3 closure: run a query on OUR engine, scrape its query-info
     document (SQLAppStatusStore — the SQL-tab store), and feed that doc to

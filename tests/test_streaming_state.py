@@ -219,7 +219,10 @@ def test_transform_with_state_matches_batch_twin(spark):
     from lakehouse_variance_spark.streaming import state_v2
 
     if not state_v2.TWS_AVAILABLE:
-        pytest.skip("google.protobuf not installed; transformWithState gated off")
+        pytest.skip(
+            "google.protobuf not installed; transformWithState gated off "
+            "(env re-verified r10: import google.protobuf raises)"
+        )
     stream = state_v2.stream_event_transitions(spark, "/root/testdata/sf0.001")
     batch = state_v2.event_transition_counts(spark, "/root/testdata/sf0.001")
     key = ["user_id", "prev_type", "curr_type"]
