@@ -160,13 +160,32 @@ def main() -> None:
     # scheduling/carbon.py:103) and would otherwise spam WindowExec warnings.
     spark.sparkContext.setLogLevel("ERROR")
 
+    # Drain semantics: the primary series drains with count() (the r1-r9
+    # definition — comparable across every BENCH_r{N}.json). count() lets
+    # Catalyst prune a map-only query's projections, so
+    # SPARK_GRAFT_FORCE_DRAIN=1 provides a secondary, materialization-
+    # honest series: every output column is forced through
+    # bit_xor(xxhash64(*cols)) before the count (the cost of producing
+    # every byte, like a client cursor drain). Forced runs persist to
+    # BENCH_FORCED.json so the two series can never be confused.
+    force_drain = os.environ.get("SPARK_GRAFT_FORCE_DRAIN") == "1"
+
+    def drain(df) -> int:
+        if force_drain and df.columns:
+            from pyspark.sql import functions as F
+
+            return df.select(
+                F.bit_xor(F.xxhash64(*df.columns)).alias("h")
+            ).count()
+        return df.count()
+
     # Warm-up pass: the first execution of each query pays Janino codegen +
     # JVM JIT compilation of its generated classes (several seconds for the
     # widest plans) — one-time session costs, not per-query throughput. The
     # timed pass below measures steady state, which is what scales to a
     # long-running cluster.
     for name in headline:
-        registry.QUERIES[name](spark, sf_dir).count()
+        drain(registry.QUERIES[name](spark, sf_dir))
 
     # Host-speed calibration (VERDICT r8 item 1): fixed micro-probe
     # timings embedded in the artifact so cross-round comparisons can
@@ -197,7 +216,7 @@ def main() -> None:
         fn = registry.QUERIES[name]
         start = time.perf_counter()
         df = fn(spark, sf_dir)
-        n = df.count()  # drain (run_workload.py:38-44 drains the cursor)
+        n = drain(df)  # drain (run_workload.py:38-44 drains the cursor)
         timings[name] = round(time.perf_counter() - start, 4)
         print(f"# {name}: {timings[name]:.3f}s ({n} rows)", file=sys.stderr)
 
@@ -207,6 +226,8 @@ def main() -> None:
     # total under the full-suite metric name would read as a phantom speedup
     # when BENCH files are diffed across rounds (ADVICE r7).
     metric = "headline_subset_runtime" if only else "headline_suite_runtime"
+    if force_drain:
+        metric += "_forced_drain"
     # BENCH_SELF.json is the authoritative full-suite sf0.1 artifact the
     # rounds compare; a subset run goes to BENCH_ISOLATE.json and an
     # off-scale smoke (e.g. SPARK_GRAFT_SF_DIR=sf0.01) to BENCH_SMOKE.json
@@ -214,6 +235,8 @@ def main() -> None:
     # artifact-divergence class).
     if only:
         self_json = "BENCH_ISOLATE.json"
+    elif force_drain:
+        self_json = "BENCH_FORCED.json"
     elif sf == 0.1:
         self_json = "BENCH_SELF.json"
     else:
