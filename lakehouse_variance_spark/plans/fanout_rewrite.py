@@ -45,12 +45,15 @@ on a |hub|-row join — the exact plan Trino's pushdown produces.  Counts
 multiply as BIGINT (exact to 2^63; per-key counts beyond ~2e6 would need
 DECIMAL(38,0)).
 
-The rewrite FIRES only when some node (root OR interior — round 8's
-q694 fans out at a mid-tree demographics key) has >=2 children joined by
-non-unique child-side columns (the multiplicative shape); unique
-dimension keys are declared per schema in ``UNIQUE_KEYS`` — firing is a
-performance heuristic, never a correctness condition (the factored form
-is exact whenever this module emits it).  Equivalence proof: 1,388 of
+The rewrite FIRES when the text has >=2 many-edges (some node — root OR
+interior, round 8's q694 fans out at a mid-tree demographics key — has
+children joined by non-unique child-side columns: the multiplicative
+shape), and, since round 10, on SINGLE-many-edge texts when caller-
+supplied table sizes show the quadratic-density regime (see the
+SINGLE_MANY_* constants); unique dimension keys are declared per schema
+in ``UNIQUE_KEYS`` — firing is a performance heuristic, never a
+correctness condition (the factored form is exact whenever this module
+emits it).  Equivalence proof: 1,388 of
 the 15,430 corpus texts fire; all 1,388 hash-match the naive text on
 DuckDB at sf0.001, and the engine-side sweeps
 (``workload_oracle_sweep.py``, `fanout_rewritten` field) re-prove the
@@ -104,6 +107,61 @@ UNIQUE_KEYS: dict[str, dict[str, set[str]]] = {
         "part": {"p_partkey"},
     },
 }
+
+# Scale-aware firing for SINGLE-many-edge texts (round 10). At sf0.1 the
+# naive |root| x per-key-count stream beats the rewrite's keyed-agg
+# constants (measured: broad firing cost net -59 s over the 3,077-text
+# anchor), so without size information those texts stay naive. But when
+# the bridge dimension's cardinality does NOT scale with the facts, the
+# per-key density grows with data size and the naive join turns
+# quadratic: the 100x probe measured tpcds_wl_2621 (store_returns x
+# web_returns through 2,000 fixed customer_address keys) at 160x cost —
+# 13.4B intermediate rows — while the factored form runs it in 10.5 s
+# (9.4x faster than naive), hash-identical. A caller that can supply
+# table row counts (``size_of``) therefore enables single-many firing
+# when BOTH hold:
+#   * the root fact is large enough to amortize the rewrite's fixed
+#     keyed-agg costs (SINGLE_MANY_MIN_ROOT rows), and
+#   * the many child outnumbers its unique-key bridge parent by
+#     SINGLE_MANY_DENSITY (the measured per-key fan-out factor).
+SINGLE_MANY_MIN_ROOT = 1_000_000
+SINGLE_MANY_DENSITY = 8.0
+
+_SF_SIZES: dict[tuple[str, str], dict[str, int]] = {}
+
+
+def sized_rewrite(text: str, schema: str, spark, sf_dir: str) -> str:
+    """Engine-side scale-aware rewrite for a REGISTERED workload text.
+
+    Returns the count-product form when the rewrite fires (>=2 many-edges
+    always; single many-edge only when this sf_dir's table sizes show the
+    quadratic-density regime), else the text unchanged. Row counts are
+    memoized per (schema, sf_dir) so repeated query calls cost no extra
+    jobs. The DuckDB oracle always keeps the naive text, so every driver
+    hash-match on a fired text is an equivalence proof of the rewrite."""
+    memo = _SF_SIZES.setdefault((schema, sf_dir), {})
+
+    def size_of(table: str) -> int:
+        if table not in memo:
+            memo[table] = spark.table(table).count()
+        return memo[table]
+
+    return rewrite_fanout_count(text, schema, size_of) or text
+
+
+def spark_size_of(spark):
+    """Memoized ``size_of`` over a session's registered views — parquet
+    row counts are metadata reads, and the memo makes the cost one count
+    per distinct table per session, not per text."""
+    cache: dict[str, int] = {}
+
+    def size_of(table: str) -> int:
+        if table not in cache:
+            cache[table] = spark.table(table).count()
+        return cache[table]
+
+    return size_of
+
 
 _IDENT = r'"(\w+)"\s*\.\s*"(\w+)"'
 _JOIN_RE = re.compile(
@@ -248,7 +306,11 @@ _ORDER_ITEM = re.compile(
 )
 
 
-def rewrite_fanout_count(sql: str, schema: str) -> str | None:
+def rewrite_fanout_count(
+    sql: str,
+    schema: str,
+    size_of=None,
+) -> str | None:
     """Rewrite a generated COUNT(*) fan-out text to its count-product
     form, or return None when the text is not (provably) in scope.
 
@@ -257,6 +319,12 @@ def rewrite_fanout_count(sql: str, schema: str) -> str | None:
     ``synth_common.sql_quoted_idents``) and produces the exact rows the
     naive text produces — the output column names match the naive
     query's, so order-insensitive value hashes carry over.
+
+    ``size_of`` (optional ``Callable[[str], int]`` mapping table name ->
+    row count) enables the scale-aware single-many-edge rule (see the
+    SINGLE_MANY_* constants): firing stays a PERF heuristic — the
+    factored form is exact whenever this module emits it, with or
+    without sizes.
     """
     unique = UNIQUE_KEYS.get(schema)
     if unique is None:
@@ -428,8 +496,30 @@ def rewrite_fanout_count(sql: str, schema: str) -> str | None:
     def many(child: str) -> bool:
         return join_key[child][1] not in unique.get(child, ())
 
-    if sum(1 for c in join_order if many(c)) < 2:
-        return None
+    many_edges = [c for c in join_order if many(c)]
+    if len(many_edges) < 2:
+        # Single many-edge: naive streaming wins at small absolute size
+        # (measured -59 s at sf0.1), but turns quadratic when the bridge
+        # key's cardinality does not scale with the facts. Fire only when
+        # the caller supplies row counts that show the superlinear regime
+        # (see SINGLE_MANY_* constants above).
+        if len(many_edges) != 1 or size_of is None:
+            return None
+        child = many_edges[0]
+        par = parent[child]
+        # Density |child|/|parent| is only the per-key fan-out when the
+        # parent joins on its unique key (a bridge dimension).
+        if join_key[child][0] not in unique.get(par, ()):
+            return None
+        try:
+            if not (
+                size_of(root) >= SINGLE_MANY_MIN_ROOT
+                and size_of(child)
+                >= SINGLE_MANY_DENSITY * max(size_of(par), 1)
+            ):
+                return None
+        except Exception:
+            return None
 
     # ---- emit: bottom-up per-node count CTEs ---------------------------
     # ct_<T> holds, per (join key into T, group columns of T's subtree),

@@ -20,6 +20,7 @@ from lakehouse_variance_spark.plans.job_schema import (
     oracle_sql_for_job,
     register_job_views,
 )
+from lakehouse_variance_spark.plans.fanout_rewrite import sized_rewrite
 from lakehouse_variance_spark.registry import register
 
 TEXTS: dict[str, str] = {
@@ -64,7 +65,11 @@ def _register() -> None:
 
         def run(spark: SparkSession, sf_dir: str, _text=text) -> DataFrame:
             register_job_views(spark, sf_dir)
-            return synth.sql_quoted_idents(spark, _text)
+            # Engine-side count-product rewrite (size-gated; the
+            # oracle keeps the naive text, so every driver hash
+            # match on a fired text proves the rewrite exact).
+            rw = sized_rewrite(_text, 'job', spark, sf_dir)
+            return synth.sql_quoted_idents(spark, rw)
 
         run.__name__ = name
         run.__doc__ = (

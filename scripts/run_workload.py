@@ -95,7 +95,9 @@ def _register(battery: str | None, spark, sf_dir: str) -> None:
         runner.register_sf_views(spark, sf_dir)
 
 
-def _load_ndjson_workload(path: str, schema: str) -> list[tuple[str, str]]:
+def _load_ndjson_workload(
+    path: str, schema: str, size_of=None
+) -> list[tuple[str, str]]:
     """Load a FULL reference workload file (query_id + SQL per line,
     `models/Queries/Baseline_*/*.ndjson` layout), normalized once so the
     texts parse on Spark (`synth_common.normalize_workload_sql`).
@@ -121,7 +123,7 @@ def _load_ndjson_workload(path: str, schema: str) -> list[tuple[str, str]]:
                 continue
             rec = _json.loads(line)
             sql = synth.normalize_workload_sql(rec["SQL"])
-            sql = rewrite_fanout_count(sql, rw_schema) or sql
+            sql = rewrite_fanout_count(sql, rw_schema, size_of) or sql
             out.append((rec["query_id"], sql))
     return out
 
@@ -169,11 +171,27 @@ def main() -> None:
                     help="skip the host-speed calibration micro-probe")
     args = ap.parse_args()
 
+    # Session + schema views come FIRST so the ndjson loader's fan-out
+    # rewrite can consult table row counts (the scale-aware single-many
+    # rule, fanout_rewrite.SINGLE_MANY_*).
+    spark = build_session(app_name="lvs-run-workload")
+    spark.sparkContext.setLogLevel("ERROR")
+    battery_key = args.battery or (
+        "ssb_wl" if args.workload_schema == "ssb"
+        else "imdb_wl" if args.workload_schema == "imdb"
+        else "tpcds_wl" if args.workload_schema == "tpcds" else None
+    )
+    _register(battery_key, spark, args.sf_dir)
+
     if args.workload_ndjson:
         if not args.workload_schema:
             raise SystemExit("--workload-ndjson requires --workload-schema")
+        from lakehouse_variance_spark.plans.fanout_rewrite import (
+            spark_size_of,
+        )
+
         queries = _load_ndjson_workload(
-            args.workload_ndjson, args.workload_schema
+            args.workload_ndjson, args.workload_schema, spark_size_of(spark)
         )
     elif args.battery:
         queries = _battery(args.battery)
@@ -183,15 +201,6 @@ def main() -> None:
         queries = queries[: args.limit]
     if not queries:
         raise SystemExit("no queries to run")
-
-    spark = build_session(app_name="lvs-run-workload")
-    spark.sparkContext.setLogLevel("ERROR")
-    battery_key = args.battery or (
-        "ssb_wl" if args.workload_schema == "ssb"
-        else "imdb_wl" if args.workload_schema == "imdb"
-        else "tpcds_wl" if args.workload_schema == "tpcds" else None
-    )
-    _register(battery_key, spark, args.sf_dir)
     if battery_key in ("ssb_wl", "imdb_wl", "tpcds_wl"):
         # generated workload texts double-quote every identifier
         spark.conf.set("spark.sql.ansi.doubleQuotedIdentifiers", "true")

@@ -87,15 +87,17 @@ def main() -> None:
     failures = []
     from lakehouse_variance_spark.plans.fanout_rewrite import (
         rewrite_fanout_count,
+        spark_size_of,
     )
 
+    size_of = spark_size_of(spark)
     n_rewritten = 0
     for i, q in enumerate(rows):
         text = synth.normalize_workload_sql(q["SQL"])
         # The ENGINE runs the count-product form where the fan-out rewrite
         # fires; the DuckDB oracle keeps the NAIVE text — each hash match
         # below is a proof of the rewrite's equivalence.
-        spark_text = rewrite_fanout_count(text, schema) or text
+        spark_text = rewrite_fanout_count(text, schema, size_of) or text
         n_rewritten += spark_text is not text
         try:
             s = synth.sql_quoted_idents(spark, spark_text).toPandas()

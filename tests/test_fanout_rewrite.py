@@ -229,6 +229,40 @@ def test_guards_bail():
     assert rewrite_fanout_count(cross_conj, "tpcds") is None
 
 
+def test_single_many_edge_size_gated():
+    """Round-10 scale-aware rule: a SINGLE many-edge text stays naive
+    without size information (measured -59 s for broad firing at sf0.1),
+    fires when row counts show the quadratic-density regime (the 100x
+    probe's tpcds_wl_2621: fixed 2,000-key bridge, 13.4B-row naive join,
+    160x cost — rewritten form 9.4x faster, hash-identical), and the
+    fired form remains EXACT (checked against the naive text on DuckDB)."""
+    from lakehouse_variance_spark.plans.tpcds_workload_texts import TEXTS
+
+    sql = TEXTS["tpcds_wl_2621"]
+    # No size info -> naive (the committed sf0.1 behavior).
+    assert rewrite_fanout_count(sql, "tpcds") is None
+    # Small root -> naive (fixed keyed-agg costs dominate).
+    small = {"store_returns": 50_000, "web_returns": 50_000,
+             "customer_address": 2_000}
+    assert rewrite_fanout_count(sql, "tpcds", small.get) is None
+    # Dense bridge (parent ~ child): per-key fan-out ~1, naive is linear.
+    dense = {"store_returns": 5_000_000, "web_returns": 5_000_000,
+             "customer_address": 5_000_000}
+    assert rewrite_fanout_count(sql, "tpcds", dense.get) is None
+    # Large root + sparse bridge -> fires, and the factored form is exact.
+    big = {"store_returns": 5_000_000, "web_returns": 5_000_000,
+           "customer_address": 2_000}
+    rw = rewrite_fanout_count(sql, "tpcds", big.get)
+    assert rw is not None
+    con = _duck()
+    naive = con.sql(oracle_sql_for(sql)).df()
+    fact = con.sql(oracle_sql_for(rw)).df()
+    naive = naive.sort_values(list(naive.columns)).reset_index(drop=True)
+    fact = fact.sort_values(list(fact.columns)).reset_index(drop=True)
+    assert list(naive.columns) == list(fact.columns)
+    assert naive.equals(fact)
+
+
 @pytest.mark.skipif(
     not os.path.exists(_LOCAL_TRAIN), reason="reference workloads absent"
 )
