@@ -45,15 +45,16 @@ on a |hub|-row join — the exact plan Trino's pushdown produces.  Counts
 multiply as BIGINT (exact to 2^63; per-key counts beyond ~2e6 would need
 DECIMAL(38,0)).
 
-The rewrite FIRES when the text has >=2 many-edges (some node — root OR
-interior, round 8's q694 fans out at a mid-tree demographics key — has
-children joined by non-unique child-side columns: the multiplicative
-shape), and, since round 10, on SINGLE-many-edge texts when caller-
-supplied table sizes show the quadratic-density regime (see the
-SINGLE_MANY_* constants); unique dimension keys are declared per schema
-in ``UNIQUE_KEYS`` — firing is a performance heuristic, never a
-correctness condition (the factored form is exact whenever this module
-emits it).  Equivalence proof: 1,388 of
+The rewrite FIRES on >=2 many-edges when no size information is
+available (some node — root OR interior, round 8's q694 fans out at a
+mid-tree demographics key — has children joined by non-unique child-side
+columns: the multiplicative shape); when the caller supplies table row
+counts, firing is decided by the measured BLOW-UP estimate instead (see
+``FANOUT_BLOWUP_FACTOR``), which also admits single-many-edge texts
+whose bridge key cardinality is small relative to the facts. Unique
+dimension keys are declared per schema in ``UNIQUE_KEYS`` — firing is a
+performance heuristic, never a correctness condition (the factored form
+is exact whenever this module emits it).  Equivalence proof: 1,388 of
 the 15,430 corpus texts fire; all 1,388 hash-match the naive text on
 DuckDB at sf0.001, and the engine-side sweeps
 (``workload_oracle_sweep.py``, `fanout_rewritten` field) re-prove the
@@ -108,24 +109,35 @@ UNIQUE_KEYS: dict[str, dict[str, set[str]]] = {
     },
 }
 
-# Scale-aware firing for SINGLE-many-edge texts (round 10). At sf0.1 the
-# naive |root| x per-key-count stream beats the rewrite's keyed-agg
-# constants (measured: broad firing cost net -59 s over the 3,077-text
-# anchor), so without size information those texts stay naive. But when
-# the bridge dimension's cardinality does NOT scale with the facts, the
-# per-key density grows with data size and the naive join turns
-# quadratic: the 100x probe measured tpcds_wl_2621 (store_returns x
-# web_returns through 2,000 fixed customer_address keys) at 160x cost —
-# 13.4B intermediate rows — while the factored form runs it in 10.5 s
-# (9.4x faster than naive), hash-identical. A caller that can supply
-# table row counts (``size_of``) therefore enables single-many firing
-# when BOTH hold:
-#   * the root fact is large enough to amortize the rewrite's fixed
-#     keyed-agg costs (SINGLE_MANY_MIN_ROOT rows), and
-#   * the many child outnumbers its unique-key bridge parent by
-#     SINGLE_MANY_DENSITY (the measured per-key fan-out factor).
-SINGLE_MANY_MIN_ROOT = 1_000_000
-SINGLE_MANY_DENSITY = 8.0
+# Scale-aware firing (round 10). Without size information the static
+# rule applies: fire on >=2 many-edges (the multiplicative shape), keep
+# single-many texts naive (measured: broad firing cost net -59 s over
+# the 3,077-text sf0.1 anchor). When the caller supplies table row
+# counts (``size_of``), firing is decided by an estimated BLOW-UP RATIO
+# instead: the naive plan's intermediate tuple count is approximately
+#
+#     I  =  |root| x PRODUCT over many-edges (|child| / |bridge parent|)
+#
+# (per-key densities multiply along paths and cross-product across
+# branches; edges whose parent join column is not a declared unique key
+# contribute 1 — unknown cardinality, assume no fan-out), and the
+# rewrite's own cost is one keyed aggregate + join per table, ~linear in
+# the inputs. Fire iff I >= FANOUT_BLOWUP_FACTOR x (sum of table sizes).
+# The factor is bracketed by round-10 head-to-head measurements on the
+# 100x replica set:
+#   * tpcds_wl_2621 (2,000-key bridge between two 5M-row facts):
+#     ratio 1250 -> rewrite 9.4x FASTER (13.4B-row naive intermediate);
+#   * the same text at sf0.1: ratio 12.5 -> naive wins (the -59 s
+#     anchor measurement, plans unchanged at small SF);
+#   * tpcds_wl_2601 (1.5M-key customer bridge, densities ~13):
+#     ratio 6.7 -> naive 4.7x FASTER (the rewrite's 20M-row keyed aggs
+#     dwarf a streaming join that never blows up);
+#   * the round-7 kill texts (reason/demographics bridges, sf0.1):
+#     ratio ~340 -> rewrite is the difference between 1 s and a blown
+#     300 s budget.
+# 50 sits between the measured "naive wins" band (<=12.5) and the
+# measured "rewrite wins" band (>=340) with margin on both sides.
+FANOUT_BLOWUP_FACTOR = 50.0
 
 _SF_SIZES: dict[tuple[str, str], dict[str, int]] = {}
 
@@ -321,10 +333,10 @@ def rewrite_fanout_count(
     query's, so order-insensitive value hashes carry over.
 
     ``size_of`` (optional ``Callable[[str], int]`` mapping table name ->
-    row count) enables the scale-aware single-many-edge rule (see the
-    SINGLE_MANY_* constants): firing stays a PERF heuristic — the
-    factored form is exact whenever this module emits it, with or
-    without sizes.
+    row count) switches firing from the static >=2-many-edge rule to the
+    measured blow-up estimate (``FANOUT_BLOWUP_FACTOR``): firing stays a
+    PERF heuristic — the factored form is exact whenever this module
+    emits it, with or without sizes.
     """
     unique = UNIQUE_KEYS.get(schema)
     if unique is None:
@@ -497,29 +509,30 @@ def rewrite_fanout_count(
         return join_key[child][1] not in unique.get(child, ())
 
     many_edges = [c for c in join_order if many(c)]
-    if len(many_edges) < 2:
-        # Single many-edge: naive streaming wins at small absolute size
-        # (measured -59 s at sf0.1), but turns quadratic when the bridge
-        # key's cardinality does not scale with the facts. Fire only when
-        # the caller supplies row counts that show the superlinear regime
-        # (see SINGLE_MANY_* constants above).
-        if len(many_edges) != 1 or size_of is None:
+    if size_of is None:
+        # Static rule (no sizes): >=2 many-edges only.
+        if len(many_edges) < 2:
             return None
-        child = many_edges[0]
-        par = parent[child]
-        # Density |child|/|parent| is only the per-key fan-out when the
-        # parent joins on its unique key (a bridge dimension).
-        if join_key[child][0] not in unique.get(par, ()):
+    else:
+        # Blow-up estimate (see FANOUT_BLOWUP_FACTOR above). Falls back
+        # to the static rule if a size lookup fails.
+        if not many_edges:
             return None
         try:
-            if not (
-                size_of(root) >= SINGLE_MANY_MIN_ROOT
-                and size_of(child)
-                >= SINGLE_MANY_DENSITY * max(size_of(par), 1)
-            ):
+            total = float(size_of(root))
+            blowup = 1.0
+            for c in join_order:
+                total += size_of(c)
+            for c in many_edges:
+                par = parent[c]
+                if join_key[c][0] in unique.get(par, ()):
+                    blowup *= size_of(c) / max(size_of(par), 1)
+            est_intermediate = size_of(root) * blowup
+            if est_intermediate < FANOUT_BLOWUP_FACTOR * max(total, 1.0):
                 return None
         except Exception:
-            return None
+            if len(many_edges) < 2:
+                return None
 
     # ---- emit: bottom-up per-node count CTEs ---------------------------
     # ct_<T> holds, per (join key into T, group columns of T's subtree),

@@ -229,19 +229,21 @@ def test_guards_bail():
     assert rewrite_fanout_count(cross_conj, "tpcds") is None
 
 
-def test_single_many_edge_size_gated():
-    """Round-10 scale-aware rule: a SINGLE many-edge text stays naive
-    without size information (measured -59 s for broad firing at sf0.1),
-    fires when row counts show the quadratic-density regime (the 100x
-    probe's tpcds_wl_2621: fixed 2,000-key bridge, 13.4B-row naive join,
-    160x cost — rewritten form 9.4x faster, hash-identical), and the
+def test_size_aware_blowup_gate():
+    """Round-10 scale-aware rule: with table sizes, firing is decided by
+    the estimated intermediate blow-up vs input sizes
+    (FANOUT_BLOWUP_FACTOR), bracketed by head-to-head 100x measurements:
+    tpcds_wl_2621 (ratio 1250) rewrites 9.4x faster; the same text at
+    sf0.1 sizes (ratio 12.5) and tpcds_wl_2601's 1.5M-key customer
+    bridge (ratio 6.7, rewrite measured 4.7x SLOWER) stay naive. The
     fired form remains EXACT (checked against the naive text on DuckDB)."""
     from lakehouse_variance_spark.plans.tpcds_workload_texts import TEXTS
 
     sql = TEXTS["tpcds_wl_2621"]
-    # No size info -> naive (the committed sf0.1 behavior).
+    # No size info -> static rule: single many-edge stays naive.
     assert rewrite_fanout_count(sql, "tpcds") is None
-    # Small root -> naive (fixed keyed-agg costs dominate).
+    # sf0.1-scale sizes: blow-up ratio ~12 < 50 -> naive (the -59 s
+    # anchor measurement; small-SF plans unchanged).
     small = {"store_returns": 50_000, "web_returns": 50_000,
              "customer_address": 2_000}
     assert rewrite_fanout_count(sql, "tpcds", small.get) is None
@@ -249,7 +251,14 @@ def test_single_many_edge_size_gated():
     dense = {"store_returns": 5_000_000, "web_returns": 5_000_000,
              "customer_address": 5_000_000}
     assert rewrite_fanout_count(sql, "tpcds", dense.get) is None
-    # Large root + sparse bridge -> fires, and the factored form is exact.
+    # The measured wl_2601 regime: big facts, 1.5M-key bridge, densities
+    # ~13 -> ratio ~6.7 -> must stay naive (rewrite measured 4.7x worse).
+    sql_2601 = TEXTS["tpcds_wl_2601"]
+    wl2601 = {"web_sales": 20_000_262, "customer": 1_500_000,
+              "store_sales": 20_000_415}
+    assert rewrite_fanout_count(sql_2601, "tpcds", wl2601.get) is None
+    # Large facts + sparse 2,000-key bridge (ratio 1250) -> fires, and
+    # the factored form is exact.
     big = {"store_returns": 5_000_000, "web_returns": 5_000_000,
            "customer_address": 2_000}
     rw = rewrite_fanout_count(sql, "tpcds", big.get)
