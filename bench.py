@@ -171,12 +171,24 @@ def main() -> None:
     force_drain = os.environ.get("SPARK_GRAFT_FORCE_DRAIN") == "1"
 
     def drain(df) -> int:
+        # Returns the RESULT row count in both modes. Under force_drain
+        # the bit_xor aggregate collapses to 1 row, so count the rows
+        # inside the same job via a grouping on a constant — otherwise
+        # the "(n rows)" stderr line and primary-vs-forced row-count
+        # sanity checks would compare against a meaningless 1 (ADVICE
+        # r10).
         if force_drain and df.columns:
             from pyspark.sql import functions as F
 
-            return df.select(
-                F.bit_xor(F.xxhash64(*df.columns)).alias("h")
-            ).count()
+            row = (
+                df.groupBy(F.lit(1).alias("_g"))
+                .agg(
+                    F.bit_xor(F.xxhash64(*df.columns)).alias("h"),
+                    F.count(F.lit(1)).alias("n"),
+                )
+                .collect()
+            )
+            return int(row[0]["n"]) if row else 0
         return df.count()
 
     # Warm-up pass: the first execution of each query pays Janino codegen +
@@ -238,7 +250,19 @@ def main() -> None:
     elif force_drain:
         self_json = "BENCH_FORCED.json"
     elif sf == 0.1:
-        self_json = "BENCH_SELF.json"
+        # The COMMITTED artifact slot is opt-in (session workflow sets
+        # SPARK_GRAFT_BENCH_COMMIT=1 for the canonical end-of-round run,
+        # committed with the producing HEAD). Unattended invocations —
+        # the driver benches AFTER the end-of-round snapshot commit —
+        # land in the gitignored _driver slot instead, so they can never
+        # leave the committed BENCH_SELF.json dirty/diverged from the
+        # tree that produced it (VERDICT r9 #4 / r10 wrong #1). The
+        # driver's own record is BENCH_r{N}.json, parsed from the
+        # printed line — nothing is lost by not committing its copy.
+        if os.environ.get("SPARK_GRAFT_BENCH_COMMIT") == "1":
+            self_json = "BENCH_SELF.json"
+        else:
+            self_json = "BENCH_SELF_driver.json"
     else:
         self_json = "BENCH_SMOKE.json"
     line = json.dumps(

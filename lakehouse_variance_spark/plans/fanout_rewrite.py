@@ -139,7 +139,15 @@ UNIQUE_KEYS: dict[str, dict[str, set[str]]] = {
 # measured "rewrite wins" band (>=340) with margin on both sides.
 FANOUT_BLOWUP_FACTOR = 50.0
 
-_SF_SIZES: dict[tuple[str, str], dict[str, int]] = {}
+_SF_SIZES: dict[tuple[int, str, str], dict[str, int]] = {}
+
+
+def clear_size_memo() -> None:
+    """Invalidate all memoized row counts. Call after regenerating data
+    at a path already counted this process (ADVICE r10: the memo was
+    keyed only by (schema, sf_dir) and never invalidated, so rebuilt
+    datasets kept driving firing decisions with stale counts)."""
+    _SF_SIZES.clear()
 
 
 def sized_rewrite(text: str, schema: str, spark, sf_dir: str) -> str:
@@ -150,8 +158,12 @@ def sized_rewrite(text: str, schema: str, spark, sf_dir: str) -> str:
     quadratic-density regime), else the text unchanged. Row counts are
     memoized per (schema, sf_dir) so repeated query calls cost no extra
     jobs. The DuckDB oracle always keeps the naive text, so every driver
-    hash-match on a fired text is an equivalence proof of the rewrite."""
-    memo = _SF_SIZES.setdefault((schema, sf_dir), {})
+    hash-match on a fired text is an equivalence proof of the rewrite.
+
+    The memo is keyed by the owning SparkSession's id as well as
+    (schema, sf_dir), so a fresh session re-counts rebuilt data; an
+    in-session rebuild needs an explicit ``clear_size_memo()``."""
+    memo = _SF_SIZES.setdefault((id(spark), schema, sf_dir), {})
 
     def size_of(table: str) -> int:
         if table not in memo:
@@ -521,15 +533,28 @@ def rewrite_fanout_count(
         try:
             total = float(size_of(root))
             blowup = 1.0
+            unknown_density = False
             for c in join_order:
                 total += size_of(c)
             for c in many_edges:
                 par = parent[c]
                 if join_key[c][0] in unique.get(par, ()):
                     blowup *= size_of(c) / max(size_of(par), 1)
-            est_intermediate = size_of(root) * blowup
-            if est_intermediate < FANOUT_BLOWUP_FACTOR * max(total, 1.0):
-                return None
+                else:
+                    # Parent-side join column is not a declared unique
+                    # key: per-key density of this edge is unknowable
+                    # from table sizes alone. Treating it as 1 would
+                    # read as "no fan-out" and silently re-expose the
+                    # blown-budget class for undeclared-key shapes
+                    # (ADVICE r10): fall back to the static rule below.
+                    unknown_density = True
+            if unknown_density:
+                if len(many_edges) < 2:
+                    return None
+            else:
+                est_intermediate = size_of(root) * blowup
+                if est_intermediate < FANOUT_BLOWUP_FACTOR * max(total, 1.0):
+                    return None
         except Exception:
             if len(many_edges) < 2:
                 return None

@@ -172,6 +172,12 @@ def main() -> None:
             for k, v in old.items():
                 if v is not None:
                     spark.conf.set(k, v)
+                else:
+                    # No retrievable prior value: unset, don't skip —
+                    # skipping left probe-set AQE/broadcast settings
+                    # applied to the session after the variant (ADVICE
+                    # r10).
+                    spark.conf.unset(k)
         print(f"{tag:8s} {dt:8.3f}s")
         return rows, dt
 

@@ -138,10 +138,24 @@ def main() -> None:
             print(f"  {i+1}/{len(rows)}: {ok} ok, {fail} fail, {err} err",
                   file=sys.stderr)
 
+    # Provenance stamp (VERDICT r10 wrong #2): the artifact records the
+    # exact tree that produced it, so the audit trail never has to rely
+    # on "the gate cannot fire at this SF" reasoning about staleness.
+    try:
+        import subprocess
+
+        git_head = subprocess.run(
+            ["git", "rev-parse", "--short", "HEAD"],
+            cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            capture_output=True, text=True, timeout=10,
+        ).stdout.strip() or None
+    except Exception:
+        git_head = None
     result = {
         "suite": args.suite,
         "file": path,
         "sf_dir": args.sf,
+        "git_head": git_head,
         "queries": len(rows),
         "hash_match": ok,
         # dup-projection-name texts, value-hashed under positional

@@ -34,7 +34,7 @@ def test_iceberg_writeto_and_register_table_roundtrip(spark, tmp_path):
     if not _iceberg_on_classpath(spark):
         pytest.skip(
             "Iceberg runtime jar not on the classpath "
-            "(env re-verified r10: find / empty, maven.org unresolvable)"
+            "(env re-verified r11: find / empty, maven.org unresolvable)"
         )
     wh = tmp_path / "wh"
     # Hadoop catalogs are instantiated lazily, so catalog conf can be set

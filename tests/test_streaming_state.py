@@ -221,7 +221,7 @@ def test_transform_with_state_matches_batch_twin(spark):
     if not state_v2.TWS_AVAILABLE:
         pytest.skip(
             "google.protobuf not installed; transformWithState gated off "
-            "(env re-verified r10: import google.protobuf raises)"
+            "(env re-verified r11: import google.protobuf raises)"
         )
     stream = state_v2.stream_event_transitions(spark, "/root/testdata/sf0.001")
     batch = state_v2.event_transition_counts(spark, "/root/testdata/sf0.001")
