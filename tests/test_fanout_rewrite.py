@@ -272,6 +272,45 @@ def test_size_aware_blowup_gate():
     assert naive.equals(fact)
 
 
+def test_unknown_density_falls_back_to_static_rule():
+    """ADVICE r10 (medium): a many-edge whose parent-side join column is
+    not a declared UNIQUE_KEYS entry has UNKNOWN per-key density — the
+    sized estimator must not treat it as density 1 (est_intermediate
+    would equal |root| and the rewrite could never fire, silently
+    re-exposing the round-7 blown-budget class on every engine path).
+    With any unknown-density many-edge present, firing falls back to the
+    measured static rule: >=2 many-edges fire, fewer stay naive."""
+    from lakehouse_variance_spark.plans.tpcds_workload_texts import TEXTS
+
+    # tpcds_wl_321: >=2 many-edges whose parent join columns are not
+    # declared unique keys (the audit's sized-vs-static diff set). The
+    # static rule fires it, so the sized path must too — at ANY sizes.
+    sql = TEXTS["tpcds_wl_321"]
+    static = rewrite_fanout_count(sql, "tpcds")
+    assert static is not None
+    sizes = {t: 10_000 for t in
+             ("store_sales", "store_returns", "catalog_sales",
+              "catalog_returns", "web_sales", "web_returns", "customer",
+              "customer_address", "customer_demographics", "item",
+              "store", "date_dim", "reason", "warehouse", "web_page")}
+    sized = rewrite_fanout_count(sql, "tpcds", lambda t: sizes.get(t, 10_000))
+    assert sized == static
+    # Exactness is independent of the firing rule: factored == naive.
+    con = _duck()
+    naive = con.sql(oracle_sql_for(sql)).df()
+    fact = con.sql(oracle_sql_for(sized)).df()
+    naive = naive.sort_values(list(naive.columns)).reset_index(drop=True)
+    fact = fact.sort_values(list(fact.columns)).reset_index(drop=True)
+    assert naive.equals(fact)
+    # Known-density shapes are untouched by the fallback: wl_2621's
+    # declared 2,000-key bridge still gates on the measured blow-up
+    # ratio (sf0.1-scale sizes -> naive, exactly as before).
+    sql_2621 = TEXTS["tpcds_wl_2621"]
+    small = {"store_returns": 50_000, "web_returns": 50_000,
+             "customer_address": 2_000}
+    assert rewrite_fanout_count(sql_2621, "tpcds", small.get) is None
+
+
 @pytest.mark.skipif(
     not os.path.exists(_LOCAL_TRAIN), reason="reference workloads absent"
 )
