@@ -117,6 +117,40 @@ def test_stream_file_sink_with_checkpoint(spark, tmp_path):
     assert n_got >= closed, "watermark-closed windows missing from the sink"
 
 
+def test_run_to_parquet_restores_conf_and_scopes_scratch(spark):
+    """run_to_parquet must (a) run the stream at the state-store partition
+    sizing but restore the session's shuffle-partition conf afterwards,
+    (b) place every sink dir under the single process-scoped scratch root
+    (the ADVICE-r10 /tmp leak: per-invocation dirs were never cleaned),
+    and (c) return a batch DataFrame equal to the stream's output."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from lakehouse_variance_spark.streaming import logs
+    from lakehouse_variance_spark.streaming.logs import (
+        run_to_parquet,
+        streaming_events,
+    )
+    from tests.conftest import SF_DIR
+
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    stream = streaming_events(spark, SF_DIR).filter(
+        F.col("event_type") == "click"
+    )
+    out = run_to_parquet(stream)
+    assert spark.conf.get("spark.sql.shuffle.partitions") == prev
+    root = logs._SINK_SCRATCH_ROOT
+    assert root is not None and os.path.isdir(root)
+    # The returned DataFrame scans files under the shared scratch root.
+    files = out.inputFiles()
+    assert files and all(root in f for f in files)
+    # A second invocation reuses the SAME root (no new top-level dirs).
+    out2 = run_to_parquet(stream)
+    assert logs._SINK_SCRATCH_ROOT == root
+    assert out.count() == out2.count() > 0
+
+
 def test_foreach_batch_sink_idempotent_on_replay(spark, tmp_path):
     """A replayed micro-batch (same batch_id, as after a failure between
     sink write and checkpoint commit) must overwrite, not append — the
