@@ -75,6 +75,7 @@ def load_all() -> None:
     from lakehouse_variance_spark.scheduling import queries  # noqa: F401
     from lakehouse_variance_spark.sources import layout, scrub  # noqa: F401
     from lakehouse_variance_spark.streaming import (  # noqa: F401
+        cdc_stream,
         ingest_stream,
         logs,
         state_v2,

@@ -415,6 +415,48 @@ def committed_stream_batches(table_dir: str) -> set[int]:
     return out
 
 
+def snapshot_merge_writer(table_dir: str, merge_fn):
+    """``foreachBatch`` function MERGING each micro-batch into the table,
+    exactly-once: every batch commits one OVERWRITE snapshot holding
+    ``merge_fn(batch_df, current_state)`` (``current_state`` is None for
+    the first commit). The same high-water-mark replay guard as
+    :func:`snapshot_batch_writer` applies BEFORE ``merge_fn`` is built —
+    essential for merges, since re-merging a batch against the
+    post-commit state would double-apply it (the additive counters in a
+    CDC collapse, for instance, would double-count).
+
+    This is the transactional streaming-MERGE sink Iceberg/Delta expose
+    as ``foreachBatch`` + ``MERGE INTO``, on the native snapshot layer:
+    each micro-batch is an atomic, time-travelable version, and a crash
+    between sink write and checkpoint commit leaves only unreferenced
+    files (invisible; reclaimed by expire_snapshots)."""
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        parent = _main_head(table_dir)
+        hwm = _stream_hwm(table_dir, parent)
+        if int(batch_id) <= hwm:
+            return  # replayed batch — already merged, skip
+        state = (
+            read_snapshot(batch_df.sparkSession, table_dir)
+            if parent > 0
+            else None
+        )
+        _commit_dataframe(
+            merge_fn(batch_df, state),
+            table_dir,
+            parent=parent,
+            operation="stream-merge",
+            mode="overwrite",
+            ref="main",
+            extra={
+                "stream_batch_id": int(batch_id),
+                "stream_batch_hwm": max(int(batch_id), hwm),
+            },
+        )
+
+    return write_batch
+
+
 def snapshot_batch_writer(table_dir: str):
     """``foreachBatch`` function committing each micro-batch as ONE
     appended snapshot version, exactly-once.
