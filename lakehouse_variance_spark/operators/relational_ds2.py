@@ -872,9 +872,14 @@ def or_membership_existence_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     # Register only the two tables the text reads (register_sf_views loads
     # every table — it would fail on partial datasets like the 10x probe's
-    # replica set, which excludes documents/embeddings).
+    # replica set, which excludes documents/embeddings). Re-pointing shared
+    # names outside the register helpers invalidates the catalog-ownership
+    # skip token (see synth_common._CATALOG_STATE).
+    from lakehouse_variance_spark.plans import synth_common as synth
+
     for t in ("customer", "orders"):
         load_table(spark, sf_dir, t).createOrReplaceTempView(t)
+    synth.catalog_state_dirty(spark)
     return spark.sql(
         """
         SELECT c.c_mktsegment,

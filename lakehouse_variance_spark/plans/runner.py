@@ -558,11 +558,23 @@ def register_sf_views(spark: SparkSession, sf_dir: str) -> None:
     """Expose the scale-factor tables as temp views so verbatim SQL texts
     (the reference executes its 99 queries as raw strings,
     ``run_workload.py:38``) resolve against the same loaders the DataFrame
-    queries use."""
+    queries use.
+
+    Skips when the session's catalog-ownership token already says these
+    exact table handles own the names (synth_common._CATALOG_STATE): the
+    10 ``createOrReplaceTempView`` py4j round trips were a fixed per-text-
+    query constant. The token embeds the handle ids, so a testdata rewrite
+    (load_table's mtime-keyed memo returns fresh handles) re-registers."""
+    from lakehouse_variance_spark.plans import synth_common as synth
     from lakehouse_variance_spark.tables import TABLE_NAMES, load_table
 
-    for name in TABLE_NAMES:
-        load_table(spark, sf_dir, name).createOrReplaceTempView(name)
+    dfs = [(name, load_table(spark, sf_dir, name)) for name in TABLE_NAMES]
+    token = ("base", sf_dir, tuple(id(df) for _, df in dfs))
+    if synth.catalog_state_get(spark) == token:
+        return
+    for name, df in dfs:
+        df.createOrReplaceTempView(name)
+    synth.catalog_state_set(spark, token)
 
 
 def _register_sql_text_query() -> None:

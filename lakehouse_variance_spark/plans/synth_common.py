@@ -99,6 +99,32 @@ def cache_dir(cache_root: str, sf_dir: str, fingerprint: str) -> str:
 # after a shadowing module re-points the names is catalog-only.
 _DF_CACHE: dict[tuple[int, str, str], object] = {}
 
+# Catalog-ownership token per session: WHICH view family currently owns the
+# shared names (tpcds/ssb/tpch_ext shadow base `customer` etc.) and WHICH
+# DataFrame handles back them. `createOrReplaceTempView` costs a py4j round
+# trip + plan wrap PER VIEW, and re-registering 10-34 unchanged views on
+# every text-query invocation was a pure per-query constant (guide §1.2:
+# don't redo work whose inputs didn't change). A register helper skips when
+# the session's token already equals its own; ANY code that re-points a
+# shared name outside the helpers must call `catalog_state_dirty` so the
+# next helper call does the full re-registration. Keyed by applicationId
+# (unique per session lifetime; id(spark) can be recycled by CPython).
+_CATALOG_STATE: dict[str, tuple] = {}
+
+
+def catalog_state_get(spark: SparkSession):
+    return _CATALOG_STATE.get(spark.sparkContext.applicationId)
+
+
+def catalog_state_set(spark: SparkSession, token: tuple) -> None:
+    _CATALOG_STATE[spark.sparkContext.applicationId] = token
+
+
+def catalog_state_dirty(spark: SparkSession) -> None:
+    """Invalidate the skip token (a shared view name was re-pointed
+    outside the register helpers)."""
+    _CATALOG_STATE.pop(spark.sparkContext.applicationId, None)
+
 
 def materialize_and_register(
     spark: SparkSession,
@@ -122,6 +148,13 @@ def materialize_and_register(
 
     out = cache_dir(cache_root, sf_dir, defs_fingerprint(defs))
     done = os.path.join(out, "_DONE")
+    # Fast path: this exact family (cache dir) with these exact DataFrame
+    # handles already owns the catalog names — nothing to do. The token
+    # carries the handle ids, so a session whose _DF_CACHE was refreshed
+    # (or a different sf_dir / defs version) never matches stale views.
+    token = _defs_token(spark, out, defs)
+    if token is not None and catalog_state_get(spark) == token:
+        return
     register_sf_views(spark, sf_dir)
     if not os.path.exists(done):
         # Concurrency-safe build: write into a pid-suffixed temp dir and
@@ -203,3 +236,18 @@ def materialize_and_register(
             df = spark.read.parquet(os.path.join(out, name))
             _DF_CACHE[key] = df
         df.createOrReplaceTempView(name)
+    token = _defs_token(spark, out, defs)
+    if token is not None:
+        catalog_state_set(spark, token)
+
+
+def _defs_token(spark: SparkSession, out: str, defs: dict[str, str]):
+    """Ownership token for a registered defs family, or None when any
+    handle is not yet cached (first registration in this session)."""
+    ids = []
+    for name in defs:
+        df = _DF_CACHE.get((id(spark), out, name))
+        if df is None:
+            return None
+        ids.append(id(df))
+    return ("defs", out, tuple(ids))

@@ -5022,6 +5022,13 @@ def _q72_transitive_date_prune(spark: SparkSession, sf_dir: str) -> None:
     spark.table("inventory").filter(
         F.col("inv_date_sk").isin(sks)
     ).createOrReplaceTempView("inventory")
+    # The shadow re-points a shared name outside the register helpers:
+    # invalidate the catalog-ownership token so the NEXT tpcds query's
+    # register_tpcds_views does a full re-registration instead of skipping
+    # (which would leave every other query reading pruned inventory).
+    from lakehouse_variance_spark.plans import synth_common as synth
+
+    synth.catalog_state_dirty(spark)
 
 
 def _register_tpcds_texts() -> None:

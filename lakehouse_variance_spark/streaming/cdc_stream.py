@@ -37,10 +37,7 @@ passes. The commit is one manifest write per batch at any data volume.
 
 from __future__ import annotations
 
-import os
 import shutil
-import tempfile
-import time
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -73,7 +70,8 @@ def _stage_cdc_batches(spark: SparkSession, sf_dir: str) -> str:
     (event_id round-robin), so cross-batch ordering is genuinely
     exercised — a batch can carry an OLDER change than one already
     merged, and the latest-wins condition must refuse it."""
-    staging = tempfile.mkdtemp(prefix="lvs_cdc_staging_")
+    from lakehouse_variance_spark.scratch import scratch_dir, stage_mod_batches
+
     ev = load_table(spark, sf_dir, "events").select(
         "user_id",
         F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
@@ -81,17 +79,9 @@ def _stage_cdc_batches(spark: SparkSession, sf_dir: str) -> str:
         "value",
         (F.col("event_type") == "error").alias("is_del"),
     )
-    now = time.time()
-    for b in range(K_BATCHES):
-        part_dir = os.path.join(staging, f"_build_{b}")
-        ev.filter(F.col("event_id") % K_BATCHES == b).coalesce(1).write.mode(
-            "overwrite"
-        ).parquet(part_dir)
-        part = next(p for p in os.listdir(part_dir) if p.endswith(".parquet"))
-        dst = os.path.join(staging, f"batch_{b}.parquet")
-        os.replace(os.path.join(part_dir, part), dst)
-        os.utime(dst, (now - 60 * (K_BATCHES - b),) * 2)
-    return staging
+    return stage_mod_batches(
+        ev, F.col("event_id"), K_BATCHES, scratch_dir("lvs_cdc_staging_")
+    )
 
 
 def _cdc_merge(batch_df: DataFrame, state: DataFrame | None) -> DataFrame:
@@ -167,9 +157,13 @@ def stream_cdc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     the oracle is the exact global-window query — every driver hash
     match is an end-to-end proof that K sequential transactional merges
     reproduce the one-shot batch semantics."""
+    from lakehouse_variance_spark.scratch import scratch_dir
+
     staging = _stage_cdc_batches(spark, sf_dir)
-    table_dir = tempfile.mkdtemp(prefix="lvs_cdc_table_")
-    checkpoint = tempfile.mkdtemp(prefix="lvs_cdc_ckpt_")
+    # Scratch-rooted (fast ephemeral storage, removed at exit; table_dir
+    # previously leaked a /tmp copy per invocation).
+    table_dir = scratch_dir("lvs_cdc_table_")
+    checkpoint = scratch_dir("lvs_cdc_ckpt_")
     stream = (
         spark.readStream.schema(_STAGED_SCHEMA)
         .option("maxFilesPerTrigger", 1)

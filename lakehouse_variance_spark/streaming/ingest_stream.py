@@ -20,10 +20,7 @@ this streaming pipeline is oracle-checked end-to-end, not rows-only.
 
 from __future__ import annotations
 
-import os
 import shutil
-import tempfile
-import time
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -83,7 +80,8 @@ def _stage_batches(spark: SparkSession, sf_dir: str) -> str:
     """Write the corpus as K_BATCHES single-file parquet drops (batch b =
     docs with doc_id % K == b), modification times strictly increasing so
     the file source delivers them oldest-first, one per micro-batch."""
-    staging = tempfile.mkdtemp(prefix="lvs_ingest_staging_")
+    from lakehouse_variance_spark.scratch import scratch_dir, stage_mod_batches
+
     # Null text => null fingerprint, and a NULL equality key silently
     # bypasses the left_anti gate every batch (NULL = NULL never matches)
     # where the oracle's row_number keeps exactly one — so null-text rows
@@ -93,21 +91,9 @@ def _stage_batches(spark: SparkSession, sf_dir: str) -> str:
         .filter(F.col("text").isNotNull())
         .select("doc_id", "source", _fingerprint_col().alias("fingerprint"))
     )
-    now = time.time()
-    for b in range(K_BATCHES):
-        part_dir = os.path.join(staging, f"_build_{b}")
-        docs.filter(F.col("doc_id") % K_BATCHES == b).coalesce(1).write.mode(
-            "overwrite"
-        ).parquet(part_dir)
-        part = next(
-            p for p in os.listdir(part_dir) if p.endswith(".parquet")
-        )
-        dst = os.path.join(staging, f"batch_{b}.parquet")
-        os.replace(os.path.join(part_dir, part), dst)
-        # Strictly increasing mtimes, one minute apart: the source orders
-        # new files oldest-first (latestFirst=false default).
-        os.utime(dst, (now - 60 * (K_BATCHES - b), now - 60 * (K_BATCHES - b)))
-    return staging
+    return stage_mod_batches(
+        docs, F.col("doc_id"), K_BATCHES, scratch_dir("lvs_ingest_staging_")
+    )
 
 
 @register(
@@ -139,9 +125,13 @@ def stream_incremental_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     not the stream — a restart resumes from the snapshot + checkpoint,
     and the batch-id guard makes replays no-ops.
     """
+    from lakehouse_variance_spark.scratch import scratch_dir
+
     staging = _stage_batches(spark, sf_dir)
-    table_dir = tempfile.mkdtemp(prefix="lvs_ingest_table_")
-    checkpoint = tempfile.mkdtemp(prefix="lvs_ingest_ckpt_")
+    # Scratch-rooted (fast ephemeral storage, removed at exit): table_dir
+    # previously leaked a /tmp copy per invocation — the ADVICE-r10 class.
+    table_dir = scratch_dir("lvs_ingest_table_")
+    checkpoint = scratch_dir("lvs_ingest_ckpt_")
     stream = (
         spark.readStream.schema(_STAGED_SCHEMA)
         .option("maxFilesPerTrigger", 1)

@@ -33,11 +33,6 @@ from lakehouse_variance_spark.tables import load_table
 
 _MEMORY_SINK_IDS = itertools.count()
 
-# Lazily-created scratch root for run_to_parquet sink dirs; removed via
-# atexit so repeated invocations in one process can't leak full data
-# copies under /tmp (ADVICE r10).
-_SINK_SCRATCH_ROOT: str | None = None
-
 # File-stream sources need a user-supplied schema; reading the footer once
 # per (session, path) instead of per source saves a full batch-scan setup
 # every time a query builds a second source over the same table.
@@ -133,21 +128,17 @@ def run_to_parquet(stream_df: DataFrame, output_mode: str = "append") -> DataFra
     100× data). The file sink commits each micro-batch atomically through
     the sink manifest, which is also the exactly-once story the operator
     demonstrates."""
-    import tempfile
-
-    # All sink dirs live under one process-scoped scratch root removed at
+    # All sink dirs live under the process-scoped scratch root removed at
     # interpreter exit (ADVICE r10: per-invocation mkdtemp dirs were never
     # cleaned, so warm-up + timed passes and driver replays accumulated
     # full data copies under /tmp). Eager deletion is NOT safe — the
-    # returned DataFrame lazily re-scans the sink directory.
-    global _SINK_SCRATCH_ROOT
-    if _SINK_SCRATCH_ROOT is None:
-        import atexit
-        import shutil
+    # returned DataFrame lazily re-scans the sink directory. The root
+    # lives on fast ephemeral storage (scratch.py): sink-manifest +
+    # checkpoint metadata churn is a per-micro-batch disk constant, not
+    # data volume (guide §6).
+    from lakehouse_variance_spark.scratch import scratch_dir
 
-        _SINK_SCRATCH_ROOT = tempfile.mkdtemp(prefix="lvs_stream_sinks_")
-        atexit.register(shutil.rmtree, _SINK_SCRATCH_ROOT, ignore_errors=True)
-    out = tempfile.mkdtemp(prefix="sink_", dir=_SINK_SCRATCH_ROOT)
+    out = scratch_dir("sink_")
     spark = stream_df.sparkSession
     prev = spark.conf.get("spark.sql.shuffle.partitions")
     # Same state-store sizing as run_to_memory: the partition count is

@@ -23,6 +23,14 @@ con = duckdb.connect()
 register_views(con, SF01)
 
 qs, oracles = e.queries(), e.oracle_sql()
+# SIM_ONLY=a,b,c — spot-check a subset after a targeted change (full runs
+# stay the default and the round gate).
+only = os.environ.get("SIM_ONLY")
+if only:
+    wanted = set(only.split(","))
+    missing = wanted - set(qs)
+    assert not missing, f"SIM_ONLY names not registered: {sorted(missing)}"
+    qs = {n: qs[n] for n in qs if n in wanted}
 ok = fail = rows_only = 0
 for name in sorted(qs):
     sdf = qs[name](spark, SF01)

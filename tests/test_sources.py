@@ -154,3 +154,36 @@ def test_scrub_trace_json(spark):
     assert "<REDACTED_SPLIT_PATH>" in out and "<REDACTED_TABLE_LOCATION>" in out
     assert "FINISHED" in out  # untouched members survive
     assert json.loads(out)  # still valid JSON
+
+
+def test_load_table_memo_reuses_handle_and_invalidates_on_rewrite(
+    spark, tmp_path
+):
+    """load_table memoizes the lazy table handle per (session, path, mtime)
+    — the per-query metadata constant (re-listing + footer schema read)
+    disappears — but a rewritten path must yield a FRESH handle: the
+    cached InMemoryFileIndex pins the old file list, so reusing it across
+    a rewrite would silently read deleted files."""
+    import os
+    import time
+
+    from lakehouse_variance_spark.tables import load_table
+    from tests.conftest import SF_DIR
+
+    a = load_table(spark, SF_DIR, "orders")
+    b = load_table(spark, SF_DIR, "orders")
+    assert a is b  # same lazy handle, no re-listing
+
+    path = str(tmp_path / "events.parquet")
+    src = load_table(spark, SF_DIR, "events").limit(10)
+    src.write.parquet(path)
+    first = load_table(spark, str(tmp_path), "events")
+    assert first.count() == 10
+    # nanos->timestamp normalization must survive the memo
+    assert dict(first.dtypes)["ts"] != "bigint"
+    time.sleep(0.01)
+    src.limit(5).write.mode("overwrite").parquet(path)
+    os.utime(path)
+    second = load_table(spark, str(tmp_path), "events")
+    assert second is not first
+    assert second.count() == 5

@@ -127,7 +127,7 @@ def test_run_to_parquet_restores_conf_and_scopes_scratch(spark):
 
     from pyspark.sql import functions as F
 
-    from lakehouse_variance_spark.streaming import logs
+    from lakehouse_variance_spark import scratch
     from lakehouse_variance_spark.streaming.logs import (
         run_to_parquet,
         streaming_events,
@@ -140,14 +140,14 @@ def test_run_to_parquet_restores_conf_and_scopes_scratch(spark):
     )
     out = run_to_parquet(stream)
     assert spark.conf.get("spark.sql.shuffle.partitions") == prev
-    root = logs._SINK_SCRATCH_ROOT
+    root = scratch._ROOT
     assert root is not None and os.path.isdir(root)
     # The returned DataFrame scans files under the shared scratch root.
     files = out.inputFiles()
     assert files and all(root in f for f in files)
     # A second invocation reuses the SAME root (no new top-level dirs).
     out2 = run_to_parquet(stream)
-    assert logs._SINK_SCRATCH_ROOT == root
+    assert scratch._ROOT == root
     assert out.count() == out2.count() > 0
 
 
