@@ -93,45 +93,57 @@ def graph_pagerank_fixedpoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     step: inflow = Σ (rank_src div 3) over in-edges, then
     rank' = 150000 + (85·inflow) div 100 (d = 0.85 damping, floored).
 
-    Scale: per iteration, ONE equi-join (edges ⋈ ranks on src — at 100 TB
-    both sides bucket/partition on the node key so the join is co-located
-    and the shuffle is edge-volume once, not per-iteration re-sort) and
-    ONE partial-aggregated groupBy on dst. The rank vector is
-    localCheckpoint'ed each round to keep the 8-deep lineage out of the
-    planner (same discipline as dedup_connected_components). Integer
-    arithmetic makes every iteration's result partition-order-free —
-    the property that lets the gate hash-match a distributed run against
-    a single-threaded oracle.
+    Scale: the dst endpoints are a deterministic arithmetic function of
+    src (the synthetic-graph contract), so each iteration inlines them as
+    THREE projected columns on the rank vector and explodes — no edges
+    table and no edges ⋈ ranks equi-join at all (r11: the join paid a
+    shuffle of both sides per iteration; a general graph would reinstate
+    the edge join, bucketed on the node key). Per iteration the plan is:
+    narrow explode → partial-aggregated groupBy(dst) (ONE exchange of
+    |nodes| 16-byte rows) → left join back to the node list (broadcast
+    at bench scale; co-partitioned on the node key at 100 TB, where
+    ReuseExchange shares the single node-scan exchange across all eight
+    iterations). The whole 8-iteration chain stays LAZY — one adaptive
+    query, stages pipelined by the scheduler — instead of the r10
+    per-iteration localCheckpoint: even with eager=False, checkpointing
+    calls toRdd and AQE materializes every shuffle stage serially at
+    BUILD time (measured 36 sequential jobs, 2.8-3.6 s; the lazy chain
+    runs 1.1-1.2 s with bit-identical output). Disjoint names (rid/dst)
+    keep the shared-lineage self-joins unambiguous without RDD barriers.
+    Integer arithmetic makes every iteration's result
+    partition-order-free — the property that lets the gate hash-match a
+    distributed run against a single-threaded oracle.
     """
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
     n = docs.count()
-    j = F.explode(
-        F.array(*[F.lit(i) for i in range(1, OUTDEG + 1)])
-    ).alias("j")
-    s = F.col("src") % n
-    edges = docs.select(F.col("doc_id").alias("src"), j).select(
-        "src",
-        ((((s * s) % n) * _EDGE_A + F.col("j")) % n).alias("dst"),
+    s = F.col("rid") % n
+    dsts = F.array(
+        *[
+            (((s * s) % n) * _EDGE_A + F.lit(j)) % n
+            for j in range(1, OUTDEG + 1)
+        ]
     )
-    edges = edges.localCheckpoint(eager=False)
-    ranks = docs.select("doc_id", F.lit(UNIT).cast("bigint").alias("rank"))
+    ranks = docs.select(
+        F.col("doc_id").alias("rid"), F.lit(UNIT).cast("bigint").alias("rank")
+    )
     for _ in range(N_ITER):
         inflow = (
-            edges.join(ranks, edges.src == ranks.doc_id)
-            .groupBy("dst")
-            .agg(F.sum(F.expr(f"rank div {OUTDEG}")).alias("s"))
-        )
-        ranks = (
-            docs.join(inflow, docs.doc_id == inflow.dst, "left")
-            .select(
-                docs.doc_id,
-                (
-                    F.lit(150000)
-                    + F.expr("85 * coalesce(s, CAST(0 AS BIGINT)) div 100")
-                )
-                .cast("bigint")
-                .alias("rank"),
+            ranks.select(
+                F.explode(dsts).alias("dst"),
+                F.expr(f"rank div {OUTDEG}").alias("c"),
             )
-            .localCheckpoint(eager=False)
+            .groupBy("dst")
+            .agg(F.sum("c").alias("s"))
         )
-    return ranks.select("doc_id", F.col("rank").alias("pagerank_micro"))
+        ranks = docs.join(inflow, docs.doc_id == inflow.dst, "left").select(
+            docs.doc_id.alias("rid"),
+            (
+                F.lit(150000)
+                + F.expr("85 * coalesce(s, CAST(0 AS BIGINT)) div 100")
+            )
+            .cast("bigint")
+            .alias("rank"),
+        )
+    return ranks.select(
+        F.col("rid").alias("doc_id"), F.col("rank").alias("pagerank_micro")
+    )
