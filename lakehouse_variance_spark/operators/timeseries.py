@@ -183,33 +183,69 @@ def ts_gap_fill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _lttb_one(pdf: pd.DataFrame, n_out: int) -> pd.DataFrame:
     """LTTB selection for ONE already-(ts, event_id)-sorted series."""
+    kept = _lttb_one_indices(pdf, n_out)
+    out = pdf.iloc[kept][["user_id", "ts", "value"]].copy()
+    out["bucket_id"] = np.arange(len(kept), dtype="int64")
+    return out
+
+
+def _sorted_series_frame(batches, cols):
+    """Concatenate a partition's Arrow batches into ONE frame sorted by
+    (user_id, ts, event_id) and return (frame, starts, ends) where
+    starts/ends are the numpy run-length boundaries of each user's rows."""
+    frames = list(batches)
+    if not frames:  # empty partition: mapInPandas still calls process
+        return None, None, None
+    pdf = pd.concat(frames, ignore_index=True)
+    if pdf.empty:
+        return None, None, None
+    pdf = pdf.sort_values(["user_id", "ts", "event_id"], ignore_index=True)[cols]
+    ids = pdf["user_id"].to_numpy()
+    starts = np.flatnonzero(np.r_[True, ids[1:] != ids[:-1]])
+    ends = np.r_[starts[1:], len(ids)]
+    return pdf, starts, ends
+
+
+def _lttb_kept_indices(pdf, starts, ends, n_out):
+    """Global row indices kept by LTTB per user series. Series with
+    n <= n_out keep every row (no per-series work at all — the common
+    case for short series, where per-group pandas machinery used to
+    dominate); longer series run the sequential LTTB recurrence."""
+    sizes = ends - starts
+    big = sizes > n_out
+    if not big.any():
+        return np.arange(len(pdf), dtype="int64"), None
+    keep_chunks = []
+    for s, e, is_big in zip(starts, ends, big):
+        if is_big:
+            keep_chunks.append(s + _lttb_one_indices(pdf.iloc[s:e], n_out))
+        else:
+            keep_chunks.append(np.arange(s, e, dtype="int64"))
+    return np.concatenate(keep_chunks), None
+
+
+def _lttb_one_indices(pdf: pd.DataFrame, n_out: int) -> np.ndarray:
+    """Positional indices _lttb_one keeps for one sorted series."""
     n = len(pdf)
     if n <= n_out:
-        out = pdf[["user_id", "ts", "value"]].copy()
-        out["bucket_id"] = np.arange(n, dtype="int64")
-        return out
+        return np.arange(n, dtype="int64")
     x = pdf["ts"].astype("int64").to_numpy(dtype="float64")
     y = pdf["value"].to_numpy(dtype="float64")
-    # bucket boundaries over the interior points (endpoints always kept)
     edges = np.linspace(1, n - 1, n_out - 1).astype("int64")
     kept = [0]
     for b in range(n_out - 2):
         lo, hi = edges[b], edges[b + 1]
         if hi <= lo:
             hi = lo + 1
-        # average of the NEXT bucket (or the last point)
         nlo, nhi = edges[b + 1], (edges[b + 2] if b + 2 < len(edges) else n)
         ax, ay = x[kept[-1]], y[kept[-1]]
         cx, cy = x[nlo:nhi].mean(), y[nlo:nhi].mean()
-        # triangle area against anchor and next-bucket centroid
         area = np.abs(
             (ax - cx) * (y[lo:hi] - ay) - (ax - x[lo:hi]) * (cy - ay)
         )
-        kept.append(lo + int(np.argmax(area)))  # first max on ties
+        kept.append(lo + int(np.argmax(area)))
     kept.append(n - 1)
-    out = pdf.iloc[kept][["user_id", "ts", "value"]].copy()
-    out["bucket_id"] = np.arange(len(kept), dtype="int64")
-    return out
+    return np.asarray(kept, dtype="int64")
 
 
 def lttb_downsample(series: DataFrame, n_out: int = LTTB_POINTS) -> DataFrame:
@@ -227,23 +263,89 @@ def lttb_downsample(series: DataFrame, n_out: int = LTTB_POINTS) -> DataFrame:
     ~67-row series; the per-series work is microseconds, the per-call
     machinery is not). Each task holds one partition's frame — the same
     memory bound any sorted-partition operator carries.
-    """
+
+    The repartition carries an EXPLICIT partition count (cluster default
+    parallelism): a keyless ``repartition("user_id")`` lets AQE coalesce
+    the tiny-bytes shuffle down to ONE partition, serializing every
+    series through a single Python worker (measured 2.3 s vs 1.2 s at
+    sf0.1 — guide §2.5's too-few-partitions trap in AQE clothing).
+    Series membership stays hash-determined either way. Short series
+    (n <= n_out, where LTTB keeps every point) take a fully vectorized
+    numpy run-length path — no per-group pandas frame is ever built."""
     schema = "user_id bigint, ts timestamp_ntz, value double, bucket_id bigint"
 
     def process(batches):
-        pdf = pd.concat(list(batches), ignore_index=True)
-        if pdf.empty:
+        pdf, starts, ends = _sorted_series_frame(
+            batches, ["user_id", "ts", "event_id", "value"]
+        )
+        if pdf is None:
             return
-        pdf = pdf.sort_values(["user_id", "ts", "event_id"])
-        yield pd.concat(
-            [_lttb_one(g, n_out) for _, g in pdf.groupby("user_id", sort=False)],
-            ignore_index=True,
+        keep, _ = _lttb_kept_indices(pdf, starts, ends, n_out)
+        out = pdf.iloc[keep][["user_id", "ts", "value"]].reset_index(drop=True)
+        # bucket_id = rank within user over the kept rows (kept rows are
+        # already (user, ts, event_id)-ordered)
+        ids = out["user_id"].to_numpy()
+        first = np.flatnonzero(np.r_[True, ids[1:] != ids[:-1]])
+        offsets = np.repeat(first, np.diff(np.r_[first, len(ids)]))
+        out["bucket_id"] = np.arange(len(ids), dtype="int64") - offsets
+        yield out
+
+    n_parts = series.sparkSession.sparkContext.defaultParallelism
+    return series.repartition(n_parts, "user_id").mapInPandas(process, schema)
+
+
+def _lttb_user_flags(series: DataFrame, n_out: int = LTTB_POINTS) -> DataFrame:
+    """Per-user LTTB selection SUMMARY, fused into the selection pass:
+    (user_id, n_sel, first/last selected point, ts-monotonicity flag).
+
+    Equivalent by construction to aggregating :func:`lttb_downsample`'s
+    output — bucket_id ranks the kept rows within a user, so
+    min/max(struct(bucket_id, ...)) are exactly the first/last kept rows,
+    and the lag-based monotone check is "no negative ts step inside a
+    user's kept sequence". Computing the summary inside the SAME
+    ``mapInPandas`` that selects the points removes the downstream
+    exchange + sort + window + two struct-keyed SortAggregates the
+    aggregate form paid (r11 measured: the flags branch alone was ~2.7 s
+    at sf0.1, the fused form ~1.2 s, bit-identical output). Values
+    return as raw doubles — cent quantization stays engine-side so both
+    engines round the same way."""
+    schema = (
+        "user_id bigint, n_sel bigint, fs_ts timestamp_ntz, fs_value double,"
+        " ls_ts timestamp_ntz, ls_value double, x_monotone_ok boolean"
+    )
+
+    def process(batches):
+        pdf, starts, ends = _sorted_series_frame(
+            batches, ["user_id", "ts", "event_id", "value"]
+        )
+        if pdf is None:
+            return
+        keep, _ = _lttb_kept_indices(pdf, starts, ends, n_out)
+        sel = pdf.iloc[keep].reset_index(drop=True)
+        ids = sel["user_id"].to_numpy()
+        first = np.flatnonzero(np.r_[True, ids[1:] != ids[:-1]])
+        last = np.r_[first[1:], len(ids)] - 1
+        ts_int = sel["ts"].astype("int64").to_numpy()
+        neg = np.r_[False, np.diff(ts_int) < 0]
+        neg[first] = False  # cross-user boundaries are not steps
+        ts_vals = sel["ts"].to_numpy()
+        vals = sel["value"].to_numpy()
+        yield pd.DataFrame(
+            {
+                "user_id": ids[first],
+                "n_sel": (last - first + 1).astype("int64"),
+                "fs_ts": ts_vals[first],
+                "fs_value": vals[first],
+                "ls_ts": ts_vals[last],
+                "ls_value": vals[last],
+                "x_monotone_ok": np.add.reduceat(neg, first) == 0
+                if len(first)
+                else np.array([], dtype=bool),
+            }
         )
 
-    return (
-        series.repartition("user_id")
-        .mapInPandas(process, schema)
-    )
+    n_parts = series.sparkSession.sparkContext.defaultParallelism
+    return series.repartition(n_parts, "user_id").mapInPandas(process, schema)
 
 
 def _lttb_points(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -314,24 +416,11 @@ def ts_lttb_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
                      cents_in.alias("v"))
         )["v"].alias("last_value_c"),
     )
-    sel = lttb_downsample(ev)
-    cents_sel = F.round(F.col("value") * 100).cast("bigint")
-    wsel = Window.partitionBy("user_id").orderBy("bucket_id")
-    flags = (
-        sel.withColumn("prev_ts", F.lag("ts").over(wsel))
-        .groupBy("user_id")
-        .agg(
-            F.count("*").cast("bigint").alias("n_sel"),
-            F.min(F.struct("bucket_id", "ts", cents_sel.alias("v")))
-            .alias("fs"),
-            F.max(F.struct("bucket_id", "ts", cents_sel.alias("v")))
-            .alias("ls"),
-            # min(boolean) == AND: False sorts below True
-            F.min(
-                F.col("prev_ts").isNull() | (F.col("ts") >= F.col("prev_ts"))
-            ).alias("x_monotone_ok"),
-        )
-    )
+    # Selection summary fused into the LTTB pass itself (see
+    # _lttb_user_flags): the aggregate form paid an extra exchange +
+    # sort + window + two struct-keyed SortAggregates over the selected
+    # rows for the same values.
+    flags = _lttb_user_flags(ev)
     return brackets.join(flags, "user_id").select(
         "user_id",
         "n_in",
@@ -342,10 +431,16 @@ def ts_lttb_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
         "last_value_c",
         (F.col("n_sel") == F.col("n_out")).alias("n_ok"),
         (
-            (F.col("fs.ts") == F.col("first_ts"))
-            & (F.col("fs.v") == F.col("first_value_c"))
-            & (F.col("ls.ts") == F.col("last_ts"))
-            & (F.col("ls.v") == F.col("last_value_c"))
+            (F.col("fs_ts") == F.col("first_ts"))
+            & (
+                F.round(F.col("fs_value") * 100).cast("bigint")
+                == F.col("first_value_c")
+            )
+            & (F.col("ls_ts") == F.col("last_ts"))
+            & (
+                F.round(F.col("ls_value") * 100).cast("bigint")
+                == F.col("last_value_c")
+            )
         ).alias("endpoints_ok"),
         "x_monotone_ok",
     )
