@@ -85,11 +85,17 @@ def streaming_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 # knob, not a CPU knob: every shuffle partition of a stateful operator
 # instantiates its own state store (a stream-stream join keeps FOUR per
 # partition), and store setup/commit dominates small micro-batches — measured
-# 7.8s -> 2.3s on the sf0.1 interval join going 32 -> 4 partitions. Unlike
-# batch shuffles, streaming state partitioning is also a deployment contract
-# (it is frozen into the checkpoint at first start), so it is sized to
-# expected state volume, not to the session's core count.
-_STREAM_STATE_PARTITIONS = int(os.environ.get("SPARK_GRAFT_STREAM_PARTITIONS", "8"))
+# 7.8s -> 2.3s on the sf0.1 interval join going 32 -> 4 partitions, and in
+# r11 an interleaved same-session A/B across all five stateful headline
+# streams showed 2 beats 8 on every one (stream_stream_join 3.1-5.0 s vs
+# 7.4-30 s; event/sliding windows ~2x) — at bench-scale state volumes (KBs)
+# each extra partition is pure store-setup/commit constant. Unlike batch
+# shuffles, streaming state partitioning is also a deployment contract (it
+# is frozen into the checkpoint at first start), so it is sized to expected
+# STATE VOLUME, never to core count: a production deployment sets
+# $SPARK_GRAFT_STREAM_PARTITIONS so each partition holds ~100-500 MB of
+# state (e.g. hundreds of partitions for a 100 GB join horizon).
+_STREAM_STATE_PARTITIONS = int(os.environ.get("SPARK_GRAFT_STREAM_PARTITIONS", "2"))
 
 
 def run_to_memory(stream_df: DataFrame, output_mode: str = "complete") -> DataFrame:
