@@ -294,23 +294,28 @@ def lttb_downsample(series: DataFrame, n_out: int = LTTB_POINTS) -> DataFrame:
     return series.repartition(n_parts, "user_id").mapInPandas(process, schema)
 
 
-def _lttb_user_flags(series: DataFrame, n_out: int = LTTB_POINTS) -> DataFrame:
-    """Per-user LTTB selection SUMMARY, fused into the selection pass:
-    (user_id, n_sel, first/last selected point, ts-monotonicity flag).
+def _lttb_user_summary(series: DataFrame, n_out: int = LTTB_POINTS) -> DataFrame:
+    """Per-user LTTB summary, ONE pass: series brackets (length, exact
+    endpoint rows) AND the selection summary (n_sel, first/last selected
+    point, ts-monotonicity flag) out of the same sorted partition frame.
 
-    Equivalent by construction to aggregating :func:`lttb_downsample`'s
-    output — bucket_id ranks the kept rows within a user, so
-    min/max(struct(bucket_id, ...)) are exactly the first/last kept rows,
-    and the lag-based monotone check is "no negative ts step inside a
-    user's kept sequence". Computing the summary inside the SAME
-    ``mapInPandas`` that selects the points removes the downstream
-    exchange + sort + window + two struct-keyed SortAggregates the
-    aggregate form paid (r11 measured: the flags branch alone was ~2.7 s
-    at sf0.1, the fused form ~1.2 s, bit-identical output). Values
-    return as raw doubles — cent quantization stays engine-side so both
-    engines round the same way."""
+    The frame is sorted by (user_id, ts, event_id), so each user's first/
+    last row IS the argmin/argmax of struct(ts, event_id, ·) — exactly the
+    struct-min/max bracket the r10 form computed in a SEPARATE groupBy
+    aggregation over a second scan of events, joined back at the end.
+    Fusing the brackets into the selection pass removes that scan, its
+    aggregation exchange and the join (r11: plan 16 -> 7 nodes; the
+    envelope's cross-ENGINE independence is unchanged — DuckDB still
+    derives every bracket from its own SQL). Precondition (asserted by
+    the data contract and the oracle equivalence gate): events carries no
+    NULL ts/value — pandas sorts NaT last where SQL min/max skip NULLs.
+    Values return as raw doubles — cent quantization stays engine-side so
+    both engines round the same way."""
     schema = (
-        "user_id bigint, n_sel bigint, fs_ts timestamp_ntz, fs_value double,"
+        "user_id bigint, n_in bigint,"
+        " first_ts timestamp_ntz, first_value double,"
+        " last_ts timestamp_ntz, last_value double,"
+        " n_sel bigint, fs_ts timestamp_ntz, fs_value double,"
         " ls_ts timestamp_ntz, ls_value double, x_monotone_ok boolean"
     )
 
@@ -320,11 +325,14 @@ def _lttb_user_flags(series: DataFrame, n_out: int = LTTB_POINTS) -> DataFrame:
         )
         if pdf is None:
             return
+        all_ts = pdf["ts"].to_numpy()
+        all_vals = pdf["value"].to_numpy()
         keep, _ = _lttb_kept_indices(pdf, starts, ends, n_out)
         sel = pdf.iloc[keep].reset_index(drop=True)
         ids = sel["user_id"].to_numpy()
         first = np.flatnonzero(np.r_[True, ids[1:] != ids[:-1]])
         last = np.r_[first[1:], len(ids)] - 1
+        # every series keeps >= 1 row, so sel's users == pdf's users in order
         ts_int = sel["ts"].astype("int64").to_numpy()
         neg = np.r_[False, np.diff(ts_int) < 0]
         neg[first] = False  # cross-user boundaries are not steps
@@ -333,6 +341,11 @@ def _lttb_user_flags(series: DataFrame, n_out: int = LTTB_POINTS) -> DataFrame:
         yield pd.DataFrame(
             {
                 "user_id": ids[first],
+                "n_in": (ends - starts).astype("int64"),
+                "first_ts": all_ts[starts],
+                "first_value": all_vals[starts],
+                "last_ts": all_ts[ends - 1],
+                "last_value": all_vals[ends - 1],
                 "n_sel": (last - first + 1).astype("int64"),
                 "fs_ts": ts_vals[first],
                 "fs_value": vals[first],
@@ -399,47 +412,35 @@ def ts_lttb_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events").select(
         "user_id", "event_id", "ts", "value"
     )
-    cents_in = F.round(F.col("value") * 100).cast("bigint")
-    brackets = ev.groupBy("user_id").agg(
-        F.count("*").cast("bigint").alias("n_in"),
-        F.least(F.count("*"), F.lit(LTTB_POINTS))
-        .cast("bigint")
-        .alias("n_out"),
-        F.min("ts").alias("first_ts"),
-        F.max("ts").alias("last_ts"),
-        F.min(
-            F.struct("ts", F.col("event_id").alias("eid"),
-                     cents_in.alias("v"))
-        )["v"].alias("first_value_c"),
-        F.max(
-            F.struct("ts", F.col("event_id").alias("eid"),
-                     cents_in.alias("v"))
-        )["v"].alias("last_value_c"),
-    )
-    # Selection summary fused into the LTTB pass itself (see
-    # _lttb_user_flags): the aggregate form paid an extra exchange +
-    # sort + window + two struct-keyed SortAggregates over the selected
-    # rows for the same values.
-    flags = _lttb_user_flags(ev)
-    return brackets.join(flags, "user_id").select(
+    # Brackets AND selection summary come out of ONE sorted-partition pass
+    # (see _lttb_user_summary): the r10 form paid a second events scan, a
+    # groupBy-aggregation exchange and a join for the bracket columns the
+    # sorted frame already holds at its run boundaries. The sorted frame's
+    # per-user first/last rows ARE the struct(ts, eid, ·) argmin/argmax,
+    # and cent quantization stays engine-side on the returned doubles.
+    summary = _lttb_user_summary(ev)
+    n_out = F.least(F.col("n_in"), F.lit(LTTB_POINTS)).cast("bigint")
+    first_value_c = F.round(F.col("first_value") * 100).cast("bigint")
+    last_value_c = F.round(F.col("last_value") * 100).cast("bigint")
+    return summary.select(
         "user_id",
         "n_in",
-        "n_out",
+        n_out.alias("n_out"),
         "first_ts",
         "last_ts",
-        "first_value_c",
-        "last_value_c",
-        (F.col("n_sel") == F.col("n_out")).alias("n_ok"),
+        first_value_c.alias("first_value_c"),
+        last_value_c.alias("last_value_c"),
+        (F.col("n_sel") == n_out).alias("n_ok"),
         (
             (F.col("fs_ts") == F.col("first_ts"))
             & (
                 F.round(F.col("fs_value") * 100).cast("bigint")
-                == F.col("first_value_c")
+                == first_value_c
             )
             & (F.col("ls_ts") == F.col("last_ts"))
             & (
                 F.round(F.col("ls_value") * 100).cast("bigint")
-                == F.col("last_value_c")
+                == last_value_c
             )
         ).alias("endpoints_ok"),
         "x_monotone_ok",
