@@ -193,7 +193,17 @@ def minhash_signatures(sh: DataFrame, with_count: bool = False) -> DataFrame:
 
 
 def lsh_candidates(signatures: DataFrame) -> DataFrame:
-    """Band the signature and self-join on (band_id, band_hash)."""
+    """Band the signature and self-join on (band_id, band_hash).
+
+    The self-join plans the signature-aggregation subtree TWICE (once per
+    join side; neither ReuseExchange nor AQE stage reuse deduplicates the
+    localCheckpoint-fed subtrees — 64 partial_min functions in the executed
+    envelope plan). A bucket-collect rewrite (ONE aggregation via
+    collect_list per (band_id, band_hash) + in-bucket pair explode) was
+    probed in r11 and REJECTED: 1.20x slower interleaved at sf0.1 —
+    collect_list + lambda-transform pair expansion costs more than the
+    duplicated columnar min-aggregation, whose second copy feeds a cheap
+    broadcast build. Identical candidate sets verified."""
     bands = F.array(
         *[
             F.struct(
@@ -317,7 +327,12 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_table(spark, sf_dir, "documents")
     ).localCheckpoint()
     exact = dedup_shingle_jaccard(spark, sf_dir, sh=sh).localCheckpoint()
-    cand = lsh_candidates(minhash_signatures(sh))
+    # Signatures are materialized once: lsh_candidates consumes them on BOTH
+    # sides of its band self-join, and neither ReuseExchange nor AQE stage
+    # reuse deduplicates the two subtrees (64 partial_min in the executed
+    # plan without this). r11 interleaved A/B: 0.93x, and at scale it is one
+    # |docs|-signature pass instead of two.
+    cand = lsh_candidates(minhash_signatures(sh).localCheckpoint())
     lsh = cand.join(exact.select("doc_a", "doc_b"), ["doc_a", "doc_b"])
     both = lsh.select("doc_a", "doc_b").withColumn("in_lsh", F.lit(1)).join(
         exact.select("doc_a", "doc_b").withColumn("in_exact", F.lit(1)),
