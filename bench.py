@@ -276,22 +276,20 @@ def main() -> None:
         },
         separators=(",", ":"),
     )
-    # The driver captures a byte-bounded TAIL of the output; r2 and r4 both
-    # lost the head of this (long) line to that window. Defense in depth:
+    # The driver captures a byte-bounded TAIL of the output and parses the
+    # LAST line; r2 and r4 lost the head of this (long) line to that window.
+    # Defense in depth:
     # (a) persist the identical JSON next to the script so the artifact
-    # survives any stream truncation, (b) end BOTH streams with the line,
-    # explicitly flushed, so whichever stream the driver tails terminates
-    # with a complete copy.
+    # survives any stream truncation, (b) lead with a SHORT self-contained
+    # summary line (metric/value/sf only) so that even a pathologically small
+    # tail window still holds a parseable record, (c) end BOTH streams with
+    # the FULL line, explicitly flushed — the driver's round-over-round
+    # PERF comparison reads the per-query map from the line it parses, so
+    # the full map must be the FINAL line (VERDICT r11 "what's wrong" #1:
+    # r11 printed the summary last and PERF_r11 degenerated to n_common=1).
     with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
                            self_json), "w") as fh:
         fh.write(line + "\n")
-    print(line, file=sys.stderr, flush=True)
-    print(line, flush=True)
-    # (c) r6's driver capture STILL truncated the ~3 KB line's head (its
-    # BENCH_r06.json has parsed=None): follow with a SHORT self-contained
-    # summary line — small enough that any sane tail window holds all of
-    # it — so the driver can always parse at least metric/value/sf, with
-    # the per-query map recoverable from BENCH_SELF.json.
     summary = json.dumps(
         {
             "metric": metric,
@@ -305,6 +303,8 @@ def main() -> None:
     )
     print(summary, file=sys.stderr, flush=True)
     print(summary, flush=True)
+    print(line, file=sys.stderr, flush=True)
+    print(line, flush=True)
 
 
 if __name__ == "__main__":

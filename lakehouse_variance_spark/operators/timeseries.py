@@ -199,11 +199,44 @@ def _sorted_series_frame(batches, cols):
     pdf = pd.concat(frames, ignore_index=True)
     if pdf.empty:
         return None, None, None
+    # Documented precondition, enforced loudly (ADVICE r11): the sorted-run
+    # bracket fusion assumes no NULL ts/value — pandas sorts NaT LAST where
+    # SQL min/max skip NULLs, so a NULL would silently diverge from the
+    # oracle instead of failing.
+    if pdf["ts"].isna().any() or pdf["value"].isna().any():
+        raise ValueError(
+            "lttb: events carry NULL ts/value; the fused bracket pass "
+            "requires the NULL-free events contract (see _lttb_user_summary)"
+        )
     pdf = pdf.sort_values(["user_id", "ts", "event_id"], ignore_index=True)[cols]
     ids = pdf["user_id"].to_numpy()
     starts = np.flatnonzero(np.r_[True, ids[1:] != ids[:-1]])
     ends = np.r_[starts[1:], len(ids)]
     return pdf, starts, ends
+
+
+# Per-task memory target for the sorted-series passes: each mapInPandas task
+# concatenates its WHOLE partition into one pandas frame, so the partition
+# count must scale with input volume, not stay fixed at defaultParallelism
+# (guide §5; VERDICT r11 "what's wrong" #3 — at 100 TB a fixed count makes
+# per-task heap grow as data/parallelism).
+_LTTB_TARGET_PARTITION_BYTES = 128 << 20
+
+
+def _series_partition_count(series: DataFrame) -> int:
+    """Partition count for the sorted-series mapInPandas passes: at LEAST
+    defaultParallelism (AQE would otherwise coalesce the tiny-bytes bench
+    shuffle to ONE Python worker — measured 2.3 s vs 1.2 s at sf0.1), and
+    at MOST ~128 MB of Catalyst-estimated input per partition so the
+    per-task whole-partition pandas frame stays bounded at scale."""
+    par = series.sparkSession.sparkContext.defaultParallelism
+    try:
+        est = int(str(series._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()))
+    except Exception:
+        return par
+    if est <= 0 or est >= 1 << 60:  # unknown-stats sentinel: don't explode
+        return par
+    return max(par, -(-est // _LTTB_TARGET_PARTITION_BYTES))
 
 
 def _lttb_kept_indices(pdf, starts, ends, n_out):
@@ -264,11 +297,15 @@ def lttb_downsample(series: DataFrame, n_out: int = LTTB_POINTS) -> DataFrame:
     machinery is not). Each task holds one partition's frame — the same
     memory bound any sorted-partition operator carries.
 
-    The repartition carries an EXPLICIT partition count (cluster default
-    parallelism): a keyless ``repartition("user_id")`` lets AQE coalesce
-    the tiny-bytes shuffle down to ONE partition, serializing every
-    series through a single Python worker (measured 2.3 s vs 1.2 s at
-    sf0.1 — guide §2.5's too-few-partitions trap in AQE clothing).
+    The repartition carries an EXPLICIT partition count (see
+    :func:`_series_partition_count`: max of cluster default parallelism
+    and ~128 MB of estimated input per partition): a keyless
+    ``repartition("user_id")`` lets AQE coalesce the tiny-bytes shuffle
+    down to ONE partition, serializing every series through a single
+    Python worker (measured 2.3 s vs 1.2 s at sf0.1 — guide §2.5's
+    too-few-partitions trap in AQE clothing), while a count fixed at
+    defaultParallelism makes the per-task whole-partition frame grow
+    unboundedly at scale (guide §5).
     Series membership stays hash-determined either way. Short series
     (n <= n_out, where LTTB keeps every point) take a fully vectorized
     numpy run-length path — no per-group pandas frame is ever built."""
@@ -290,7 +327,7 @@ def lttb_downsample(series: DataFrame, n_out: int = LTTB_POINTS) -> DataFrame:
         out["bucket_id"] = np.arange(len(ids), dtype="int64") - offsets
         yield out
 
-    n_parts = series.sparkSession.sparkContext.defaultParallelism
+    n_parts = _series_partition_count(series)
     return series.repartition(n_parts, "user_id").mapInPandas(process, schema)
 
 
@@ -304,10 +341,10 @@ def _lttb_user_summary(series: DataFrame, n_out: int = LTTB_POINTS) -> DataFrame
     struct-min/max bracket the r10 form computed in a SEPARATE groupBy
     aggregation over a second scan of events, joined back at the end.
     Fusing the brackets into the selection pass removes that scan, its
-    aggregation exchange and the join (r11: plan 16 -> 7 nodes; the
+    aggregation exchange and the join (r11: plan 16 -> 6 nodes; the
     envelope's cross-ENGINE independence is unchanged — DuckDB still
-    derives every bracket from its own SQL). Precondition (asserted by
-    the data contract and the oracle equivalence gate): events carries no
+    derives every bracket from its own SQL). Precondition (enforced with
+    a loud ValueError in _sorted_series_frame): events carries no
     NULL ts/value — pandas sorts NaT last where SQL min/max skip NULLs.
     Values return as raw doubles — cent quantization stays engine-side so
     both engines round the same way."""
@@ -332,7 +369,12 @@ def _lttb_user_summary(series: DataFrame, n_out: int = LTTB_POINTS) -> DataFrame
         ids = sel["user_id"].to_numpy()
         first = np.flatnonzero(np.r_[True, ids[1:] != ids[:-1]])
         last = np.r_[first[1:], len(ids)] - 1
-        # every series keeps >= 1 row, so sel's users == pdf's users in order
+        # every series keeps >= 1 row, so sel's users == pdf's users in
+        # order; a violated invariant must fail loudly here, not as an
+        # opaque pandas length mismatch below (ADVICE r11).
+        assert len(first) == len(starts), (
+            f"lttb: {len(starts)} input series but {len(first)} selected runs"
+        )
         ts_int = sel["ts"].astype("int64").to_numpy()
         neg = np.r_[False, np.diff(ts_int) < 0]
         neg[first] = False  # cross-user boundaries are not steps
@@ -357,7 +399,7 @@ def _lttb_user_summary(series: DataFrame, n_out: int = LTTB_POINTS) -> DataFrame
             }
         )
 
-    n_parts = series.sparkSession.sparkContext.defaultParallelism
+    n_parts = _series_partition_count(series)
     return series.repartition(n_parts, "user_id").mapInPandas(process, schema)
 
 

@@ -20,6 +20,8 @@ from collections.abc import Callable
 
 from pyspark.sql import SparkSession
 
+from lakehouse_variance_spark.tables import _app_id
+
 
 def sql_quoted_idents(spark: SparkSession, text: str):
     """spark.sql() for ANSI texts whose identifiers are double-quoted
@@ -113,17 +115,17 @@ _CATALOG_STATE: dict[str, tuple] = {}
 
 
 def catalog_state_get(spark: SparkSession):
-    return _CATALOG_STATE.get(spark.sparkContext.applicationId)
+    return _CATALOG_STATE.get(_app_id(spark))
 
 
 def catalog_state_set(spark: SparkSession, token: tuple) -> None:
-    _CATALOG_STATE[spark.sparkContext.applicationId] = token
+    _CATALOG_STATE[_app_id(spark)] = token
 
 
 def catalog_state_dirty(spark: SparkSession) -> None:
     """Invalidate the skip token (a shared view name was re-pointed
     outside the register helpers)."""
-    _CATALOG_STATE.pop(spark.sparkContext.applicationId, None)
+    _CATALOG_STATE.pop(_app_id(spark), None)
 
 
 def materialize_and_register(

@@ -76,6 +76,7 @@ from lakehouse_variance_spark.plans.tpcds_schema import (
     register_tpcds_views,
 )
 from lakehouse_variance_spark.registry import register
+from lakehouse_variance_spark.tables import _app_id
 
 TPCDS_TEXTS: dict[str, str] = {}
 
@@ -5008,7 +5009,7 @@ def _q72_transitive_date_prune(spark: SparkSession, sf_dir: str) -> None:
     scoped to this build."""
     from pyspark.sql import functions as F
 
-    key = (spark.sparkContext.applicationId, sf_dir)
+    key = (_app_id(spark), sf_dir)
     sks = _Q72_WEEK_SKS.get(key)
     if sks is None:
         sks = [

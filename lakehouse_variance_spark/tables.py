@@ -52,20 +52,55 @@ _NANOS_TS_COLUMNS = {"events": ("ts",)}
 _TABLE_CACHE: dict[tuple[str, str, float], DataFrame] = {}
 
 
+def _app_id(spark: SparkSession) -> str:
+    """applicationId memoized on the context OBJECT: the id is immutable
+    per context, but the property is a py4j round trip per read, and
+    load_table keys its memo on it for every call of every query. The
+    attribute dies with the Python object, so there is no id()-recycling
+    hazard (the _Q72_WEEK_SKS precedent)."""
+    sc = spark.sparkContext
+    app = getattr(sc, "_lvs_app_id", None)
+    if app is None:
+        app = sc.applicationId
+        sc._lvs_app_id = app
+    return app
+
+
+# Sessions whose load-path confs are already pinned, by applicationId. The
+# two conf.set calls below are py4j round trips paid on EVERY load_table
+# call (2-10 per query) for values that never change within a session —
+# VERDICT r11 next-round #8's largest remaining aggregate constant. A
+# hostile session (non-UTC timezone, nanosAsLong unset) is still fixed by
+# the FIRST load in that session; nothing in the engine flips these confs
+# afterwards (run_to_memory/run_to_parquet restore what they touch).
+_CONF_PINNED: set[str] = set()
+
+
+def _pin_load_confs(spark: SparkSession) -> str:
+    """Pin nanosAsLong + UTC timezone once per session; returns the
+    applicationId so callers don't pay the round trip twice."""
+    app = _app_id(spark)
+    if app not in _CONF_PINNED:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # Queries casting TIMESTAMP_NTZ <-> TIMESTAMP (as-of gaps,
+        # watermarks) assume a zero-offset session. The driver supplies its
+        # OWN session, so pin the timezone at the one entry point every
+        # query loads through — a DST-straddling local zone would silently
+        # shift those casts.
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+        _CONF_PINNED.add(app)
+    return app
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one table. Parquet scan → vectorized reader, pushdown-capable."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    # Queries casting TIMESTAMP_NTZ <-> TIMESTAMP (as-of gaps, watermarks)
-    # assume a zero-offset session. The driver supplies its OWN session, so
-    # pin the timezone at the one entry point every query loads through —
-    # a DST-straddling local zone would silently shift those casts.
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    app = _pin_load_confs(spark)
     path = os.path.join(sf_dir, f"{name}.parquet")
     try:
         mtime = os.path.getmtime(path)
     except OSError:
         mtime = -1.0  # nonexistent/remote path: let the reader raise/resolve
-    key = (spark.sparkContext.applicationId, path, mtime)
+    key = (app, path, mtime)
     cached = _TABLE_CACHE.get(key)
     if cached is not None:
         return cached

@@ -139,3 +139,57 @@ def test_ohlc_no_window_one_exchange(spark):
         assert r.low_c <= r.open_c <= r.high_c
         assert r.low_c <= r.close_c <= r.high_c
         assert r.volume >= 1
+
+
+def test_sorted_series_frame_rejects_null_ts_or_value():
+    """The fused bracket pass documents a NULL-free events precondition;
+    a NULL must fail loudly, not silently diverge from the oracle
+    (pandas sorts NaT last where SQL min/max skip NULLs)."""
+    import pandas as pd
+    import pytest
+
+    from lakehouse_variance_spark.operators.timeseries import (
+        _sorted_series_frame,
+    )
+
+    cols = ["user_id", "ts", "event_id", "value"]
+    good = pd.DataFrame(
+        {
+            "user_id": [1, 1],
+            "ts": pd.to_datetime([1, 2], unit="s"),
+            "event_id": [1, 2],
+            "value": [1.0, 2.0],
+        }
+    )
+    pdf, starts, ends = _sorted_series_frame([good], cols)
+    assert len(pdf) == 2 and list(starts) == [0] and list(ends) == [2]
+    for col, bad_val in (("ts", pd.NaT), ("value", float("nan"))):
+        bad = good.copy()
+        bad.loc[1, col] = bad_val
+        with pytest.raises(ValueError, match="NULL ts/value"):
+            _sorted_series_frame([bad], cols)
+
+
+def test_series_partition_count_scales_with_volume(spark):
+    """The sorted-series repartition is defaultParallelism at bench scale
+    (AQE floor) but must grow with estimated input volume so the
+    whole-partition pandas frame stays bounded (guide §5)."""
+    from lakehouse_variance_spark.operators import timeseries as ts_mod
+    from lakehouse_variance_spark.tables import load_table
+
+    ev = load_table(spark, SF_DIR, "events").select(
+        "user_id", "event_id", "ts", "value"
+    )
+    par = spark.sparkContext.defaultParallelism
+    # sf0.1 events are ~2 MB: the floor wins, matching the r11 plan shape.
+    assert ts_mod._series_partition_count(ev) == par
+    # A 64 GB estimated input must fan out to est/128MB partitions: patch
+    # the target down so the check runs against the real Catalyst estimate.
+    est = int(str(ev._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()))
+    assert est > 0
+    old = ts_mod._LTTB_TARGET_PARTITION_BYTES
+    try:
+        ts_mod._LTTB_TARGET_PARTITION_BYTES = max(1, est // (par * 4))
+        assert ts_mod._series_partition_count(ev) >= par * 4
+    finally:
+        ts_mod._LTTB_TARGET_PARTITION_BYTES = old
