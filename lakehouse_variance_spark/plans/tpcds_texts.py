@@ -69,6 +69,8 @@ every SF either way — 0 rows on both engines is still a verified match.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 
 from lakehouse_variance_spark.plans.tpcds_schema import (
@@ -4985,51 +4987,270 @@ LIMIT 100
 """
 
 
-# (application id, sf_dir) -> the 1999-week date_sk list, so repeated
-# q72 invocations in one session (battery attempts, bench loops) pay the
-# date_dim subquery once. ~371 values — a bounded driver list, the
-# scheduler-inputs precedent. Keyed on the Spark applicationId (unique
-# per session lifetime), not id(spark), which CPython can recycle.
-_Q72_WEEK_SKS: dict[tuple[str, str], list[int]] = {}
+# ---------------------------------------------------------------------------
+# Harness-level runtime fact prunes — the r11 q72 transitive-date-prune
+# pattern, generalized (r12, guide §3.2/§6).  Each entry shadows fact views
+# with a filter PROVABLY implied by the query's own WHERE clause through its
+# dimension equi-joins: the dimension keys are collected once per (session,
+# sf_dir) — a bounded driver list, the scheduler-inputs precedent — and fact
+# rows outside the set cannot satisfy the query's own join+filter chain, so
+# results are unchanged (the oracle runs the pure text and the hash gate
+# proves it).  This is the manual form of the runtime filter Catalyst's
+# bloom-filter injection (SPARK-32268) declines to build here (no table
+# stats; filtered-dimension size estimates over its thresholds): the key set
+# reaches the parquet scan as PushedFilters — a BETWEEN when the sk run is
+# contiguous (row-group min/max skipping), an In list otherwise — where the
+# before-plans (plans/r12/*_before.txt) show full-table fact scans with
+# IsNotNull-only pushdown.
+#
+# Query texts stay verbatim; each dim_sql mirrors the query's own dimension
+# predicates literally (literal drift would over- or under-prune and the
+# oracle hash gate would catch it).  The shadow is scoped to ONE spark.sql
+# call: spark.sql analyzes eagerly (the view plan is inlined at Dataset
+# creation), so re-registering the captured original right after restores
+# the catalog to exactly the state the ownership token describes — no
+# catalog_state_dirty, no full re-registration for the next query (r11 paid
+# that after q72; r12 drops it).
+#
+# (application id, sf_dir, dim_sql) -> (lo, hi, None) for a contiguous key
+# run, else (None, None, sorted values).
+_PRUNE_KEYS: dict[tuple[str, str, str], tuple] = {}
+
+# query -> ((dim_sql, ((view, fact_column), ...)), ...)
+_FACT_PRUNES: dict[str, tuple] = {
+    # q4: every year_total consumer pins dyear IN (2001, 2001+1); the CTE's
+    # 6 pushed instances each scan a FULL fact table (only the date_dim
+    # side is filtered — plans/r12/tpcds_q4_before.txt).
+    "tpcds_q4": (
+        (
+            "SELECT d_date_sk FROM date_dim WHERE d_year IN (2001, 2001 + 1)",
+            (
+                ("store_sales", "ss_sold_date_sk"),
+                ("catalog_sales", "cs_sold_date_sk"),
+                ("web_sales", "ws_sold_date_sk"),
+            ),
+        ),
+    ),
+    # q51/q67: d_month_seq BETWEEN 1200 AND 1200 + 11 via ss/ws_sold_date_sk.
+    "tpcds_q51": (
+        (
+            "SELECT d_date_sk FROM date_dim "
+            "WHERE d_month_seq BETWEEN 1200 AND 1200 + 11",
+            (
+                ("web_sales", "ws_sold_date_sk"),
+                ("store_sales", "ss_sold_date_sk"),
+            ),
+        ),
+    ),
+    "tpcds_q67": (
+        (
+            "SELECT d_date_sk FROM date_dim "
+            "WHERE d_month_seq BETWEEN 1200 AND 1200 + 11",
+            (("store_sales", "ss_sold_date_sk"),),
+        ),
+    ),
+    # q78: the outer WHERE pins ss_sold_year = 2000 and the ws/cs branches
+    # join on ws/cs_sold_year = ss_sold_year — all three channels only
+    # contribute d_year = 2000 groups.  The returns sides join per
+    # order/item (not date) and are NOT pruned.
+    "tpcds_q78": (
+        (
+            "SELECT d_date_sk FROM date_dim WHERE d_year = 2000",
+            (
+                ("web_sales", "ws_sold_date_sk"),
+                ("catalog_sales", "cs_sold_date_sk"),
+                ("store_sales", "ss_sold_date_sk"),
+            ),
+        ),
+    ),
+    # q64: every fact is equi-joined (directly or via cs_ui's per-item
+    # HAVING groups) to the color/price-filtered item; store_sales is
+    # additionally date-bound by cs1/cs2's syear IN (1999, 1999 + 1).
+    "tpcds_q64": (
+        (
+            "SELECT i_item_sk FROM item WHERE i_color IN "
+            "('purple', 'burlywood', 'indian', 'spring', 'floral', 'medium') "
+            "AND i_current_price BETWEEN 64 AND 64 + 10 "
+            "AND i_current_price BETWEEN 64 + 1 AND 64 + 15",
+            (
+                ("store_sales", "ss_item_sk"),
+                ("store_returns", "sr_item_sk"),
+                ("catalog_sales", "cs_item_sk"),
+                ("catalog_returns", "cr_item_sk"),
+            ),
+        ),
+        (
+            "SELECT d_date_sk FROM date_dim WHERE d_year IN (1999, 1999 + 1)",
+            (("store_sales", "ss_sold_date_sk"),),
+        ),
+    ),
+    # q22: inventory bound by d_month_seq BETWEEN 1200 AND 1200 + 11 —
+    # the 100x probe's worst family (1.31B-row inventory, SCALE.md).
+    "tpcds_q22": (
+        (
+            "SELECT d_date_sk FROM date_dim "
+            "WHERE d_month_seq BETWEEN 1200 AND 1200 + 11",
+            (("inventory", "inv_date_sk"),),
+        ),
+    ),
+    # q39: the inv CTE pins d_year = 2001 and both consumers pin
+    # d_moy IN (1, 1 + 1); per-(warehouse,item,moy) groups for other
+    # months are dropped by the consumers' own filters.
+    "tpcds_q39": (
+        (
+            "SELECT d_date_sk FROM date_dim "
+            "WHERE d_year = 2001 AND d_moy IN (1, 1 + 1)",
+            (("inventory", "inv_date_sk"),),
+        ),
+    ),
+    # q37/q82: inventory bound by the 60-day d_date window AND the
+    # manufact/price-filtered item; the probing sales fact is item-bound.
+    "tpcds_q37": (
+        (
+            "SELECT d_date_sk FROM date_dim WHERE d_date BETWEEN "
+            "cast('2000-02-01' AS DATE) AND "
+            "(cast('2000-02-01' AS DATE) + INTERVAL '60' DAY)",
+            (("inventory", "inv_date_sk"),),
+        ),
+        (
+            "SELECT i_item_sk FROM item WHERE i_current_price BETWEEN 68 "
+            "AND 68 + 30 AND i_manufact_id IN (677, 940, 694, 808)",
+            (
+                ("inventory", "inv_item_sk"),
+                ("catalog_sales", "cs_item_sk"),
+            ),
+        ),
+    ),
+    "tpcds_q82": (
+        (
+            "SELECT d_date_sk FROM date_dim WHERE d_date BETWEEN "
+            "cast('2000-05-25' AS DATE) AND "
+            "(cast('2000-05-25' AS DATE) + INTERVAL '60' DAY)",
+            (("inventory", "inv_date_sk"),),
+        ),
+        (
+            "SELECT i_item_sk FROM item WHERE i_current_price BETWEEN 62 "
+            "AND 62 + 30 AND i_manufact_id IN (869, 37, 788, 609)",
+            (
+                ("inventory", "inv_item_sk"),
+                ("store_sales", "ss_item_sk"),
+            ),
+        ),
+    ),
+    # q72 (r11's original): the inventory date constraint is TRANSITIVE
+    # (inv_date_sk -> d2, d2.d_week_seq = d1.d_week_seq, d1.d_year = 1999),
+    # which no static or runtime rule derives.
+    "tpcds_q72": (
+        (
+            "SELECT DISTINCT d_date_sk FROM date_dim WHERE d_week_seq "
+            "IN (SELECT d_week_seq FROM date_dim WHERE d_year = 1999)",
+            (("inventory", "inv_date_sk"),),
+        ),
+    ),
+}
 
 
-def _q72_transitive_date_prune(spark: SparkSession, sf_dir: str) -> None:
-    """Runtime filter for q72's fact-fact join (the harness-level
-    equivalent of dynamic partition pruning, which Catalyst cannot derive
-    here because the inventory date constraint is TRANSITIVE:
-    ``inv_date_sk -> d2 -> d2.d_week_seq = d1.d_week_seq -> d1.d_year =
-    1999``).  The query text stays verbatim; `inventory` is re-registered
-    filtered to the ~371 date_sks whose week overlaps a 1999 week — an
-    IN filter that reaches the parquet scan (PushedFilters), reducing
-    13.1M inventory rows to 2.7M BEFORE the catalog_sales fact-fact
-    join.  Rows outside the set cannot satisfy the query's own WHERE
-    clause, so results are unchanged (the oracle runs the pure text and
-    the hash gate proves it).  Every other registered query re-registers
-    the full view via register_tpcds_views first, so the shadow is
-    scoped to this build."""
+# Size gate, mirroring the application-side scan threshold Spark's own
+# runtime bloom-filter injection uses (SPARK-32268): a prune costs a
+# near-CONSTANT overhead (the shadow's catalog round trips + the enlarged
+# plan's analysis + the per-row-batch predicate) and pays PROPORTIONALLY to
+# the pruned fact's bytes, so below some size it is pure loss.  Interleaved
+# sf0.1 A/B (3 reps, min): the 6-9 MB sales facts LOSE 0.1-1.2 s per query
+# under every prune, while the 28 MB inventory family wins where the prune
+# feeds a fact-fact join or repeated aggregation (q72 1.45x, q37 1.73x,
+# q39 1.20x).  16 MB keeps the measured winners and exempts the measured
+# losers AT ANY scale factor (the gate reads the live Catalyst estimate, so
+# 10x data flips the sales facts in automatically); a deployment tunes
+# $SPARK_GRAFT_PRUNE_MIN_BYTES like Spark's own threshold confs.
+_PRUNE_MIN_FACT_BYTES = int(
+    os.environ.get("SPARK_GRAFT_PRUNE_MIN_BYTES", str(16 << 20))
+)
+# Key-count cap for NON-CONTIGUOUS key sets (contiguous runs collapse to a
+# two-literal BETWEEN and never hit this): a many-thousand-value In
+# expression costs analysis/pushdown superlinearly while its selectivity is
+# usually already poor — the 100x probe measured q64 at 114.7 s when its
+# item dimension scaled to a ~47k-value list, vs 7.4 s unpruned, while the
+# ~2.5k-value q37/q82 item lists still won 6.3x/2.5x at the same scale.
+# 4096 sits between the measured-fine 2.5k and the measured-disaster 47k;
+# the analog of Spark's own bloom-filter maxNumItems bound.
+_PRUNE_MAX_KEYS = int(os.environ.get("SPARK_GRAFT_PRUNE_MAX_KEYS", "4096"))
+_VIEW_BYTES: dict[tuple[str, str, str], int] = {}
+
+
+def _view_bytes(spark: SparkSession, sf_dir: str, view: str) -> int:
+    key = (_app_id(spark), sf_dir, view)
+    got = _VIEW_BYTES.get(key)
+    if got is None:
+        try:
+            got = int(
+                str(
+                    spark.table(view)
+                    ._jdf.queryExecution()
+                    .optimizedPlan()
+                    .stats()
+                    .sizeInBytes()
+                )
+            )
+        except Exception:
+            got = 1 << 62  # unknown estimate: fail open, apply the prune
+        _VIEW_BYTES[key] = got
+    return got
+
+
+def _prune_keys(spark: SparkSession, sf_dir: str, dim_sql: str) -> tuple:
+    key = (_app_id(spark), sf_dir, dim_sql)
+    got = _PRUNE_KEYS.get(key)
+    if got is None:
+        vals = sorted(r[0] for r in spark.sql(dim_sql).collect())
+        if vals and vals[-1] - vals[0] + 1 == len(vals):
+            # Contiguous key run (the date_dim surrogate keys are ordinal):
+            # a two-sided range predicate, which parquet row-group min/max
+            # stats can skip on, instead of a hundreds-long In list.
+            got = (vals[0], vals[-1], None)
+        else:
+            got = (None, None, vals)
+        _PRUNE_KEYS[key] = got
+    return got
+
+
+def _apply_fact_prunes(
+    spark: SparkSession, sf_dir: str, prunes: tuple
+) -> dict[str, DataFrame]:
+    """Shadow each target view with the prune predicate(s); returns the
+    captured ORIGINAL DataFrames so the caller can restore the catalog
+    right after spark.sql has analyzed the query text."""
     from pyspark.sql import functions as F
 
-    key = (_app_id(spark), sf_dir)
-    sks = _Q72_WEEK_SKS.get(key)
-    if sks is None:
-        sks = [
-            r[0]
-            for r in spark.sql(
-                "SELECT DISTINCT d_date_sk FROM date_dim WHERE d_week_seq "
-                "IN (SELECT d_week_seq FROM date_dim WHERE d_year = 1999)"
-            ).collect()
+    preds: dict[str, list] = {}
+    for dim_sql, targets in prunes:
+        gated = [
+            (view, col)
+            for view, col in targets
+            if _view_bytes(spark, sf_dir, view) >= _PRUNE_MIN_FACT_BYTES
         ]
-        _Q72_WEEK_SKS[key] = sks
-    spark.table("inventory").filter(
-        F.col("inv_date_sk").isin(sks)
-    ).createOrReplaceTempView("inventory")
-    # The shadow re-points a shared name outside the register helpers:
-    # invalidate the catalog-ownership token so the NEXT tpcds query's
-    # register_tpcds_views does a full re-registration instead of skipping
-    # (which would leave every other query reading pruned inventory).
-    from lakehouse_variance_spark.plans import synth_common as synth
-
-    synth.catalog_state_dirty(spark)
+        if not gated:
+            continue  # don't even collect the dimension keys
+        lo, hi, vals = _prune_keys(spark, sf_dir, dim_sql)
+        if vals is not None and len(vals) > _PRUNE_MAX_KEYS:
+            continue  # an In list this long costs more than it prunes
+        for view, col in gated:
+            if vals is None:
+                pred = F.col(col).between(F.lit(lo), F.lit(hi))
+            elif vals:
+                pred = F.col(col).isin(vals)
+            else:
+                # Empty dimension slice (tiny SFs): no fact row can match.
+                pred = F.lit(False)
+            preds.setdefault(view, []).append(pred)
+    restores: dict[str, DataFrame] = {}
+    for view, plist in preds.items():
+        orig = spark.table(view)
+        restores[view] = orig
+        combined = plist[0]
+        for p in plist[1:]:
+            combined = combined & p
+        orig.filter(combined).createOrReplaceTempView(view)
+    return restores
 
 
 def _register_tpcds_texts() -> None:
@@ -5039,9 +5260,19 @@ def _register_tpcds_texts() -> None:
             spark: SparkSession, sf_dir: str, _text=text, _name=name
         ) -> DataFrame:
             register_tpcds_views(spark, sf_dir)
-            if _name == "tpcds_q72":
-                _q72_transitive_date_prune(spark, sf_dir)
-            return spark.sql(_text)
+            prunes = _FACT_PRUNES.get(_name)
+            if prunes is None:
+                return spark.sql(_text)
+            restores = _apply_fact_prunes(spark, sf_dir, prunes)
+            try:
+                # spark.sql analyzes eagerly — the shadowed view plans are
+                # inlined into the returned Dataset here...
+                return spark.sql(_text)
+            finally:
+                # ...so re-pointing the names back is safe immediately, and
+                # the catalog is restored even when analysis throws.
+                for view, orig in restores.items():
+                    orig.createOrReplaceTempView(view)
 
         run.__name__ = name
         run.__doc__ = (

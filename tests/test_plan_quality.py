@@ -269,19 +269,31 @@ def test_rank_filter_gets_window_group_limit(spark):
         assert "WindowGroupLimit" in plan, f"{q} lost WindowGroupLimit"
 
 
-def test_q72_inventory_pruned_before_fact_fact_join(spark):
-    """q72's transitive date prune (tpcds_texts._q72_transitive_date_prune):
-    the inventory side must be reduced by the broadcast 1999-week semi-join
-    BEFORE the catalog_sales fact-fact join, i.e. the plan contains a
-    LeftSemi broadcast join on inventory below the cs⋈inv join."""
+def test_q72_inventory_pruned_before_fact_fact_join(spark, monkeypatch):
+    """q72's transitive date prune (tpcds_texts._FACT_PRUNES): the
+    inventory side must be reduced by the 1999-week date prune BEFORE the
+    catalog_sales fact-fact join — the prune predicate (a BETWEEN when the
+    date_sk run is contiguous, an In list otherwise) must reach the
+    inventory parquet scan.  Gate lowered to 0: sf0.001's inventory sits
+    below the 16 MB size gate (sf0.1's 26.5 MB estimate qualifies)."""
+    import lakehouse_variance_spark.plans.tpcds_texts as tpcds_texts
+
+    # with the DEFAULT gate, sf0.001's tiny facts must NOT be pruned —
+    # the prune constant outweighs any sub-16MB scan (r12 A/B)
+    ungated = _plan(spark, "tpcds_q72")
+    assert not re.search(
+        r"PushedFilters: \[[^\]]*(?:In|GreaterThanOrEqual)\(inv_date_sk",
+        ungated,
+    ), "size gate failed to exempt a tiny fact"
+    monkeypatch.setattr(tpcds_texts, "_PRUNE_MIN_FACT_BYTES", 0)
     plan = _plan(spark, "tpcds_q72")
-    # the ~371-value IN filter that implements the runtime date prune
-    # must reach the inventory parquet scan (13.1M -> 2.7M rows before
-    # the fact-fact join)
+    # the ~371-sk runtime date prune must reach the inventory parquet
+    # scan (13.1M -> 2.7M rows before the fact-fact join)
     pushed = re.search(
-        r"PushedFilters: \[[^\]]*In\(inv_date_sk", plan
+        r"PushedFilters: \[[^\]]*"
+        r"(?:In|GreaterThanOrEqual)\(inv_date_sk", plan
     )
-    assert pushed, "inv_date_sk IN filter not pushed to the scan"
+    assert pushed, "inv_date_sk prune not pushed to the scan"
     fact_join = re.search(
         r"BroadcastHashJoin \[cs_item_sk[^\]]*\], \[inv_item_sk", plan
     )
@@ -289,6 +301,51 @@ def test_q72_inventory_pruned_before_fact_fact_join(spark):
     assert fact_join.start() < pushed.start(), (
         "inventory must be scan-pruned below the fact-fact join"
     )
+
+
+def test_fact_prunes_reach_scans_and_restore_catalog(spark, monkeypatch):
+    """The r12 generalized fact prunes (tpcds_texts._FACT_PRUNES): each
+    pruned query's fact scans must carry the derived date/item key
+    predicates in PushedFilters (the before-plans show IsNotNull-only
+    full-table scans), and the view shadow must be scoped to the one
+    spark.sql call — the catalog reads the FULL fact again afterwards.
+    The size gate is lowered to 0 here: at sf0.1 the sales facts sit
+    below the 16 MB default (deliberately — the interleaved A/B showed
+    the prune constant outweighs a 6-9 MB scan), and this test checks
+    the PLAN the prunes produce once a fact is big enough to qualify."""
+    import lakehouse_variance_spark.plans.tpcds_texts as tpcds_texts
+
+    monkeypatch.setattr(tpcds_texts, "_PRUNE_MIN_FACT_BYTES", 0)
+    expect = {
+        "tpcds_q4": ("ss_sold_date_sk", "cs_sold_date_sk",
+                     "ws_sold_date_sk"),
+        "tpcds_q51": ("ws_sold_date_sk", "ss_sold_date_sk"),
+        "tpcds_q67": ("ss_sold_date_sk",),
+        "tpcds_q78": ("ws_sold_date_sk", "cs_sold_date_sk",
+                      "ss_sold_date_sk"),
+        # q64's ss_sold_date_sk bound hides behind the In-list string
+        # truncation; its propagated d_date_sk bound below is the
+        # visible evidence for the date half.
+        "tpcds_q64": ("ss_item_sk", "sr_item_sk", "cs_item_sk",
+                      "cr_item_sk", "d_date_sk"),
+    }
+    for name, cols in expect.items():
+        plan = _plan(spark, name)
+        for col in cols:
+            assert re.search(
+                r"PushedFilters: \[[^\]]*"
+                rf"(?:In|GreaterThanOrEqual)\({col}", plan
+            ), f"{name}: {col} prune not pushed to the scan"
+    # catalog restored: a full count over the shadowed names sees every row
+    from lakehouse_variance_spark.plans.tpcds_schema import (
+        register_tpcds_views,
+    )
+
+    register_tpcds_views(spark, SF_DIR)
+    full = spark.sql("SELECT count(*) FROM store_sales").collect()[0][0]
+    registry.QUERIES["tpcds_q67"](spark, SF_DIR)  # shadows + restores
+    again = spark.sql("SELECT count(*) FROM store_sales").collect()[0][0]
+    assert full == again, "fact prune leaked past its query"
 
 
 def test_ssb_flights_broadcast_all_dimensions(spark):
